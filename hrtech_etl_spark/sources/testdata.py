@@ -1,0 +1,33 @@
+"""Loaders for the driver-generated testdata star schema.
+
+One parquet file per table per scale factor (TESTDATA.md). At cluster
+scale the same API points at partitioned parquet/Delta roots; nothing
+below assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hrtech_etl_spark.core.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one testdata table as a DataFrame (columnar parquet scan;
+    Catalyst handles predicate pushdown / column pruning downstream)."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
