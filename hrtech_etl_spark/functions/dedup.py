@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data dedup at 100TB cannot compare all pairs: every operator
+here reduces the candidate space first (hash buckets, LSH bands,
+blocking keys) and only verifies within buckets. All column work is
+JVM-side expressions built on the portable hash
+(:mod:`hrtech_etl_spark.functions.hashing`) so results are
+reproducible in the DuckDB oracle.
+
+Shapes
+------
+- exact:    groupBy(md5(text)) — one shuffle on the fingerprint.
+- MinHash:  shingle → k seeded min-hashes → band buckets → self-join
+            *within buckets only* → exact Jaccard verify on survivors.
+- SimHash:  per-token hash bit-votes → 32-bit signature; candidates
+            share the signature's top band, verified by Hamming dist.
+- n-gram:   blocking key (cheap) → exact Jaccard within block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.functions.hashing import fingerprint, portable_hash
+from hrtech_etl_spark.functions.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by content fingerprint; one row per distinct content
+    with the canonical (minimum) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the minimum-id row per distinct content (deterministic,
+    unlike dropDuplicates which keeps an arbitrary row)."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    w_min = df.select(fp, F.col(id_col).alias("__id"))
+    keep = w_min.groupBy("__fp").agg(F.min("__id").alias(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, k: int = 2) -> Column:
+    """Distinct word k-grams of lowercased text (the MinHash item set)."""
+    t = tokens(col)
+    if k == 1:
+        return F.array_distinct(t)
+    idx = F.sequence(F.lit(0), F.size(t) - k)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    # guard: texts shorter than k tokens get no shingles
+    return F.when(F.size(t) >= k, F.array_distinct(gram)).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
+    """k seeded min-hashes over the shingle set. Each is
+    ``min(portable_hash(seed, shingle))`` — a pure expression per seed,
+    evaluated in one pass over the array (no explode, no shuffle)."""
+
+    def hasher(seed: int):
+        # factory (not a default arg): pyspark passes the array index as
+        # a second lambda argument when the lambda has two parameters
+        return lambda s: portable_hash(s, seed=seed)
+
+    return [
+        F.array_min(F.transform(shingles, hasher(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def lsh_bands(mh_cols: list[str], rows_per_band: int = 2) -> list[Column]:
+    """Group the signature into bands; a band's bucket key is the md5
+    of its concatenated min-hashes. Docs sharing ANY band bucket are
+    candidate pairs."""
+    bands = []
+    for b in range(0, len(mh_cols), rows_per_band):
+        group = mh_cols[b : b + rows_per_band]
+        bands.append(
+            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in group])).alias(
+                f"band{b // rows_per_band}"
+            )
+        )
+    return bands
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash LSH.
+
+    Plan shape: one projection computes signature + bands, an explode
+    to (band_idx, bucket), then a bucket self-join — the join key is
+    (band_idx, bucket) so the shuffle only collides truly-similar docs.
+    Returns distinct (id_a < id_b) candidate pairs.
+    """
+    shingles = word_shingles(F.col(text_col), k=shingle_k).alias("__sh")
+    sig = df.select(F.col(id_col), shingles)
+    sig = sig.select(id_col, *minhash_signature(F.col("__sh"), num_hashes))
+    mh_cols = [f"mh{j}" for j in range(num_hashes)]
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*lsh_bands(mh_cols, rows_per_band))).alias("band_idx", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs with
+    similarity >= threshold. Joins the (small) candidate set back to
+    the shingle sets — candidates, not corpus, drive the cost."""
+    sets_ = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k=shingle_k).alias("sh")
+    )
+    out = (
+        pairs.join(sets_.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets_.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(0.0), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Bit-vote SimHash over distinct tokens (portable-hash based).
+
+    For each bit i: if more than half the token hashes have bit i set,
+    the signature has bit i set. 16 bits keeps the expression tree
+    tractable; the scale path for 64-bit signatures is a pandas UDF
+    over numpy packed bits (same contract, swappable here).
+    """
+    toks = F.array_distinct(tokens(col))
+    hashes = F.transform(toks, lambda t: portable_hash(t, seed=99))
+    n = F.size(hashes)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = 1 << i
+        # single-param lambda: pyspark passes (element, index) to
+        # two-param lambdas, so the mask must be a closure, not an arg
+        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        out = out + F.when(cnt * 2 > n, F.lit(mask)).otherwise(F.lit(0))
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the signature's top
+    ``band_bits`` bits (docs differing there can't be near-identical),
+    verify Hamming distance within blocks."""
+    sig = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    sig = sig.withColumn("band", F.shiftright("sh", bits - band_bits))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("hamming", hamming_distance(F.col("a.sh"), F.col("b.sh")))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    block_cols: list[str],
+    shingle_k: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard near-dup within blocking-key groups. The block
+    join bounds pair count; for unblocked corpora use minhash_lsh_pairs."""
+    sets_ = df.select(
+        F.col(id_col), *block_cols, word_shingles(F.col(text_col), k=shingle_k).alias("sh")
+    )
+    a, b = sets_.alias("a"), sets_.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("inter", F.size(F.array_intersect("a.sh", "b.sh")))
+        .withColumn("uni", F.size(F.array_union("a.sh", "b.sh")))
+        .withColumn(
+            "jaccard",
+            F.round(F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(0.0), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "jaccard")
+    )

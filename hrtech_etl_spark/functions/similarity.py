@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same contract:
+
+- **Brute-force cosine top-k** — exact; a single projection computing
+  the score (JVM higher-order functions, no Python) + a top-k. Cost is
+  O(n·d) per query: the right baseline and the verifier for the
+  approximate path.
+- **LSH-bucketed top-k** — sign-random-projection buckets computed
+  with the portable hash, so buckets are deterministic and
+  oracle-reproducible. Probes only the query's bucket: at 100TB the
+  scan touches 1/2^bits of the corpus (bucketing prunes at the
+  partition level when data is written bucketed by ``bucket``).
+
+Scores are computed in double precision and rounded to 6 decimals so
+engine-to-engine float drift cannot flip the hash check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.functions.hashing import portable_hash
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a single query vector.
+
+    ``query`` is a one-row DataFrame carrying the query vector — kept
+    in-plan (broadcast nested-loop of a 1-row side) rather than
+    collected, so the same code works when the vector comes from a
+    subquery. Ties break on id for determinism.
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    scored = embeddings.crossJoin(q).select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def srp_bucket(vec: Column, *, bits: int = 4, dim: int = 64) -> Column:
+    """Sign-random-projection LSH bucket id.
+
+    Projection matrix entries are ±1 derived from md5 parity of
+    ``(bit, dimension)`` — fully deterministic, no stored model. Bucket
+    bit b = sign of <vec, r_b>, computed as one zip_with fold against a
+    literal sign array (a compact codegen'd expression per bit).
+    """
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        signs = F.array(*[F.lit(1.0 if _PROJ_SIGNS[(b, d)] else -1.0) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def _proj_sign_table(bits: int = 4, dim: int = 64) -> dict[tuple[int, int], bool]:
+    """Precompute ±1 signs from md5 parity — mirrors
+    ``portable_hash(f'{b}:{d}', seed=7) % 2`` and is rendered into the
+    oracle SQL the same way (constants, so both engines agree by
+    construction)."""
+    import hashlib
+
+    table = {}
+    for b in range(bits):
+        for d in range(dim):
+            h = hashlib.md5(f"7:{b}:{d}".encode()).hexdigest()[:8]
+            table[(b, d)] = (int(h, 16) % 2) == 1
+    return table
+
+
+_PROJ_SIGNS = _proj_sign_table()
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's SRP bucket.
+
+    Recall is bucket-limited by design (the exact trade the operator
+    makes); the brute-force path is the oracle. At scale, write the
+    corpus bucketed/partitioned by ``srp_bucket`` so the probe is a
+    partition-pruned scan instead of a full pass.
+    """
+    corpus = embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), bits=bits, dim=dim))
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            srp_bucket(F.col(vec_col), bits=bits, dim=dim).alias("__qbucket"),
+        )
+    )
+    scored = (
+        corpus.join(q, corpus["__bucket"] == q["__qbucket"])
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__qvec")).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking groups
+    (label, cluster id, or SRP bucket) — the embedding analog of
+    blocked n-gram Jaccard."""
+    a, b = embeddings.alias("a"), embeddings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hrtech_etl_spark.core.schemas import TESTDATA_TABLES
 
@@ -18,9 +20,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one testdata table as a DataFrame (columnar parquet scan;
-    Catalyst handles predicate pushdown / column pruning downstream)."""
+    Catalyst handles predicate pushdown / column pruning downstream).
+
+    Timestamp-nanos columns (events.ts is parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects) are read as raw nanos via
+    the legacy long path and truncated to microsecond timestamps —
+    matching how DuckDB/Arrow coerce nanos to their µs timestamps.
+    """
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Runtime-settable SQL conf; harmless for non-nanos files.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -1,0 +1,231 @@
+"""Declared queries: the reference's ETL semantics on the testdata
+star schema (role mapping per FIXTURES.md §2 — orders/lineitem play
+the incremental-pull role, events plays resource_events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from hrtech_etl_spark.core.expressions import apply_conditions
+from hrtech_etl_spark.core.types import Condition, Cursor, Operator
+from hrtech_etl_spark.operators.events import normalize_event_type
+from hrtech_etl_spark.operators.joins import last_wins_dedup
+from hrtech_etl_spark.pipeline import cursor_range_filter
+from hrtech_etl_spark.sources.testdata import load_table
+from hrtech_etl_spark.workload.registry import query, sql_dsum, dsum
+
+
+# --- 1. incremental cursor pull: range scan + prefilter + mapping ---------
+
+@query(
+    "etl_pull_incremental",
+    sql="""
+    SELECT o_orderkey AS id,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderdate AS order_date,
+           o_orderpriority AS priority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+      AND o_orderstatus = 'O'
+    """,
+)
+def etl_pull_incremental(spark, sf_dir):
+    """pull(): cursor-range scan (start/end) + EQ prefilter + mapping
+    projection — the reference's §3.1 lifecycle as one plan. The range
+    predicate prunes partitions on date-partitioned storage."""
+    orders = load_table(spark, "orders", sf_dir)
+    cur = Cursor(start="1995-06-01 00:00:00", end="1996-12-31 00:00:00")
+    scanned = cursor_range_filter(orders, cur, "o_orderdate", "o_orderkey")
+    scanned = apply_conditions(scanned, [Condition("o_orderstatus", Operator.EQ, "O")])
+    return scanned.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+# --- 2. CONTAINS postfilter (stringified substring semantics) -------------
+
+@query(
+    "etl_contains_postfilter",
+    sql="""
+    SELECT o_orderpriority AS priority, count(*) AS n
+    FROM orders
+    WHERE position('URGENT' IN o_orderpriority) > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_contains_postfilter(spark, sf_dir):
+    """HAVING-style residual filter with the reference's CONTAINS
+    (substring on stringified operands, core/utils.py:96-97)."""
+    orders = load_table(spark, "orders", sf_dir)
+    filtered = apply_conditions(
+        orders, [Condition("o_orderpriority", Operator.CONTAINS, "URGENT")]
+    )
+    return filtered.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- 3. IN prefilter ------------------------------------------------------
+
+@query(
+    "etl_in_prefilter",
+    sql="""
+    SELECT o_orderstatus AS status, count(*) AS n, {rev} AS revenue
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    """.format(rev=sql_dsum("o_totalprice")),
+)
+def etl_in_prefilter(spark, sf_dir):
+    """IN-condition pushdown (reference in_binding, core/utils.py:520-601)."""
+    orders = load_table(spark, "orders", sf_dir)
+    filtered = apply_conditions(
+        orders, [Condition("o_orderpriority", Operator.IN, ["1-URGENT", "2-HIGH"])]
+    )
+    return filtered.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+# --- 4. event→resource lookup join with missing accounting ---------------
+
+@query(
+    "etl_event_lookup",
+    sql="""
+    SELECT e.event_type AS event_type,
+           count(*) AS total_events,
+           count(c.c_custkey) AS matched,
+           count(*) - count(c.c_custkey) AS skipped_missing
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type
+    """,
+)
+def etl_event_lookup(spark, sf_dir):
+    """EVENTS-mode lookup join (core/pipeline.py:127-167): matched vs
+    skipped_missing accounted from ONE left join — the dimension side
+    broadcasts (customer is small relative to the event stream)."""
+    events = load_table(spark, "events", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "left"
+    )
+    return joined.groupBy(F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count("c_custkey").alias("matched"),
+        (F.count(F.lit(1)) - F.count("c_custkey")).alias("skipped_missing"),
+    )
+
+
+# --- 5. last-wins dedup per resource id -----------------------------------
+
+@query(
+    "etl_lastwins_dedup",
+    sql="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def etl_lastwins_dedup(spark, sf_dir):
+    """The reference's implicit dict-overwrite dedup (core/pipeline.py:
+    141-143) as an explicit deterministic window (ties → event_id)."""
+    events = load_table(spark, "events", sf_dir)
+    deduped = last_wins_dedup(events, "user_id", [F.col("ts"), F.col("event_id")])
+    return deduped.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+# --- 6. event type normalization (unknown → upserted) ---------------------
+
+EVENT_TYPE_MAP = {
+    "signup": "created",
+    "click": "updated",
+    "error": "deleted",
+    "view": "archived",
+    # 'purchase' is deliberately unmapped → 'upserted'
+}
+
+@query(
+    "etl_event_type_normalize",
+    sql="""
+    SELECT CASE event_type
+             WHEN 'signup' THEN 'created'
+             WHEN 'click' THEN 'updated'
+             WHEN 'error' THEN 'deleted'
+             WHEN 'view' THEN 'archived'
+             ELSE 'upserted' END AS unified_type,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def etl_event_type_normalize(spark, sf_dir):
+    """Raw→unified event type mapping with unknown→UPSERTED fallback
+    (connectors/warehouse_a/models.py:199-206)."""
+    events = load_table(spark, "events", sf_dir)
+    return events.select(
+        normalize_event_type(F.col("event_type"), EVENT_TYPE_MAP).alias("unified_type")
+    ).groupBy("unified_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- 7. upsert merge (update-else-insert, set-based) ----------------------
+
+@query(
+    "etl_upsert_merge",
+    sql="""
+    WITH target AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    ), source AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    )
+    SELECT
+      count(*) AS n_rows,
+      count(CASE WHEN action = 'update' THEN 1 END) AS n_updated,
+      count(CASE WHEN action = 'insert' THEN 1 END) AS n_inserted,
+      count(CASE WHEN action = 'keep' THEN 1 END) AS n_kept
+    FROM (
+      SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+             CASE WHEN s.o_orderkey IS NULL THEN 'keep'
+                  WHEN t.o_orderkey IS NULL THEN 'insert'
+                  ELSE 'update' END AS action
+      FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    )
+    """,
+)
+def etl_upsert_merge(spark, sf_dir):
+    """MERGE-style upsert without Delta: full-outer classify into
+    update/insert/keep — the set-based replacement for the reference's
+    per-row PUT-then-POST (connectors/hrflow/__init__.py:89-101).
+    Output is the merge audit (row counts per action)."""
+    orders = load_table(spark, "orders", sf_dir)
+    target = orders.where("o_orderdate < TIMESTAMP '1996-01-01 00:00:00'").select(
+        "o_orderkey", "o_totalprice"
+    )
+    source = orders.where("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = target.alias("t")
+    s = source.alias("s")
+    merged = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer").select(
+        F.when(F.col("s.o_orderkey").isNull(), "keep")
+        .when(F.col("t.o_orderkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("action")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("action") == "update", 1)).alias("n_updated"),
+        F.count(F.when(F.col("action") == "insert", 1)).alias("n_inserted"),
+        F.count(F.when(F.col("action") == "keep", 1)).alias("n_kept"),
+    )

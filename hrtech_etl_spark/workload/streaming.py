@@ -1,0 +1,133 @@
+"""Declared queries: streaming-window operators, batch-evaluated.
+
+Spark's ``window()`` / ``session_window()`` work identically over
+batch DataFrames — the declared queries run batch (so the DuckDB
+oracle can check values) while :mod:`hrtech_etl_spark.streaming`
+wires the same expressions into readStream/writeStream with
+watermarks (covered by streaming tests, not oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from hrtech_etl_spark.sources.testdata import load_table
+from hrtech_etl_spark.workload.registry import dec, dsum, query, sql_dsum
+
+
+@query(
+    "stream_tumbling_window",
+    sql=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           {sql_dsum("value")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """1-hour tumbling windows (aligned ⇒ start == date_trunc('hour')).
+    In streaming mode the identical expression runs with
+    withWatermark('ts', ...) — see streaming/pipelines.py."""
+    e = load_table(spark, "events", sf_dir)
+    win = F.window("ts", "1 hour")
+    return e.groupBy(win.alias("w"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    ).select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+
+
+@query(
+    "stream_sliding_window",
+    sql=f"""
+    SELECT window_start, count(*) AS n, {sql_dsum("value")} AS total_value
+    FROM (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000) AS window_start, value
+      FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 30 min: each event lands in exactly
+    two windows (the oracle spells out the two alignments window()
+    generates)."""
+    e = load_table(spark, "events", sf_dir)
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    sql="""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM marks
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows (30-min gap): session_window() merges events
+    strictly less than one gap apart; session end = last event + gap.
+    The oracle is the classic gaps-and-islands rewrite."""
+    e = load_table(spark, "events", sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy(F.col("user_id"), sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup_first",
+    sql="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_first(spark, sf_dir):
+    """Stateful dedup (first-occurrence per key) — the batch twin of
+    dropDuplicatesWithinWatermark: deterministic keep-earliest rather
+    than keep-arbitrary."""
+    e = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )

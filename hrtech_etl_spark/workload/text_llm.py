@@ -1,0 +1,425 @@
+"""Declared queries: LLM-training-data pipeline operators — text
+analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search, multimodal column plumbing.
+
+The DuckDB oracles replicate the *same algorithms* (portable md5-based
+hashing, identical shingling, identical projection constants), so even
+the LSH operators get exact value checks, not just row counts. SQL
+strings are generated programmatically where the expression is
+repetitive (simhash bit votes, SRP sign vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.functions import dedup as dd
+from hrtech_etl_spark.functions import similarity as sim
+from hrtech_etl_spark.functions import text as tx
+from hrtech_etl_spark.functions.hashing import FINGERPRINT_SQL, fingerprint
+from hrtech_etl_spark.sources.testdata import load_table
+from hrtech_etl_spark.workload.registry import query
+
+# ---------------------------------------------------------------------------
+# SQL fragment builders (DuckDB dialect) — mirror functions/{text,dedup}.py
+# ---------------------------------------------------------------------------
+
+TOKENS_SQL = "str_split_regex(trim(lower({t})), '\\s+')"
+
+
+def occurrences_sql(s: str, needle: str) -> str:
+    n = len(needle)
+    return f"CAST((length({s}) - length(replace({s}, '{needle}', ''))) / {n} AS BIGINT)"
+
+
+def lang_score_sql(lang: str) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    return " + ".join(occurrences_sql(padded, m) for m in tx.LANG_MARKERS[lang])
+
+
+def shingles_sql(t: str = "text", k: int = 2) -> str:
+    """Distinct word-2gram list (DuckDB lists are 1-indexed; matches
+    word_shingles element_at indexing exactly)."""
+    toks = TOKENS_SQL.format(t=t)
+    assert k == 2, "oracle rendering implemented for k=2"
+    return (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_distinct(list_transform(range(1, len({toks})), i -> {toks}[i] || ' ' || {toks}[i+1])) "
+        f"ELSE [] END"
+    )
+
+
+def minhash_sql(seed: int, shingles: str = "sh") -> str:
+    return (
+        f"list_min(list_transform({shingles}, s -> "
+        f"(('0x' || substr(md5('{seed}:' || s), 1, 8))::BIGINT)))"
+    )
+
+
+def simhash_sql(bits: int = dd.SIMHASH_BITS) -> str:
+    """16-bit bit-vote simhash over distinct tokens, DuckDB dialect."""
+    toks = TOKENS_SQL.format(t="text")
+    hashes = f"list_transform(list_distinct({toks}), t -> (('0x' || substr(md5('99:' || t), 1, 8))::BIGINT))"
+    terms = []
+    for i in range(bits):
+        mask = 1 << i
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {mask}) != 0)) > len(hs) THEN {mask} ELSE 0 END)"
+        )
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {hashes} AS hs) __sh)"
+
+
+def srp_bucket_sql(vec_expr: str, bits: int = 4, dim: int = 64) -> str:
+    """SRP bucket from the same ±1 sign table the Spark side uses."""
+    parts = []
+    for b in range(bits):
+        signs = ",".join(
+            "1.0" if sim._PROJ_SIGNS[(b, d)] else "-1.0" for d in range(dim)
+        )
+        parts.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{signs}]) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+VEC_DOUBLE = "list_transform({v}, x -> CAST(x AS DOUBLE))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    sql=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(CAST(sum(len({TOKENS_SQL.format(t='text')})) AS DOUBLE) / count(*), 4) AS avg_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+           CAST(max(len({TOKENS_SQL.format(t='text')})) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting over the corpus — pure codegen'd expressions, one
+    aggregation."""
+    d = load_table(spark, "documents", sf_dir)
+    n_tok = tx.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(n_tok).cast("double") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        F.max(n_tok).cast("bigint").alias("max_tokens"),
+    )
+
+
+_LANGID_SCORES = ", ".join(f"{lang_score_sql(lang)} AS s_{lang}" for lang in tx.LANG_MARKERS)
+_GREATEST = "greatest(s_en, s_fr, s_de, s_es)"
+
+@query(
+    "text_lang_id",
+    sql=f"""
+    SELECT predicted, lang AS actual, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN {_GREATEST} = 0 THEN 'unknown'
+                  WHEN s_en = {_GREATEST} THEN 'en'
+                  WHEN s_fr = {_GREATEST} THEN 'fr'
+                  WHEN s_de = {_GREATEST} THEN 'de'
+                  ELSE 'es' END AS predicted
+      FROM (SELECT lang, {_LANGID_SCORES} FROM documents)
+    ) GROUP BY predicted, lang
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID confusion matrix: stopword-marker heuristic vs the
+    labeled lang column (zh has no markers → 'unknown' path)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(tx.lang_id(F.col("text")).alias("predicted"), F.col("lang").alias("actual"))
+        .groupBy("predicted", "actual")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQUEEZED = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_AWL = f"(CASE WHEN len(str_split({_SQUEEZED}, ' ')) > 0 THEN CAST(length(replace({_SQUEEZED}, ' ', '')) AS DOUBLE) / len(str_split({_SQUEEZED}, ' ')) ELSE 0.0 END)"
+_PUNCT_RATIO = "(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"
+_STOP_SUM = " + ".join(
+    occurrences_sql("(' ' || lower(text) || ' ')", m)
+    for m in (" the ", " and ", " of ", " a ", " to ", " in ")
+)
+_NTOK = f"len({TOKENS_SQL.format(t='text')})"
+_STOP_RATIO = f"(CASE WHEN {_NTOK} > 0 THEN CAST(({_STOP_SUM}) AS DOUBLE) / {_NTOK} ELSE 0.0 END)"
+
+@query(
+    "text_quality_score",
+    sql=f"""
+    SELECT score, count(*) AS n_docs FROM (
+      SELECT round(
+        (CASE WHEN length(text) >= 100 THEN 0.25 ELSE length(text) / 400.0 END)
+        + (CASE WHEN {_AWL} >= 3.0 AND {_AWL} <= 10.0 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN {_PUNCT_RATIO} <= 0.1 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN {_STOP_RATIO} >= 0.05 THEN 0.25 ELSE 0.0 END), 4) AS score
+      FROM documents
+    ) GROUP BY score
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality-score histogram (length/punctuation/stopword heuristics,
+    functions/text.py)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(tx.quality_score(F.col("text")).alias("score"))
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    sql=f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT {FINGERPRINT_SQL.format(expr='text')}) AS n_unique,
+           min({FINGERPRINT_SQL.format(expr='text')}) AS first_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Canonical-form document fingerprinting (md5 over normalized
+    text)."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = fingerprint(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        F.min(fp).alias("first_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    sql=f"""
+    SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM (SELECT doc_id, {FINGERPRINT_SQL.format(expr='text')} AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup clusters: one shuffle on the content hash."""
+    d = load_table(spark, "documents", sf_dir)
+    return dd.exact_dedup_clusters(d, "text", "doc_id")
+
+
+_NUM_HASHES = 8
+_SIG_COLS = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(_NUM_HASHES))
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR) AS bucket FROM sig"
+    for b in range(_NUM_HASHES // 2)
+)
+
+@query(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH sh AS (SELECT doc_id, {shingles_sql()} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh),
+    banded AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
+                        THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh))
+                        ELSE 0.0 END, 4) AS jaccard
+      FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+    )
+    SELECT count(*) AS n_candidates,
+           count(CASE WHEN jaccard >= 0.25 THEN 1 END) AS n_verified,
+           CAST(round(max(jaccard), 4) AS DOUBLE) AS max_jaccard
+    FROM verified
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8)+LSH(4 bands × 2) candidates, exact-Jaccard verified —
+    the scale path for unblocked near-dup detection. Oracle replicates
+    the identical md5-derived hash family."""
+    d = load_table(spark, "documents", sf_dir)
+    cand = dd.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=_NUM_HASHES, rows_per_band=2)
+    verified = dd.jaccard_verify(cand, d, "text", "doc_id", threshold=0.0)
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("jaccard") >= 0.25, 1)).alias("n_verified"),
+        F.round(F.max("jaccard"), 4).cast("double").alias("max_jaccard"),
+    )
+
+
+@query(
+    "dedup_simhash",
+    sql=f"""
+    WITH sig AS (SELECT doc_id, {simhash_sql()} AS sh FROM documents),
+    banded AS (SELECT doc_id, sh, sh >> 8 AS band FROM sig)
+    SELECT hamming, count(*) AS n_pairs FROM (
+      SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ) GROUP BY hamming
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 16-bit bit-vote signature, top-8-bit band
+    blocking, Hamming-distance verify."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = dd.simhash_pairs(d, "text", "doc_id", max_hamming=3)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id, lang, CAST(n_chars / 100 AS BIGINT) AS size_bucket,
+             {shingles_sql()} AS sh
+      FROM documents
+    )
+    SELECT a.lang AS lang, count(*) AS n_pairs,
+           CAST(round(max(j.jaccard), 4) AS DOUBLE) AS max_jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id,
+    LATERAL (SELECT round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                          THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh))
+                          ELSE 0.0 END, 4) AS jaccard) j
+    WHERE j.jaccard >= 0.3
+    GROUP BY a.lang
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Blocked exact n-gram Jaccard: (lang, size-bucket) blocking keys
+    bound the pair space; near-dup pairs counted per language."""
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "size_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    pairs = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", block_cols=["lang", "size_bucket"], threshold=0.3
+    )
+    langs = d.select(F.col("doc_id").alias("id_a"), "lang")
+    return (
+        pairs.join(langs, "id_a")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("jaccard"), 4).cast("double").alias("max_jaccard"),
+        )
+    )
+
+
+_VD = VEC_DOUBLE.format(v="embedding")
+
+@query(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label, {_VD} AS v FROM embeddings)
+    SELECT a.label AS label, count(*) AS n_pairs,
+           CAST(round(max({cosine_sql('a.v', 'b.v')}), 4) AS DOUBLE) AS max_cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.v', 'b.v')} >= 0.3
+    GROUP BY a.label
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks."""
+    e = load_table(spark, "embeddings", sf_dir)
+    pairs = sim.embedding_near_dup_pairs(e, threshold=0.3)
+    labels = e.select(F.col("vec_id").alias("id_a"), "label")
+    return (
+        pairs.join(labels, "id_a")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("score"), 4).cast("double").alias("max_cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_cosine_topk",
+    sql=f"""
+    WITH q AS (SELECT {_VD} AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, {_VD} AS v FROM embeddings)
+    SELECT e.vec_id AS vec_id, {cosine_sql('e.v', 'q.qv')} AS score
+    FROM e, q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): one projection +
+    TakeOrderedAndProject, no shuffle of the corpus."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.cosine_topk(e, q, k=10)
+
+
+@query(
+    "sim_lsh_topk",
+    sql=f"""
+    WITH e AS (SELECT vec_id, {_VD} AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {srp_bucket_sql('v')} AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id AS vec_id, {cosine_sql('b.v', 'q.qv')} AS score
+    FROM b, q WHERE b.bucket = q.qbucket
+    ORDER BY score DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def sim_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k: probes only the query's
+    sign-random-projection bucket (1/16th of the corpus at 4 bits).
+    Deterministic projections → exact oracle parity."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.lsh_cosine_topk(e, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_binary_meta",
+    sql="""
+    SELECT lang,
+           count(*) AS n_assets,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY lang
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque binary content column + typed metadata (the multimodal
+    pattern: content bytes travel as BINARY, metadata as typed columns;
+    decode/feature-extract runs in Arrow-batched UDFs — see
+    operators/multimodal.py). Here: byte-length accounting per lang."""
+    d = load_table(spark, "documents", sf_dir)
+    blob = F.col("text").cast("binary")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length(blob)).cast("bigint").alias("total_bytes"),
+        F.max(F.length(blob)).cast("bigint").alias("max_bytes"),
+    )

@@ -1,0 +1,139 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables; compares row count, sorted
+column names, and an order-insensitive canonical value hash. Exits
+non-zero on any mismatch.
+
+Usage: python tools/oracle_check.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from hrtech_etl_spark.core.schemas import TESTDATA_TABLES
+from hrtech_etl_spark.core.session import get_spark
+
+
+def canon(v) -> str:
+    """Canonical string form of a value for hashing (both engines'
+    Python values funnel through this)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr keeps full precision; both sides produce identical doubles
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def result_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="oracle-check", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    failures, passed, weak = [], 0, 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, args.sf_dir)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: spark error: {str(e).splitlines()[0][:150]}")
+            continue
+        if name not in oracles:
+            weak += 1
+            print(f"~ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"✗ {name}: duckdb error: {str(e).splitlines()[0][:150]}")
+            continue
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            sh, dh = result_hash(scols, srows), result_hash(dcols, drows)
+            if sh != dh:
+                problems.append(f"value hash {sh} vs {dh}")
+                if args.verbose:
+                    so = sorted(range(len(scols)), key=lambda i: scols[i])
+                    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                    sset = sorted("|".join(canon(r[i]) for i in so) for r in srows)
+                    dset = sorted("|".join(canon(r[i]) for i in do) for r in drows)
+                    for a, b in list(zip(sset, dset))[:2000]:
+                        if a != b:
+                            print(f"    spark : {a[:200]}\n    duckdb: {b[:200]}")
+                            break
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"✗ {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+        else:
+            passed += 1
+            print(f"✓ {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+
+    print(f"\n{passed} passed, {len(failures)} failed, {weak} rows-only")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
