@@ -57,17 +57,29 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 def word_shingles(col: Column, k: int = 2) -> Column:
-    """Distinct word k-grams of lowercased text (the MinHash item set)."""
+    """Distinct word k-grams of lowercased text (the MinHash item set).
+
+    Built with zip_with over shifted slices — NOT element_at inside a
+    transform lambda: an expression like ``element_at(split(..), i)``
+    re-tokenizes the document for every index, turning shingling into
+    O(tokens²) per doc (observed as the dominant cost of the whole LSH
+    pipeline). slice/zip_with evaluate the token array a constant
+    number of times.
+    """
     t = tokens(col)
     if k == 1:
         return F.array_distinct(t)
-    idx = F.sequence(F.lit(0), F.size(t) - k)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]),
-    )
+    gram = t
+    for j in range(1, k):
+        gram = F.zip_with(
+            F.slice(gram, 1, F.greatest(F.size(t) - j, F.lit(0))),
+            F.slice(t, j + 1, F.greatest(F.size(t) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     # guard: texts shorter than k tokens get no shingles
-    return F.when(F.size(t) >= k, F.array_distinct(gram)).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(t) >= k, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
@@ -116,10 +128,18 @@ def minhash_lsh_pairs(
     to (band_idx, bucket), then a bucket self-join — the join key is
     (band_idx, bucket) so the shuffle only collides truly-similar docs.
     Returns distinct (id_a < id_b) candidate pairs.
+
+    The signature projection ends in a repartition: the shuffle is a
+    materialization barrier, so (a) CollapseProject cannot re-inline
+    the per-shingle md5 work into each of the four band expressions,
+    and (b) both sides of the self-join reuse ONE exchange instead of
+    recomputing the signatures (ReusedExchange in the plan). At corpus
+    scale the same boundary is where you'd persist the signature table.
     """
     shingles = word_shingles(F.col(text_col), k=shingle_k).alias("__sh")
     sig = df.select(F.col(id_col), shingles)
     sig = sig.select(id_col, *minhash_signature(F.col("__sh"), num_hashes))
+    sig = sig.repartition(id_col)
     mh_cols = [f"mh{j}" for j in range(num_hashes)]
     banded = sig.select(
         id_col,

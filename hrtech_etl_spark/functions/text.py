@@ -97,10 +97,16 @@ def avg_token_length(col: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: long enough, words not too
     short/long, some punctuation, some stopwords. A transparent,
-    portable stand-in for model-based quality classifiers."""
-    length_ok = F.when(F.length(col) >= 100, 0.25).otherwise(F.length(col) / 400.0)
+    portable stand-in for model-based quality classifiers.
+
+    Formulated so every expensive component expression appears exactly
+    once (least() instead of a when() branch; abs-distance instead of a
+    two-sided range) — when() duplicates its operand subtree and the
+    duplicated regexp/replace chains dominated the scan cost.
+    """
+    length_ok = F.least(F.lit(0.25), F.length(col) / 400.0)
     awl = avg_token_length(col)
-    words_ok = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    words_ok = F.when(F.abs(awl - 6.5) <= 3.5, F.lit(0.25)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(col) <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
     stop_ok = F.when(stopword_ratio(col) >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
     return F.round(length_ok + words_ok + punct_ok + stop_ok, 4)

@@ -163,8 +163,8 @@ _STOP_RATIO = f"(CASE WHEN {_NTOK} > 0 THEN CAST(({_STOP_SUM}) AS DOUBLE) / {_NT
     sql=f"""
     SELECT score, count(*) AS n_docs FROM (
       SELECT round(
-        (CASE WHEN length(text) >= 100 THEN 0.25 ELSE length(text) / 400.0 END)
-        + (CASE WHEN {_AWL} >= 3.0 AND {_AWL} <= 10.0 THEN 0.25 ELSE 0.0 END)
+        least(0.25, length(text) / 400.0)
+        + (CASE WHEN abs({_AWL} - 6.5) <= 3.5 THEN 0.25 ELSE 0.0 END)
         + (CASE WHEN {_PUNCT_RATIO} <= 0.1 THEN 0.25 ELSE 0.0 END)
         + (CASE WHEN {_STOP_RATIO} >= 0.05 THEN 0.25 ELSE 0.0 END), 4) AS score
       FROM documents
