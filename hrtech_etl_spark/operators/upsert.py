@@ -1,0 +1,124 @@
+"""Set-based upsert (MERGE emulation) for plain-parquet targets.
+
+The reference upserts one row at a time: PUT, then POST when the PUT
+fails with HTTP 400 (``connectors/hrflow/__init__.py:89-101``,
+``connectors/hrflow/actions.py:37-67``) — 1-2 HTTP calls *per row*.
+The set-based replacement is MERGE semantics (whenMatched update,
+whenNotMatched insert) executed as one distributed plan.
+
+On Delta/Iceberg this is literally ``MERGE INTO``; on plain parquet
+(what this container has) the equivalent is the classic
+anti-join + union rewrite:
+
+    new_target = target ⟕anti source  ∪  source(last-wins per key)
+
+which rewrites the target atomically (write temp dir, swap). At 100 TB
+the rewrite must not touch unaffected data: `merge_upsert` therefore
+supports a ``partition_col`` — only target partitions that actually
+receive source keys are rewritten (dynamic partition overwrite), the
+rest are untouched.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.operators.joins import last_wins_dedup
+
+
+def merge_frames(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Pure-DataFrame MERGE. Without ``order_cols``: rows of ``target``
+    whose key appears in ``source`` are replaced by the (arbitrary-
+    dedup'd) source row; unmatched source rows are inserted. With
+    ``order_cols``: the merge is *order-aware* — per key, the globally
+    greatest row across target ∪ source wins (source wins ties), so
+    out-of-order micro-batches can never regress a newer target row.
+    Schemas must be union-compatible by name."""
+    if order_cols is None:
+        source = source.dropDuplicates(list(key_cols))
+        kept = target.join(
+            source.select(*key_cols), on=list(key_cols), how="left_anti"
+        )
+        return kept.unionByName(source.select(*target.columns))
+    tagged = target.withColumn("__src", F.lit(0)).unionByName(
+        source.select(*target.columns).withColumn("__src", F.lit(1))
+    )
+    merged = last_wins_dedup(
+        tagged, list(key_cols), list(order_cols) + [F.col("__src")]
+    )
+    return merged.drop("__src")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column] | None = None,
+    partition_col: str | None = None,
+) -> None:
+    """Upsert ``source`` into the parquet dataset at ``target_path``.
+
+    Without ``partition_col`` the whole target is rewritten (fine for
+    dimension-sized tables; the write is staged to ``<path>.__tmp``
+    then swapped so a failed job never leaves a half-written target).
+
+    With ``partition_col`` the target must be written partitioned by
+    that column; only partitions containing source keys are rewritten
+    via dynamic partition overwrite — the 100 TB path: a day's upsert
+    touches a day's partitions.
+    """
+    exists = _dataset_exists(target_path)
+    if not exists:
+        w = source.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+
+    if partition_col:
+        affected = [
+            r[0]
+            for r in source.select(partition_col).distinct().collect()
+        ]
+        sub_target = target.where(F.col(partition_col).isin(affected))
+        merged = merge_frames(sub_target, source, key_cols, order_cols)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Dynamic mode replaces only the partitions present in `merged`.
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        return
+
+    merged = merge_frames(target, source, key_cols, order_cols)
+    tmp = target_path.rstrip("/") + ".__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(target_path)
+    _rm(spark, tmp)
+
+
+def _dataset_exists(path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    try:
+        return any(
+            n.endswith(".parquet") or n == "_SUCCESS" for n in os.listdir(path)
+        ) or any(os.path.isdir(os.path.join(path, n)) for n in os.listdir(path))
+    except NotADirectoryError:
+        return True
+
+
+def _rm(spark: SparkSession, path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

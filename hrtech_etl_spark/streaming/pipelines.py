@@ -1,0 +1,337 @@
+"""Structured Streaming pipelines over the event surface.
+
+The reference's streaming story is a batch-simulated micro-batch loop
+(``core/pipeline.py:121-178``: chunk events → fetch → join → filter →
+write, with per-chunk error capture). Here it is real Structured
+Streaming: ``readStream`` → parse/normalize → stateful transformations
+→ ``writeStream``; watermarks bound state; ``foreachBatch`` provides
+the upsert sink + per-batch error containment the reference got from
+its try/except loop.
+
+Batch/stream parity: the window aggregations below are the SAME
+expressions as the batch-declared queries in
+:mod:`hrtech_etl_spark.workload.streaming` — ``window()`` /
+``session_window()`` semantics are identical over batch and streaming
+DataFrames, so tests assert a streaming run (availableNow trigger)
+equals the batch result on the same input.
+
+Scale notes: watermark + windowed aggregation keeps state bounded by
+(keys × windows inside the watermark), not by stream length; dedup
+state is bounded by ``dropDuplicatesWithinWatermark``; the foreachBatch
+upsert is the set-based MERGE from
+:mod:`hrtech_etl_spark.operators.upsert` (partition-scoped rewrite),
+never per-row writes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hrtech_etl_spark.operators.events import normalize_event_type
+from hrtech_etl_spark.operators.upsert import merge_upsert
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream: each new file under ``path`` becomes
+    (part of) a micro-batch. File sources are replayable — exactly-once
+    with checkpointing, the Spark analog of the reference's resumable
+    cursor. ``maxFilesPerTrigger`` is the back-pressure knob standing
+    in for the reference's ``batch_size`` (``core/pipeline.py:27``)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def parse_event_stream(
+    raw: DataFrame,
+    json_col: str,
+    event_schema: T.StructType,
+    type_map: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Raw JSON payload stream → typed, normalized event stream.
+
+    Permissive ``from_json`` + drop-malformed (the reference's
+    ``from_payload`` → None path, ``connectors/warehouse_a/models.py:
+    163-215``) and unknown-type → ``upserted`` normalization."""
+    parsed = raw.select(F.from_json(F.col(json_col), event_schema).alias("e"))
+    # PERMISSIVE from_json yields an all-null struct (not a null struct)
+    # for malformed input — drop rows with no successfully parsed field.
+    any_parsed = None
+    for f in event_schema.fields:
+        c = F.col("e").getField(f.name).isNotNull()
+        any_parsed = c if any_parsed is None else (any_parsed | c)
+    events = parsed.where(F.col("e").isNotNull() & any_parsed).select("e.*")
+    if "event_type" in events.columns:
+        events = events.withColumn(
+            "event_type", normalize_event_type(F.col("event_type"), type_map)
+        )
+    return events
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations (same expressions as the batch twins)
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window count + decimal-exact sum. With a watermark the
+    state store evicts windows older than (max event time - watermark);
+    late rows beyond it are dropped — the late-data policy the
+    reference lacks entirely."""
+    if watermark:
+        events = events.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window)
+    return (
+        events.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    if watermark:
+        events = events.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide)
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-merged). Streaming requires a watermark —
+    sessions can only close once the watermark passes their gap."""
+    if watermark:
+        events = events.withWatermark(ts_col, watermark)
+    sw = F.session_window(ts_col, gap)
+    return (
+        events.groupBy(F.col(key_col), sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
+    key state once the watermark passes — the streaming analog of the
+    batch first-occurrence dedup (workload ``stream_dedup_first``)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+
+def user_running_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str | None = "2 hours",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, last
+    event time) maintained across micro-batches via
+    ``applyInPandasWithState`` — the escape hatch for operators Spark's
+    built-in aggregations can't express (reference analog: none; this
+    is the §2.10 'custom stateful' extension point). Emits the updated
+    running stats for every user seen in each micro-batch."""
+    import pandas as pd  # local import: executors only
+
+    def update(key, pdf_iter, state):
+        n, total, last_ts = 0, 0.0, None
+        if state.exists:
+            n, total, last_ts = state.get
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            batch_max = pdf[ts_col].max()
+            if last_ts is None or (batch_max is not None and batch_max > last_ts):
+                last_ts = batch_max
+        state.update((n, total, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StreamMetrics:
+    """Per-batch accounting, the streaming PushResult (reference
+    ``core/types.py:74-80``): populated by the foreachBatch sink."""
+
+    batches: int = 0
+    rows_written: int = 0
+    errors: list[str] = field(default_factory=list)
+
+
+def foreach_batch_upsert(
+    target_path: str,
+    key_cols: Sequence[str],
+    *,
+    order_cols: Sequence[Column] | None = None,
+    partition_col: str | None = None,
+    metrics: StreamMetrics | None = None,
+    dead_letter_path: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: set-based MERGE of each micro-batch into a
+    parquet target, with the reference's per-batch error containment
+    (``core/pipeline.py:130-135``): a failing batch is captured (and
+    optionally dead-lettered) instead of killing the stream."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            n = batch_df.count()
+            merge_upsert(
+                batch_df.sparkSession,
+                target_path,
+                batch_df,
+                key_cols,
+                order_cols=order_cols,
+                partition_col=partition_col,
+            )
+            if metrics is not None:
+                metrics.batches += 1
+                metrics.rows_written += n
+        except Exception as exc:  # noqa: BLE001 — containment is the contract
+            if metrics is not None:
+                metrics.errors.append(f"batch {batch_id}: {exc}")
+            if dead_letter_path is not None:
+                batch_df.write.mode("append").parquet(dead_letter_path)
+
+    return sink
+
+
+def run_available_now(
+    df: DataFrame,
+    *,
+    checkpoint: str,
+    output_mode: str = "append",
+    foreach_batch: Callable[[DataFrame, int], None] | None = None,
+    memory_table: str | None = None,
+    timeout_sec: int = 120,
+):
+    """Drain everything currently available then stop (the
+    Trigger.AvailableNow pattern) — incremental batch processing with
+    streaming exactly-once semantics; also how tests run streams
+    deterministically."""
+    writer = df.writeStream.option("checkpointLocation", checkpoint).trigger(
+        availableNow=True
+    )
+    if foreach_batch is not None:
+        q = writer.outputMode(output_mode).foreachBatch(foreach_batch).start()
+    elif memory_table is not None:
+        q = (
+            writer.format("memory")
+            .queryName(memory_table)
+            .outputMode(output_mode)
+            .start()
+        )
+    else:
+        raise ValueError("need foreach_batch or memory_table")
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,313 @@
+"""Structured Streaming tests: batch/stream parity, watermark dedup,
+stateful running stats, foreachBatch upsert with error containment.
+
+Strategy: split the sf0.001 events table into several parquet files in
+a tmp dir, stream them with Trigger.AvailableNow (so multiple
+micro-batches actually execute), and compare against the identical
+batch expression — window()/session_window() semantics are defined to
+agree across batch and streaming.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.operators.upsert import merge_frames, merge_upsert
+from hrtech_etl_spark.sources.testdata import load_table
+from hrtech_etl_spark.streaming.pipelines import (
+    StreamMetrics,
+    foreach_batch_upsert,
+    parse_event_stream,
+    read_event_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+    user_running_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events table re-written as 4 parquet files (4 file-source
+    micro-batch units), ts already normalized to TimestampType."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_table(spark, "events", sf_dir)
+    events.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, "events", sf_dir)
+
+
+def _stream_events(spark, event_stream_dir, events_batch):
+    return read_event_stream(
+        spark, event_stream_dir, events_batch.schema, max_files_per_trigger=1
+    )
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_parity(spark, event_stream_dir, events_batch, tmp_path):
+    # watermark=None: replayed files arrive in arbitrary event-time
+    # order, so any finite watermark would drop "late" rows mid-replay;
+    # complete mode needs no watermark.
+    stream = _stream_events(spark, event_stream_dir, events_batch)
+    q = run_available_now(
+        tumbling_counts(stream, watermark=None),
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="complete",
+        memory_table="tumbling_out",
+    )
+    assert q.lastProgress is not None
+    got = spark.table("tumbling_out")
+    want = tumbling_counts(events_batch, watermark=None)
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_sliding_parity(spark, event_stream_dir, events_batch, tmp_path):
+    stream = _stream_events(spark, event_stream_dir, events_batch)
+    run_available_now(
+        sliding_counts(stream, watermark=None),
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="complete",
+        memory_table="sliding_out",
+    )
+    got = spark.table("sliding_out")
+    want = sliding_counts(events_batch, watermark=None)
+    assert _rows(got, "window_start") == _rows(want, "window_start")
+
+
+def test_session_parity(spark, event_stream_dir, events_batch, tmp_path):
+    stream = _stream_events(spark, event_stream_dir, events_batch)
+    run_available_now(
+        session_counts(stream, watermark=None),
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="complete",
+        memory_table="session_out",
+    )
+    got = spark.table("session_out")
+    want = session_counts(events_batch, watermark=None)
+    assert _rows(got, "user_id", "session_start") == _rows(
+        want, "user_id", "session_start"
+    )
+
+
+def test_streaming_dedup_bounded_state(spark, event_stream_dir, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per key for
+    keys arriving within the watermark; with a generous watermark over
+    a finite replay it equals the batch distinct-key count."""
+    stream = _stream_events(spark, event_stream_dir, events_batch)
+    deduped = streaming_dedup(
+        stream, ["user_id", "event_type"], watermark="365 days"
+    ).select("user_id", "event_type")
+    run_available_now(
+        deduped,
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="append",
+        memory_table="dedup_out",
+    )
+    got = spark.table("dedup_out")
+    want = events_batch.select("user_id", "event_type").distinct()
+    assert got.count() == want.count()
+    assert got.distinct().count() == got.count()
+
+
+def test_user_running_stats_final_state(spark, event_stream_dir, events_batch, tmp_path):
+    """After draining the whole stream, each user's final running stats
+    must equal the batch groupBy — regardless of how many micro-batches
+    the state was threaded through (update-mode memory sink keeps the
+    last emission per key)."""
+    stream = _stream_events(spark, event_stream_dir, events_batch)
+    run_available_now(
+        user_running_stats(stream),
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="update",
+        memory_table="running_out",
+    )
+    # update mode re-emits per batch; keep the last emission per user
+    got = (
+        spark.table("running_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    g = {r["user_id"]: r for r in got.collect()}
+    w = {r["user_id"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid]["n_events"] == w[uid]["n_events"]
+        assert abs(g[uid]["total_value"] - w[uid]["total_value"]) < 0.05
+        assert g[uid]["last_ts"] == w[uid]["last_ts"]
+
+
+def test_parse_event_stream_drops_malformed(spark, tmp_path):
+    """Malformed JSON payloads are dropped (reference from_payload →
+    None), unknown types normalize to 'upserted'."""
+    from pyspark.sql import types as T
+
+    raw = spark.createDataFrame(
+        [
+            ('{"event_id": 1, "event_type": "signup"}',),
+            ("not json at all",),
+            ('{"event_id": 2, "event_type": "mystery"}',),
+        ],
+        ["payload"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    out = parse_event_stream(
+        raw, "payload", schema, type_map={"signup": "created"}
+    ).collect()
+    assert {(r["event_id"], r["event_type"]) for r in out} == {
+        (1, "created"),
+        (2, "upserted"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Upsert sink
+# ---------------------------------------------------------------------------
+
+def test_merge_frames_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    source = spark.createDataFrame(
+        [(2, "x1"), (2, "x2"), (4, "d")], ["id", "val"]
+    )
+    merged = merge_frames(target, source, ["id"], order_cols=[F.col("val")])
+    rows = {r["id"]: r["val"] for r in merged.collect()}
+    # 2 updated last-wins (x2 > x1 > b), 4 inserted, 1/3 kept
+    assert rows == {1: "a", 2: "x2", 3: "c", 4: "d"}
+
+    # Order-aware merge: a stale source row can never regress the target.
+    stale = spark.createDataFrame([(2, "a0")], ["id", "val"])
+    rows2 = {
+        r["id"]: r["val"]
+        for r in merge_frames(merged, stale, ["id"], order_cols=[F.col("val")])
+        .collect()
+    }
+    assert rows2[2] == "x2"
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "target")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    merge_upsert(spark, path, src, ["id"])
+    merge_upsert(spark, path, src, ["id"])  # idempotency: same keys twice
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b"}
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "val"])
+    merge_upsert(spark, path, upd, ["id"])
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    """Partitioned upsert rewrites only affected partitions — the
+    100 TB path. Verify by checking untouched partition files survive
+    byte-identical (mtime unchanged)."""
+    import os
+
+    path = str(tmp_path / "ptarget")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")], ["id", "day", "val"]
+    )
+    merge_upsert(spark, path, base, ["id"], partition_col="day")
+    p1 = os.path.join(path, "day=2024-01-01")
+    before = {f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)}
+
+    upd = spark.createDataFrame([(2, "2024-01-02", "B")], ["id", "day", "val"])
+    merge_upsert(spark, path, upd, ["id"], partition_col="day")
+
+    after = {f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)}
+    assert before == after  # untouched partition not rewritten
+    # Partition discovery infers day= as a date; compare the string form.
+    got = {
+        r["id"]: (r["day"], r["val"])
+        for r in spark.read.parquet(path)
+        .withColumn("day", F.col("day").cast("string"))
+        .collect()
+    }
+    assert got == {1: ("2024-01-01", "a"), 2: ("2024-01-02", "B")}
+
+
+def test_foreach_batch_upsert_stream(spark, event_stream_dir, events_batch, tmp_path):
+    """End-to-end EVENTS-mode streaming push: stream → last-wins per
+    user → foreachBatch merge upsert. Final target = batch last-wins."""
+    target = str(tmp_path / "target")
+    metrics = StreamMetrics()
+    stream = _stream_events(spark, event_stream_dir, events_batch).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    sink = foreach_batch_upsert(
+        target,
+        ["user_id"],
+        order_cols=[F.col("ts"), F.col("event_id")],
+        metrics=metrics,
+    )
+    run_available_now(
+        stream, checkpoint=str(tmp_path / "ck"), foreach_batch=sink
+    )
+    assert metrics.batches >= 2  # maxFilesPerTrigger=1 over 4 files
+    assert not metrics.errors
+
+    got = spark.read.parquet(target)
+    assert got.count() == events_batch.select("user_id").distinct().count()
+    # spot-check: each user's row is their latest event
+    w = events_batch.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id")
+    )
+    want = {r["user_id"]: r["event_id"] for r in w.collect()}
+    have = {r["user_id"]: r["event_id"] for r in got.collect()}
+    assert have == want
+
+
+def test_foreach_batch_error_containment(spark, tmp_path):
+    """A failing micro-batch is captured in metrics (and the stream
+    keeps running) instead of propagating — reference per-chunk
+    error capture (core/pipeline.py:130-135)."""
+    metrics = StreamMetrics()
+
+    def bad_sink(batch_df, batch_id):
+        raise RuntimeError("boom")
+
+    wrapped = foreach_batch_upsert(
+        str(tmp_path / "t"), ["id"], metrics=metrics
+    )
+
+    # call the containment wrapper directly with a broken merge: force
+    # failure by passing a frame whose write will throw (invalid path
+    # chars are OS-dependent; instead monkey-patch merge to raise)
+    import hrtech_etl_spark.streaming.pipelines as P
+
+    orig = P.merge_upsert
+    P.merge_upsert = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    try:
+        df = spark.createDataFrame([(1,)], ["id"])
+        wrapped(df, 0)
+    finally:
+        P.merge_upsert = orig
+    assert metrics.errors and "boom" in metrics.errors[0]
+    assert metrics.batches == 0
