@@ -1,0 +1,271 @@
+"""REST DataSource: pushdown, pagination, auth — against an in-process
+fake backend (reference test model: DummyActions fakes, no real
+warehouse; ``connectors/warehouse_a/test.py:38-92``)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.sources import rest
+from hrtech_etl_spark.sources.rest import RestConfig, compile_pushed_params
+
+# ---------------------------------------------------------------------------
+# Fake warehouse backend
+# ---------------------------------------------------------------------------
+
+JOBS = [
+    {
+        "job_id": i,
+        "status": "open" if i % 3 else "closed",
+        "score": round(i / 57.0, 4),
+        "title": f"job number {i}" + (" python" if i % 5 == 0 else ""),
+        "updated_at": f"2024-01-{(i % 28) + 1:02d}",
+    }
+    for i in range(57)
+]
+
+REQUESTS: list[dict] = []  # one entry per GET: {"path", "params", "headers"}
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # silence
+        pass
+
+    def _send(self, obj, code=200):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        if urlparse(self.path).path == "/login":
+            self._send({"session_token": "tok-123"})
+        elif urlparse(self.path).path == "/oauth/token":
+            self._send({"access_token": "oat-456"})
+        else:
+            self._send({"error": "not found"}, 404)
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        REQUESTS.append(
+            {"path": parsed.path, "params": params, "headers": dict(self.headers)}
+        )
+        if parsed.path == "/jobs_auth":
+            if self.headers.get("X-API-Key") != "sekret":
+                return self._send({"error": "forbidden"}, 403)
+        if parsed.path == "/jobs_login":
+            if self.headers.get("Authorization") != "Bearer tok-123":
+                return self._send({"error": "forbidden"}, 403)
+
+        rows = JOBS
+        if "status" in params:
+            rows = [r for r in rows if r["status"] == params["status"]]
+        if "job_id__in" in params:
+            ids = {int(x) for x in params["job_id__in"].split(",")}
+            rows = [r for r in rows if r["job_id"] in ids]
+        if "updated_at_min" in params:
+            rows = [r for r in rows if r["updated_at"] >= params["updated_at_min"]]
+        if "updated_at_max" in params:
+            rows = [r for r in rows if r["updated_at"] <= params["updated_at_max"]]
+        if "q" in params:
+            # recall-oriented search: backend matches any term, Spark
+            # re-verifies exact substring semantics
+            terms = (
+                params["q"].replace("(", " ").replace(")", " ")
+                .replace(" AND ", " ").replace(" OR ", " ").split()
+            )
+            rows = [r for r in rows if any(t in r["title"] for t in terms)]
+
+        limit = int(params.get("limit", 1000))
+        if parsed.path == "/jobs_cursor":
+            start = int(params.get("cursor", 0))
+            page = rows[start : start + limit]
+            nxt = str(start + limit) if start + limit < len(rows) else None
+            return self._send({"data": page, "next": nxt})
+        offset = int(params.get("offset", 0))
+        self._send({"data": rows[offset : offset + limit]})
+
+
+@pytest.fixture(scope="module")
+def backend():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+SCHEMA = "job_id long, status string, score double, title string, updated_at string"
+PUSHABLE = json.dumps(
+    {
+        "status": ["eq"],
+        "job_id": ["in"],
+        "updated_at": ["gte", "lte"],
+        "title": ["contains"],
+    }
+)
+RANGE_BINDINGS = json.dumps(
+    {"updated_at": {"gte": "updated_at_min", "lte": "updated_at_max"}}
+)
+SEARCH_BINDINGS = json.dumps(
+    {"title": {"search_field": "q", "value_join": " OR "}}
+)
+
+
+def reader_for(backend, spark, path="/jobs", **opts):
+    rest.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    r = (
+        spark.read.format("hrtech_rest")
+        .schema(SCHEMA)
+        .option("url", backend + path)
+        .option("page_size", "20")
+        .option("num_partitions", "3")
+        .option("pushable", PUSHABLE)
+        .option("range_bindings", RANGE_BINDINGS)
+        .option("search_bindings", SEARCH_BINDINGS)
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r
+
+
+def test_full_scan_offset_parallel(backend, spark):
+    REQUESTS.clear()
+    df = reader_for(backend, spark).load()
+    rows = df.collect()
+    assert {r["job_id"] for r in rows} == set(range(57))
+    assert len(rows) == 57  # parallel offset partitions: complete, no dupes
+    # 3 partitions walk interleaved offsets (0,60 / 20,80 / 40); a
+    # partition only stops after a short/empty page, so full-page
+    # partitions probe one page past the end
+    offsets = sorted(int(r["params"].get("offset", 0)) for r in REQUESTS)
+    assert offsets == [0, 20, 40, 60, 80]
+    assert len(set(offsets)) == len(offsets)  # no offset fetched twice
+
+
+def test_eq_pushdown_reaches_backend(backend, spark):
+    REQUESTS.clear()
+    df = reader_for(backend, spark).load().where(F.col("status") == "open")
+    assert df.count() == len([r for r in JOBS if r["status"] == "open"])
+    assert all(r["params"].get("status") == "open" for r in REQUESTS)
+
+
+def test_residual_filter_not_pushed_still_correct(backend, spark):
+    REQUESTS.clear()
+    df = (
+        reader_for(backend, spark)
+        .load()
+        .where((F.col("score") > 0.5) & (F.col("status") == "open"))
+    )
+    want = [r for r in JOBS if r["score"] > 0.5 and r["status"] == "open"]
+    assert df.count() == len(want)
+    # score is not pushable -> stays out of backend params, Spark applies it
+    assert all("score" not in r["params"] for r in REQUESTS)
+    assert all(r["params"].get("status") == "open" for r in REQUESTS)
+
+
+def test_in_pushdown_csv_encoding(backend, spark):
+    REQUESTS.clear()
+    df = reader_for(backend, spark).load().where(F.col("job_id").isin(3, 7, 11))
+    assert {r["job_id"] for r in df.collect()} == {3, 7, 11}
+    ins = {r["params"].get("job_id__in") for r in REQUESTS}
+    assert len(ins) == 1
+    assert set(next(iter(ins)).split(",")) == {"3", "7", "11"}
+
+
+def test_range_pushdown_binding_params(backend, spark):
+    REQUESTS.clear()
+    df = (
+        reader_for(backend, spark)
+        .load()
+        .where((F.col("updated_at") >= "2024-01-10") & (F.col("updated_at") <= "2024-01-20"))
+    )
+    want = [r for r in JOBS if "2024-01-10" <= r["updated_at"] <= "2024-01-20"]
+    assert df.count() == len(want)
+    p = REQUESTS[-1]["params"]
+    assert p.get("updated_at_min") == "2024-01-10"
+    assert p.get("updated_at_max") == "2024-01-20"
+
+
+def test_contains_pushed_and_reverified(backend, spark):
+    REQUESTS.clear()
+    df = reader_for(backend, spark).load().where(F.col("title").contains("python"))
+    want = [r for r in JOBS if "python" in r["title"]]
+    assert df.count() == len(want)
+    assert all(r["params"].get("q") == "python" for r in REQUESTS)
+
+
+def test_api_key_auth_header(backend, spark):
+    REQUESTS.clear()
+    df = reader_for(
+        backend,
+        spark,
+        path="/jobs_auth",
+        auth=json.dumps(
+            {"auth_type": "api_key", "header_name": "X-API-Key", "api_key": "sekret"}
+        ),
+    ).load()
+    assert df.count() == 57
+    assert all(r["headers"].get("X-API-Key") == "sekret" for r in REQUESTS)
+
+
+def test_login_auth_flow(backend, spark):
+    REQUESTS.clear()
+    df = reader_for(
+        backend,
+        spark,
+        path="/jobs_login",
+        auth=json.dumps(
+            {"auth_type": "login", "base_url": backend, "username": "u", "password": "p"}
+        ),
+    ).load()
+    assert df.count() == 57
+    assert all(
+        r["headers"].get("Authorization") == "Bearer tok-123" for r in REQUESTS
+    )
+
+
+def test_cursor_pagination_sequential(backend, spark):
+    REQUESTS.clear()
+    df = reader_for(
+        backend, spark, path="/jobs_cursor", pagination="cursor"
+    ).load()
+    rows = df.collect()
+    assert {r["job_id"] for r in rows} == set(range(57))
+    # sequential chain: cursor params 0(absent), 20, 40
+    cursors = [r["params"].get("cursor") for r in REQUESTS]
+    assert cursors == [None, "20", "40"]
+
+
+# ---------------------------------------------------------------------------
+# Param compilation unit tests (the reference's /api/debug/connector_params)
+# ---------------------------------------------------------------------------
+
+def test_compile_params_search_composition():
+    cfg = RestConfig(
+        url="http://x",
+        search_bindings={
+            "title": {"search_field": "q", "value_join": " OR "},
+            "body": {"search_field": "q", "value_join": " OR "},
+        },
+    )
+    params = compile_pushed_params(
+        [("title", "contains", "a"), ("body", "contains", "b")], cfg
+    )
+    assert params["q"] == "(a) AND (b)"
+
+
+def test_compile_params_in_json_encoding():
+    cfg = RestConfig(url="http://x", in_encoding="json")
+    params = compile_pushed_params([("job_id", "in", [1, 2])], cfg)
+    assert params["job_id__in"] == '["1", "2"]'
