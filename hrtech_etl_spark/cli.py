@@ -1,0 +1,154 @@
+"""CLI entry point: ``python -m hrtech_etl_spark.cli pull|push ...``.
+
+Mirrors the reference's Typer CLI (``cli.py:46-103``): JSON
+``--where`` / ``--having`` condition lists, cursor flags, dotted or
+registered formatter references, dry-run — driving the declarative
+DataFrame pipelines instead of a batch loop. The advanced cursor is
+echoed as JSON (reference ``cli.py:80-91``) and checkpointed to
+``--state-dir`` for resumable incremental runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import sys
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+from hrtech_etl_spark import pipeline as pl
+from hrtech_etl_spark.connectors import get_connector_instance
+from hrtech_etl_spark.core.state import CursorStore, cursor_to_json
+from hrtech_etl_spark.core.types import Condition, Cursor, CursorMode, Resource, SortOrder
+
+
+def _parse_conditions(raw: Optional[str]) -> list[Condition]:
+    """JSON ``[{"field":f,"op":o,"value":v}]`` → Conditions (reference
+    ``cli.py:22-43``)."""
+    if not raw:
+        return []
+    return [
+        Condition(field=c["field"], op=c["op"], value=c.get("value"))
+        for c in json.loads(raw)
+    ]
+
+
+def _resolve_mapping(raw: Optional[str]):
+    """``--formatter`` accepts inline JSON mapping specs, a registered
+    formatter id, or a dotted ``pkg.mod.SPEC`` path (reference dynamic
+    import — ``cli.py:74-78``)."""
+    if not raw:
+        return None
+    if raw.lstrip().startswith("["):
+        return json.loads(raw)
+    from hrtech_etl_spark.plans.mapping import FORMATTER_REGISTRY
+
+    if raw in FORMATTER_REGISTRY:
+        return FORMATTER_REGISTRY[raw]
+    mod, _, attr = raw.rpartition(".")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hrtech-etl-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--resource", required=True, choices=[r.value for r in Resource])
+        sp.add_argument("--origin", required=True, help="registered connector name or dataset path")
+        sp.add_argument("--target", help="registered connector name or dataset path")
+        sp.add_argument("--where", help="JSON condition list (pushed)")
+        sp.add_argument("--having", help="JSON condition list (residual)")
+        sp.add_argument("--formatter", help="inline JSON mapping, registered id, or dotted path")
+        sp.add_argument("--dry-run", action="store_true")
+
+    pull = sub.add_parser("pull", help="incremental origin→target pull")
+    common(pull)
+    pull.add_argument("--cursor-mode", default="updated_at", choices=[m.value for m in CursorMode])
+    pull.add_argument("--cursor-col", help="column driving the scan (defaults to cursor mode name)")
+    pull.add_argument("--uid-col", default="uid", help="unique tie-break column")
+    pull.add_argument("--cursor-start")
+    pull.add_argument("--cursor-sort-by", default="asc", choices=["asc", "desc"])
+    pull.add_argument("--state-dir", help="cursor checkpoint dir (resume + persist)")
+    pull.add_argument("--pipeline-key", default="default", help="checkpoint key within --state-dir")
+
+    push = sub.add_parser("push", help="RESOURCES-mode push")
+    common(push)
+
+    return p
+
+
+def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from hrtech_etl_spark.core.session import get_spark
+
+        spark = get_spark(app_name="hrtech-etl-spark-cli")
+
+    resource = Resource(args.resource)
+    origin = get_connector_instance(args.origin)
+    source = origin.read_resource(spark, resource)
+    where = _parse_conditions(args.where)
+    having = _parse_conditions(args.having)
+    mapping = _resolve_mapping(args.formatter)
+    target = get_connector_instance(args.target) if args.target else None
+
+    if args.command == "pull":
+        cursor_col = args.cursor_col or args.cursor_mode
+        store = CursorStore(args.state_dir) if args.state_dir else None
+        cursor = store.load(args.pipeline_key) if store else None
+        if cursor is not None and cursor.end is not None:
+            # resume: last checkpointed end becomes the new start
+            cursor = Cursor(
+                mode=cursor.mode,
+                start=cursor.end,
+                start_uid=cursor.end_uid,
+                sort_by=cursor.sort_by,
+            )
+        if cursor is None:
+            cursor = Cursor(
+                mode=CursorMode(args.cursor_mode),
+                start=args.cursor_start,
+                sort_by=SortOrder(args.cursor_sort_by),
+            )
+        result = pl.pull(
+            source,
+            cursor=cursor,
+            cursor_col=cursor_col,
+            uid_col=args.uid_col,
+            where=where,
+            having=having,
+            mapping=mapping,
+            dry_run=args.dry_run,
+        )
+        if target is not None and not args.dry_run:
+            target.write_resource(result.dataframe, resource)
+        if store:
+            store.save(args.pipeline_key, result.cursor)
+        print(cursor_to_json(result.cursor))
+        return 0
+
+    # push
+    metrics = pl.push_resources(
+        source,
+        having=having,
+        mapping=mapping,
+        dry_run=args.dry_run,
+    )
+    if target is not None and not args.dry_run:
+        out = source
+        from hrtech_etl_spark.core.expressions import apply_conditions
+        from hrtech_etl_spark.plans.mapping import apply_mapping
+
+        out = apply_conditions(out, having)
+        if mapping:
+            out = apply_mapping(out, mapping)
+        target.write_resource(out, resource)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

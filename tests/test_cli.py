@@ -1,0 +1,103 @@
+"""CLI + connector registry: pull/push end-to-end over testdata
+parquet, checkpointed resume, registry resolution."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hrtech_etl_spark import cli
+from hrtech_etl_spark.connectors import (
+    ConnectorMeta,
+    TableConnector,
+    get_connector_instance,
+    register_connector,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_registry_resolution(tmp_path):
+    register_connector(
+        ConnectorMeta(
+            name="wh_test",
+            factory=lambda: TableConnector(root=str(tmp_path), fmt="parquet"),
+        )
+    )
+    inst = get_connector_instance("wh_test")
+    assert isinstance(inst, TableConnector)
+    # paths resolve as ad-hoc parquet connectors; unknown names raise
+    assert isinstance(get_connector_instance(str(tmp_path)), TableConnector)
+    with pytest.raises(KeyError):
+        get_connector_instance("never_registered")
+
+
+def test_cli_pull_with_resume(spark, tmp_path, capsys):
+    origin_root = str(tmp_path / "origin")
+    target_root = str(tmp_path / "target")
+    state_dir = str(tmp_path / "state")
+    # stage: orders as the 'jobs' resource of the origin warehouse
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.write.parquet(f"{origin_root}/jobs")
+
+    argv = [
+        "pull",
+        "--resource", "job",
+        "--origin", origin_root,
+        "--target", target_root,
+        "--cursor-col", "o_orderdate",
+        "--uid-col", "o_orderkey",
+        "--where", json.dumps([{"field": "o_orderstatus", "op": "eq", "value": "O"}]),
+        "--formatter", json.dumps(
+            [
+                {"from": "o_orderkey", "to": "key"},
+                {"from": "o_orderdate", "to": "updated_at"},
+                {"from": "o_totalprice", "to": "price"},
+            ]
+        ),
+        "--state-dir", state_dir,
+        "--pipeline-key", "orders_job",
+    ]
+    assert cli.main(argv, spark=spark) == 0
+    cur1 = json.loads(capsys.readouterr().out.strip())
+    want = orders.where("o_orderstatus = 'O'").count()
+    got = spark.read.parquet(f"{target_root}/jobs")
+    assert got.count() == want
+    assert set(got.columns) == {"key", "updated_at", "price"}
+    assert cur1["end"] is not None and cur1["end_uid"] is not None
+
+    # second run resumes from the checkpoint: nothing new to consume
+    assert cli.main(argv, spark=spark) == 0
+    cur2 = json.loads(capsys.readouterr().out.strip())
+    assert spark.read.parquet(f"{target_root}/jobs").count() == want
+    # empty slice leaves the resume point unchanged
+    assert (cur2["end"], cur2["end_uid"]) in (
+        (None, None),
+        (cur1["end"], cur1["end_uid"]),
+    )
+
+
+def test_cli_push_metrics(spark, tmp_path, capsys):
+    origin_root = str(tmp_path / "origin")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").write.parquet(
+        f"{origin_root}/jobs"
+    )
+    argv = [
+        "push",
+        "--resource", "job",
+        "--origin", origin_root,
+        "--having", json.dumps([{"field": "o_totalprice", "op": "gt", "value": 100000}]),
+        "--dry-run",
+    ]
+    assert cli.main(argv, spark=spark) == 0
+    metrics = json.loads(capsys.readouterr().out.strip())
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert metrics["total_resources"] == orders.count()
+    assert metrics["total_resources_pushed"] == orders.where(
+        "o_totalprice > 100000"
+    ).count()
+    assert (
+        metrics["skipped_having"]
+        == metrics["total_resources"] - metrics["total_resources_pushed"]
+    )
