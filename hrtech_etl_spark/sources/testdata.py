@@ -36,6 +36,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to ``n`` (default: defaultParallelism)
+    ahead of a CPU-heavy projection.
+
+    A scan's parallelism is file/row-group granular: a small single-row-
+    group parquet file is ONE task no matter how many cores exist, so
+    per-row-expensive expressions (shingling, hashing, regex scoring)
+    serialize. The pinned partition count keeps AQE from coalescing the
+    tiny-bytes/huge-CPU shuffle back down. Use only where compute per
+    byte is high — for IO-bound plans the extra exchange is pure cost
+    (at cluster scale, wide scans already parallelize; this matters for
+    small dimension-like inputs feeding expensive transforms).
+    """
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TESTDATA_TABLES}
 

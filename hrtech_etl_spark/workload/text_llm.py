@@ -21,7 +21,7 @@ from hrtech_etl_spark.functions.hashing import (
     affine_minhash_sql,
     fingerprint,
 )
-from hrtech_etl_spark.sources.testdata import load_table
+from hrtech_etl_spark.sources.testdata import load_table, spread
 from hrtech_etl_spark.workload.registry import query
 
 # ---------------------------------------------------------------------------
@@ -118,7 +118,7 @@ def cosine_sql(a: str, b: str) -> str:
 def text_token_stats(spark, sf_dir):
     """Token counting over the corpus — pure codegen'd expressions, one
     aggregation."""
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     n_tok = tx.token_count(F.col("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -148,7 +148,7 @@ _GREATEST = "greatest(s_en, s_fr, s_de, s_es)"
 def text_lang_id(spark, sf_dir):
     """Language-ID confusion matrix: stopword-marker heuristic vs the
     labeled lang column (zh has no markers → 'unknown' path)."""
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     return (
         d.select(tx.lang_id(F.col("text")).alias("predicted"), F.col("lang").alias("actual"))
         .groupBy("predicted", "actual")
@@ -182,7 +182,7 @@ _STOP_RATIO = f"(CASE WHEN {_NTOK} > 0 THEN CAST(({_STOP_SUM}) AS DOUBLE) / {_NT
 def text_quality_score(spark, sf_dir):
     """Quality-score histogram (length/punctuation/stopword heuristics,
     functions/text.py)."""
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     return (
         d.select(tx.quality_score(F.col("text")).alias("score"))
         .groupBy("score")
@@ -202,7 +202,7 @@ def text_quality_score(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Canonical-form document fingerprinting (md5 over normalized
     text)."""
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     fp = fingerprint(F.col("text"))
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -351,7 +351,7 @@ _VD = VEC_DOUBLE.format(v="embedding")
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks."""
-    e = load_table(spark, "embeddings", sf_dir)
+    e = spread(load_table(spark, "embeddings", sf_dir))
     pairs = sim.embedding_near_dup_pairs(e, threshold=0.3)
     labels = e.select(F.col("vec_id").alias("id_a"), "label")
     return (
@@ -382,7 +382,7 @@ def dedup_embedding_cosine(spark, sf_dir):
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline): one projection +
     TakeOrderedAndProject, no shuffle of the corpus."""
-    e = load_table(spark, "embeddings", sf_dir)
+    e = spread(load_table(spark, "embeddings", sf_dir))
     q = e.where(F.col("vec_id") == 0)
     return sim.cosine_topk(e, q, k=10)
 
@@ -403,7 +403,7 @@ def sim_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k: probes only the query's
     sign-random-projection bucket (1/16th of the corpus at 4 bits).
     Deterministic projections → exact oracle parity."""
-    e = load_table(spark, "embeddings", sf_dir)
+    e = spread(load_table(spark, "embeddings", sf_dir))
     q = e.where(F.col("vec_id") == 0)
     return sim.lsh_cosine_topk(e, q, k=10)
 
