@@ -434,3 +434,37 @@ def multimodal_binary_meta(spark, sf_dir):
         F.sum(F.length(blob)).cast("bigint").alias("total_bytes"),
         F.max(F.length(blob)).cast("bigint").alias("max_bytes"),
     )
+
+
+@query(
+    "multimodal_features",
+    sql="""
+    SELECT count(*) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(f0), 4) AS avg_f0,
+           round(max(f0), 6) AS max_f0
+    FROM (
+      SELECT octet_length(encode(text)) AS n_bytes,
+             round((('0x' || substr(md5('0:' || text), 1, 8))::BIGINT)::DOUBLE
+                   / 4294967295, 6) AS f0
+      FROM documents
+    )
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over the media column
+    (mapInPandas; operators/multimodal.py). The deterministic fake
+    kernel is md5-derived, so DuckDB replicates the exact feature
+    values — the oracle checks the full binary → struct → pandas-batch
+    → features plumbing, not just row counts."""
+    from hrtech_etl_spark.operators import multimodal as mm
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    feats = mm.media_features(mm.attach_fake_media(d), dim=2)
+    f0 = F.element_at("features", 1)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.round(F.avg(f0), 4).alias("avg_f0"),
+        F.round(F.max(f0), 6).alias("max_f0"),
+    )
