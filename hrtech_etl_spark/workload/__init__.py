@@ -19,5 +19,6 @@ from hrtech_etl_spark.workload import relational  # noqa: E402,F401
 from hrtech_etl_spark.workload import scalars  # noqa: E402,F401
 from hrtech_etl_spark.workload import text_llm  # noqa: E402,F401
 from hrtech_etl_spark.workload import streaming  # noqa: E402,F401
+from hrtech_etl_spark.workload import python_udfs  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "query"]

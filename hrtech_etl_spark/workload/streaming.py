@@ -131,3 +131,53 @@ def stream_dedup_first(spark, sf_dir):
             F.col("ts").alias("first_ts"),
         )
     )
+
+
+@query(
+    "stream_stateful_running_stats",
+    sql="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_stats(spark, sf_dir):
+    """A REAL Structured Streaming run under the oracle gate: readStream
+    over the events parquet → applyInPandasWithState running per-user
+    (count, sum, last event time) → availableNow drain into a memory
+    sink. The whole input arrives as one micro-batch, so the final
+    state equals the batch aggregation the oracle computes — verifying
+    the custom stateful operator end-to-end, not just its batch twin."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from hrtech_etl_spark.streaming.pipelines import (
+        run_available_now,
+        user_running_stats,
+    )
+
+    # events.ts is parquet TIMESTAMP(NANOS); the stream schema reads it
+    # as raw nanos (legacy long path) and converts, like load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    # file streams take directories; stage the single file into one
+    stage_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    name = f"running_stats_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        user_running_stats(stream),
+        checkpoint=tempfile.mkdtemp(prefix="ck_running_stats_"),
+        output_mode="update",
+        memory_table=name,
+    )
+    return spark.table(name)
