@@ -138,6 +138,63 @@ def lsh_cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    inverted lists, probe only the query's ``nprobe`` nearest lists.
+
+    Centroids here are *seed vectors* (the ``n_centroids`` lowest-id
+    corpus vectors) rather than trained k-means means: assignment is
+    therefore fully deterministic and oracle-reproducible, while the
+    plan shape is exactly what a trained quantizer uses — at scale you
+    swap in trained centroids (a tiny broadcast table) and write the
+    corpus partitioned by ``cid`` so each probe is a partition-pruned
+    scan of nprobe/n_centroids of the data.
+
+    Plan: broadcast centroids → cross join + row_number over cosine to
+    assign each vector its nearest list (ties break on cid) → probe =
+    semi-join on the query's nprobe best lists → exact cosine + top-k.
+    """
+    cents = F.broadcast(
+        embeddings.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        )
+    )
+
+    def nearest(df: DataFrame, keep: int) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        scored = df.crossJoin(cents).withColumn(
+            "__csim", cosine(F.col(vec_col), F.col("__cvec"))
+        )
+        w = W.partitionBy(id_col).orderBy(
+            F.col("__csim").desc(), F.col("__cid")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= keep)
+            .drop("__cvec", "__csim", "__rn")
+        )
+
+    assigned = nearest(embeddings, keep=1)
+    probe_lists = nearest(query, keep=nprobe).select(
+        F.col("__cid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = assigned.join(F.broadcast(probe_lists), "__cid").select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     *,

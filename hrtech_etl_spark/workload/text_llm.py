@@ -408,6 +408,46 @@ def sim_lsh_topk(spark, sf_dir):
     return sim.lsh_cosine_topk(e, q, k=10)
 
 
+@query(
+    "sim_ivf_topk",
+    sql=f"""
+    WITH e AS (SELECT vec_id, {_VD} AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cosine_sql('e.v', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    qlists AS (
+      SELECT cid, v AS qv FROM (
+        SELECT c.cid, e.v,
+               row_number() OVER (
+                 ORDER BY {cosine_sql('e.v', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN c WHERE e.vec_id = 0
+      ) WHERE rn <= 2
+    )
+    SELECT a.vec_id AS vec_id, {cosine_sql('a.v', 'q.qv')} AS score
+    FROM assign a JOIN qlists q ON a.cid = q.cid
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style approximate top-k: deterministic seed-vector coarse
+    quantizer, nprobe=2 inverted lists probed out of 8 — the
+    partition-pruned scale path for ANN (see
+    functions/similarity.py::ivf_cosine_topk)."""
+    e = spread(load_table(spark, "embeddings", sf_dir))
+    q = e.where(F.col("vec_id") == 0)
+    return sim.ivf_cosine_topk(e, q, k=10, n_centroids=8, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal column plumbing
 # ---------------------------------------------------------------------------

@@ -1,0 +1,48 @@
+"""Similarity-search operators: exactness of the baseline, sanity and
+determinism of the approximate paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.functions import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_bruteforce_self_match_and_order(spark):
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") == 0)
+    rows = sim.cosine_topk(e, q, k=10).collect()
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_subset_of_corpus_and_self_match(spark):
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") == 0)
+    rows = sim.ivf_cosine_topk(e, q, k=10, n_centroids=8, nprobe=2).collect()
+    # query vector's own list is always probed -> self-match survives
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["score"] - 1.0) < 1e-6
+    # deterministic: same result on rerun
+    again = sim.ivf_cosine_topk(e, q, k=10, n_centroids=8, nprobe=2).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in again]
+
+
+def test_ivf_probes_fraction_of_corpus(spark):
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") == 0)
+    # probing ALL lists must recover the exact brute-force answer
+    exact = [r["vec_id"] for r in sim.cosine_topk(e, q, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in sim.ivf_cosine_topk(
+            e, q, k=10, n_centroids=8, nprobe=8
+        ).collect()
+    ]
+    assert full == exact
