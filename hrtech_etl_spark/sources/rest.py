@@ -43,6 +43,7 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -59,6 +60,10 @@ from hrtech_etl_spark.sources.auth import BaseAuth, build_auth
 
 _FILTER_OPS = {
     EqualTo: "eq",
+    # x <=> v with a non-null literal is plain equality; the engine's
+    # Condition compiler emits eqNullSafe, so Catalyst hands us this
+    # class. A null literal means IS NULL -> stays residual.
+    EqualNullSafe: "eq",
     In: "in",
     GreaterThan: "gt",
     GreaterThanOrEqual: "gte",
@@ -204,6 +209,8 @@ class RestDataSourceReader(DataSourceReader):
                 and fld is not None
                 and op in self.cfg.pushable.get(fld, [])
             )
+            if ok and isinstance(f, EqualNullSafe) and f.value is None:
+                ok = False  # x <=> NULL is IS NULL — not expressible as a param
             # structural requirements beyond the op whitelist
             if ok and op in ("gt", "gte", "lt", "lte"):
                 ok = op in self.cfg.range_bindings.get(fld, {})

@@ -248,6 +248,70 @@ def test_cursor_pagination_sequential(backend, spark):
 
 
 # ---------------------------------------------------------------------------
+# Composition: CLI incremental pull from a REST origin
+# ---------------------------------------------------------------------------
+
+def test_cli_pull_from_rest_origin(backend, spark, tmp_path, capsys):
+    """End-to-end: registered REST connector → CLI pull with a pushed
+    EQ prefilter and a cursor range that reaches the backend as the
+    bound range param → parquet target + echoed cursor."""
+    import json as j
+
+    from hrtech_etl_spark import cli
+    from hrtech_etl_spark.connectors import (
+        ConnectorMeta,
+        RestConnector,
+        register_connector,
+    )
+
+    rest.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_connector(
+        ConnectorMeta(
+            name="rest_wh",
+            factory=lambda: RestConnector(
+                options={
+                    "job": {
+                        "url": backend + "/jobs",
+                        "schema": SCHEMA,
+                        "page_size": "20",
+                        "num_partitions": "2",
+                        "pushable": PUSHABLE,
+                        "range_bindings": RANGE_BINDINGS,
+                        "search_bindings": SEARCH_BINDINGS,
+                    }
+                }
+            ),
+        )
+    )
+    REQUESTS.clear()
+    target = str(tmp_path / "rest_target")
+    argv = [
+        "pull",
+        "--resource", "job",
+        "--origin", "rest_wh",
+        "--target", target,
+        "--cursor-col", "updated_at",
+        "--uid-col", "job_id",
+        "--cursor-start", "2024-01-10",
+        "--where", j.dumps([{"field": "status", "op": "eq", "value": "open"}]),
+    ]
+    assert cli.main(argv, spark=spark) == 0
+    cur = j.loads(capsys.readouterr().out.strip())
+    want = [
+        r for r in JOBS if r["status"] == "open" and r["updated_at"] >= "2024-01-10"
+    ]
+    got = spark.read.parquet(f"{target}/jobs")
+    assert got.count() == len(want)
+    # both the EQ prefilter and the cursor range reached the backend
+    assert all(r["params"].get("status") == "open" for r in REQUESTS)
+    assert all(
+        r["params"].get("updated_at_min") == "2024-01-10" for r in REQUESTS
+    )
+    assert cur["end"] == max(r["updated_at"] for r in want)
+
+
+# ---------------------------------------------------------------------------
 # Param compilation unit tests (the reference's /api/debug/connector_params)
 # ---------------------------------------------------------------------------
 
