@@ -35,6 +35,8 @@ HEADLINE = [
     "text_quality_score",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "udtf_grouped_map",
 ]
 
 
