@@ -578,6 +578,43 @@ def window_running_sum(spark, sf_dir):
 
 
 @query(
+    "window_range_frame",
+    sql="""
+    SELECT o_orderkey AS orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_30d,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+             AS sum_last_30d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over a value axis (trailing 30-day per-customer
+    order count/revenue): unlike ROWS frames, peers are defined by the
+    ordering VALUE, so results are independent of tie order —
+    the frame spec a time-decayed feature pipeline uses. Decimal
+    accumulation keeps the windowed sums engine-exact."""
+    o = load_table(spark, "orders", sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, W.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.count(F.lit(1)).over(w).alias("n_last_30d"),
+        F.round(F.sum(dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("sum_last_30d"),
+    )
+
+
+@query(
     "window_ntile_percentile",
     sql="""
     SELECT c_custkey AS custkey,
