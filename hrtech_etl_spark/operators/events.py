@@ -16,7 +16,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hrtech_etl_spark.core.expressions import apply_conditions
+from hrtech_etl_spark.core.expressions import apply_conditions, conditions_to_column
 from hrtech_etl_spark.core.types import Condition
 from hrtech_etl_spark.operators.joins import event_lookup_join, last_wins_dedup
 
@@ -65,33 +65,46 @@ def push_events(
     sink_format: str = "parquet",
     dry_run: bool = False,
 ) -> dict:
-    """EVENTS-mode push as one distributed plan.
+    """EVENTS-mode push as ONE distributed job, metrics included.
 
     last-wins dedup per resource id (reference's dict overwrite,
-    ``core/pipeline.py:141-143``) → lookup join → missing accounting →
-    having filter → sink. Metrics come from conditional counts over the
-    joined frame — one job, not one count() per branch.
+    ``core/pipeline.py:141-143``) → left lookup join → having filter →
+    sink. All five counters ride on :class:`pyspark.sql.Observation`
+    metrics collected DURING the sink pass — the joined frame is
+    executed once, instead of one count() job per branch re-running
+    the join (total_events is observed pre-dedup on the same lineage).
     """
-    total_events = events.count()
+    from pyspark.sql import Observation
+
+    obs_in = Observation()
+    events = events.observe(obs_in, F.count(F.lit(1)).alias("total_events"))
     deduped = last_wins_dedup(events, event_key, order_cols)
-    matched, missing = event_lookup_join(
-        deduped,
-        resources,
-        event_key=event_key,
-        resource_key=resource_key,
-        broadcast_resources=broadcast_resources,
+
+    r = F.broadcast(resources) if broadcast_resources else resources
+    joined = deduped.join(r, deduped[event_key] == r[resource_key], "left")
+    matched_flag = F.col(resource_key).isNotNull()
+    having_col = conditions_to_column(having or [])
+
+    obs = Observation()
+    joined = joined.observe(
+        obs,
+        F.count(F.when(matched_flag, 1)).alias("fetched"),
+        F.count(F.when(~matched_flag, 1)).alias("missing"),
+        F.count(F.when(matched_flag & having_col, 1)).alias("pushed"),
     )
-    fetched = matched.count()
-    skipped_missing = missing.count()
-    pushed_df = apply_conditions(matched, having)
-    pushed = pushed_df.count()
+    pushed_df = joined.where(matched_flag & having_col)
+
     if sink_path and not dry_run:
         pushed_df.write.format(sink_format).mode("append").save(sink_path)
+    else:
+        pushed_df.count()  # dry-run still executes the plan once
+
+    m_in, m = obs_in.get, obs.get
     return {
-        "total_events": int(total_events),
-        "total_resources_fetched": int(fetched),
-        "total_resources_pushed": int(pushed),
-        "skipped_missing": int(skipped_missing),
-        "skipped_having": int(fetched - pushed),
+        "total_events": int(m_in["total_events"]),
+        "total_resources_fetched": int(m["fetched"]),
+        "total_resources_pushed": int(m["pushed"]),
+        "skipped_missing": int(m["missing"]),
+        "skipped_having": int(m["fetched"] - m["pushed"]),
         "errors": [],
     }
