@@ -162,19 +162,27 @@ def push_resources(
     dry_run: bool = False,
 ) -> dict:
     """RESOURCES-mode push (reference ``core/pipeline.py:181-210``):
-    filter → format → write, with counter metrics computed set-based
-    in one pass (conditional count aggregates, no per-branch rescan)."""
-    total, kept = resources.agg(
+    filter → format → write. Counter metrics ride on an Observation
+    node computed DURING the sink pass — one execution of the source,
+    no separate metrics job."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = resources.observe(
+        obs,
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(conditions_to_column(having or []), 1)).alias("kept"),
-    ).first()
-    out = apply_conditions(resources, having)
+    )
+    out = apply_conditions(observed, having)
     if mapping:
         out = apply_mapping(out, mapping)
     if sink_path and not dry_run:
         out.write.format(sink_format).mode(sink_mode).save(sink_path)
+    else:
+        out.count()  # dry-run still executes the plan once
+    m = obs.get
     return {
-        "total_resources": int(total),
-        "total_resources_pushed": int(kept),
-        "skipped_having": int(total - kept),
+        "total_resources": int(m["total"]),
+        "total_resources_pushed": int(m["kept"]),
+        "skipped_having": int(m["total"] - m["kept"]),
     }
