@@ -222,6 +222,29 @@ TESTDATA_TABLES = (
 )
 
 
+def export_schema_fields(schema: T.StructType) -> list[dict]:
+    """Schema introspection for UIs/CLIs (reference
+    ``core/ui_schema.py:7-104`` / ``GET /api/schema/...``): one dict
+    per field with its type and query-capability metadata — which
+    operators push down, whether it can drive a cursor, and its
+    search/in bindings."""
+    out = []
+    for f_ in schema.fields:
+        meta = f_.metadata or {}
+        out.append(
+            {
+                "name": f_.name,
+                "type": f_.dataType.simpleString(),
+                "nullable": f_.nullable,
+                "cursor": meta.get(META_CURSOR),
+                "prefilter_operators": meta.get(META_PREFILTER),
+                "search_binding": meta.get(META_SEARCH_BINDING),
+                "in_binding": meta.get(META_IN_BINDING),
+            }
+        )
+    return out
+
+
 def cursor_column(schema: T.StructType, mode: str) -> str:
     """Resolve which column a CursorMode maps to, from field metadata."""
     for f_ in schema.fields:

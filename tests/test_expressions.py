@@ -103,3 +103,16 @@ def test_search_binding_composition(df):
     )
     got = sorted(r.id for r in df.where(col).collect())
     assert got == [1, 2, 4]
+
+
+def test_export_schema_fields_capabilities():
+    from hrtech_etl_spark.core.schemas import (
+        UNIFIED_JOB_SCHEMA,
+        export_schema_fields,
+    )
+
+    rows = {r["name"]: r for r in export_schema_fields(UNIFIED_JOB_SCHEMA)}
+    assert rows["updated_at"]["cursor"] == "updated_at"
+    assert rows["updated_at"]["prefilter_operators"] == ["gte", "lte"]
+    assert rows["name"]["search_binding"]["search_field"] == "names"
+    assert rows["board_key"]["in_binding"]["query_field"] == "board_keys"
