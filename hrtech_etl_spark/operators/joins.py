@@ -126,6 +126,48 @@ def range_join(
     return left.join(right, on & range_condition)
 
 
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_point: Column,
+    right_start: Column,
+    right_end: Column,
+    bucket_seconds: int,
+    how_filter: Column | None = None,
+) -> DataFrame:
+    """Pure range join (NO equi key): left points in right intervals.
+
+    Without an equi conjunct Catalyst can only plan
+    BroadcastNestedLoopJoin — O(|L|·|R|) and a broadcast of a whole
+    side. The scale rewrite: quantize time into ``bucket_seconds``
+    buckets, explode each right interval to every bucket it covers,
+    bucket each left point, equi-join on the bucket, then apply the
+    exact range predicate. Each (l, r) pair meets in exactly ONE
+    bucket (the left point's), so no post-join dedup is needed. Cost
+    becomes one shuffle on bucket + per-bucket products — choose
+    ``bucket_seconds`` near the median interval length so explosion
+    stays O(1) per interval.
+    """
+    lb = F.floor(left_point.cast("long") / bucket_seconds).alias("__bucket")
+    l2 = left.withColumn("__bucket", lb)
+    r2 = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(right_start.cast("long") / bucket_seconds),
+                F.floor(right_end.cast("long") / bucket_seconds),
+            )
+        ),
+    )
+    joined = l2.join(r2, "__bucket").where(
+        (left_point >= right_start) & (left_point <= right_end)
+    )
+    if how_filter is not None:
+        joined = joined.where(how_filter)
+    return joined.drop("__bucket")
+
+
 def event_lookup_join(
     events: DataFrame,
     resources: DataFrame,

@@ -218,6 +218,54 @@ def join_range_interval(spark, sf_dir):
 
 
 @query(
+    "join_range_bucketed",
+    sql="""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_pairs,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM (SELECT * FROM lineitem
+          WHERE l_shipdate >= DATE '1995-03-01'
+            AND l_shipdate < DATE '1995-04-01') l
+    JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON CAST(l.l_shipdate AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP)
+     AND CAST(l.l_shipdate AS TIMESTAMP)
+         <= CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 36 HOUR
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """PURE range join (no equi key): March-1995 shipments falling
+    inside any urgent order's 36-hour window. Naively this is a
+    BroadcastNestedLoopJoin (O(|L|*|R|)); the bucketed rewrite
+    quantizes time, explodes each interval over its ~2 day-buckets,
+    and equi-joins on the bucket — one shuffle, per-bucket products
+    (operators/joins.py::bucketed_range_join). The oracle states the
+    plain theta join."""
+    from hrtech_etl_spark.operators.joins import bucketed_range_join
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1995-03-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    start = F.col("o_orderdate").cast("timestamp")
+    joined = bucketed_range_join(
+        li,
+        o,
+        left_point=F.col("l_shipdate").cast("timestamp"),
+        right_start=start,
+        right_end=start + F.expr("INTERVAL 36 HOURS"),
+        bucket_seconds=86400,
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
+    )
+
+
+@query(
     "join_asof",
     sql="""
     WITH o1 AS (

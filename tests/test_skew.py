@@ -58,3 +58,34 @@ def test_salted_join_equals_direct(spark):
     g = got.agg(F.sum("l_quantity")).first()[0]
     w = want.agg(F.sum("l_quantity")).first()[0]
     assert abs(g - w) < 1e-6
+
+
+def test_bucketed_range_join_equals_theta(spark):
+    """Pure range join via bucketization == the naive theta join."""
+    from pyspark.sql import functions as F
+
+    from hrtech_etl_spark.operators.joins import bucketed_range_join
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where("l_shipdate >= '1995-03-01' and l_shipdate < '1995-03-08'")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+    o = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey", "o_orderdate")
+    )
+    start = F.col("o_orderdate").cast("timestamp")
+    end = start + F.expr("INTERVAL 36 HOURS")
+    point = F.col("l_shipdate").cast("timestamp")
+    got = bucketed_range_join(
+        li, o, left_point=point, right_start=start, right_end=end,
+        bucket_seconds=86400,
+    )
+    want = li.join(o, (point >= start) & (point <= end))
+    assert got.count() == want.count()
+    # exact pair-set equality, not just counts
+    key = ["l_orderkey", "l_linenumber", "o_orderkey"]
+    assert got.select(key).exceptAll(want.select(key)).count() == 0
+    assert want.select(key).exceptAll(got.select(key)).count() == 0
