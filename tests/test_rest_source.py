@@ -235,6 +235,28 @@ def test_login_auth_flow(backend, spark):
     )
 
 
+def test_oauth2_client_credentials_flow(backend, spark):
+    """Token fetched from token_url via client-credentials grant, then
+    sent as a Bearer header; cached per reader instance."""
+    from hrtech_etl_spark.sources.auth import OAuth2Auth, build_auth
+
+    auth = build_auth(
+        {
+            "auth_type": "oauth2",
+            "client_id": "cid",
+            "client_secret": "sec",
+            "token_url": backend + "/oauth/token",
+        }
+    )
+    assert isinstance(auth, OAuth2Auth)
+    headers = auth.build_headers()
+    assert headers["Authorization"] == "Bearer oat-456"
+    # cached: second call does not refetch (transport would fail loudly
+    # if token_url were hit again with a broken URL)
+    auth.token_url = "http://127.0.0.1:1/closed"
+    assert auth.build_headers()["Authorization"] == "Bearer oat-456"
+
+
 def test_cursor_pagination_sequential(backend, spark):
     REQUESTS.clear()
     df = reader_for(
