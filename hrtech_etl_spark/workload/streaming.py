@@ -174,10 +174,18 @@ def stream_stateful_running_stats(spark, sf_dir):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     name = f"running_stats_{uuid.uuid4().hex[:8]}"
-    run_available_now(
-        user_running_stats(stream),
-        checkpoint=tempfile.mkdtemp(prefix="ck_running_stats_"),
-        output_mode="update",
-        memory_table=name,
-    )
+    # State-store instances scale with shuffle partitions; a default-200
+    # session would spin up 200 stores for a small drain. Pin a bounded
+    # count for this run, restore after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_available_now(
+            user_running_stats(stream),
+            checkpoint=tempfile.mkdtemp(prefix="ck_running_stats_"),
+            output_mode="update",
+            memory_table=name,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
