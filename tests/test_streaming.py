@@ -311,3 +311,50 @@ def test_foreach_batch_error_containment(spark, tmp_path):
         P.merge_upsert = orig
     assert metrics.errors and "boom" in metrics.errors[0]
     assert metrics.batches == 0
+
+
+def test_checkpoint_resume_incremental_exactly_once(
+    spark, events_batch, tmp_path
+):
+    """Two availableNow drains against ONE checkpoint: the second run
+    processes only files that arrived after the first — no replay, no
+    duplicates — and the merged target equals batch last-wins over
+    everything seen so far."""
+    src = str(tmp_path / "arrivals")
+    ck = str(tmp_path / "ck")
+    target = str(tmp_path / "target")
+    cols = ["user_id", "event_id", "event_type", "ts"]
+
+    first = events_batch.where("event_id % 2 = 0")
+    second = events_batch.where("event_id % 2 = 1")
+    first.write.mode("append").parquet(src)
+
+    def drain():
+        metrics = StreamMetrics()
+        stream = read_event_stream(spark, src, events_batch.schema).select(*cols)
+        sink = foreach_batch_upsert(
+            target,
+            ["user_id"],
+            order_cols=[F.col("ts"), F.col("event_id")],
+            metrics=metrics,
+        )
+        run_available_now(stream, checkpoint=ck, foreach_batch=sink)
+        return metrics
+
+    m1 = drain()
+    assert m1.rows_written == first.count()
+
+    second.write.mode("append").parquet(src)
+    m2 = drain()
+    # resume: ONLY the newly arrived rows were read from the source
+    assert m2.rows_written == second.count()
+    assert not m1.errors and not m2.errors
+
+    got = spark.read.parquet(target)
+    assert got.count() == events_batch.select("user_id").distinct().count()
+    want = events_batch.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id")
+    )
+    w = {r["user_id"]: r["event_id"] for r in want.collect()}
+    g = {r["user_id"]: r["event_id"] for r in got.collect()}
+    assert g == w
