@@ -87,6 +87,8 @@ class RestConfig:
     cursor_param: str = "cursor"
     next_cursor_field: str = "next"
     max_pages: int = 10000
+    max_retries: int = 3
+    retry_backoff_s: float = 0.5
     pushable: Dict[str, List[str]] = dc_field(default_factory=dict)
     in_param_suffix: str = "__in"
     in_encoding: str = "csv"  # csv | json | repeat
@@ -112,6 +114,8 @@ class RestConfig:
             cursor_param=options.get("cursor_param", "cursor"),
             next_cursor_field=options.get("next_cursor_field", "next"),
             max_pages=int(options.get("max_pages", 10000)),
+            max_retries=int(options.get("max_retries", 3)),
+            retry_backoff_s=float(options.get("retry_backoff_s", 0.5)),
             pushable=j("pushable", {}),
             in_param_suffix=options.get("in_param_suffix", "__in"),
             in_encoding=options.get("in_encoding", "csv"),
@@ -249,8 +253,33 @@ class RestDataSourceReader(DataSourceReader):
         session = requests.Session()
 
         def fetch(params: Dict[str, Any]) -> Dict[str, Any]:
-            resp = session.get(cfg.url, params=params, headers=headers, timeout=60)
-            resp.raise_for_status()
+            # Bounded retry with exponential backoff: at fan-out scale
+            # transient 5xx/connection failures are routine; 4xx are
+            # caller bugs and fail fast. Page requests are idempotent
+            # GETs, so retrying cannot duplicate rows.
+            import time
+
+            attempt = 0
+            while True:
+                try:
+                    resp = session.get(
+                        cfg.url, params=params, headers=headers, timeout=60
+                    )
+                    if resp.status_code >= 500:
+                        resp.raise_for_status()
+                    resp.raise_for_status()
+                    break
+                except (
+                    requests.ConnectionError,
+                    requests.Timeout,
+                    requests.HTTPError,
+                ) as exc:
+                    status = getattr(getattr(exc, "response", None), "status_code", None)
+                    retryable = status is None or status >= 500
+                    if not retryable or attempt >= cfg.max_retries:
+                        raise
+                    time.sleep(cfg.retry_backoff_s * (2**attempt))
+                    attempt += 1
             body = resp.json()
             if isinstance(body, list):
                 return {cfg.data_path: body}

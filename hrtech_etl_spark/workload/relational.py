@@ -626,6 +626,29 @@ def window_running_sum(spark, sf_dir):
 
 
 @query(
+    "agg_percentiles",
+    sql="""
+    SELECT o_orderpriority AS priority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL quantile_cont semantics: linear interpolation between order
+    statistics). At corpus scale swap for percentile_approx — declared
+    exact here so the oracle checks values."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 2).alias("p99"),
+    )
+
+
+@query(
     "window_range_frame",
     sql="""
     SELECT o_orderkey AS orderkey,

@@ -31,6 +31,7 @@ JOBS = [
 ]
 
 REQUESTS: list[dict] = []  # one entry per GET: {"path", "params", "headers"}
+FLAKY_HITS: dict[str, int] = {}  # per-offset attempt counter for /jobs_flaky
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -59,6 +60,12 @@ class Handler(BaseHTTPRequestHandler):
         REQUESTS.append(
             {"path": parsed.path, "params": params, "headers": dict(self.headers)}
         )
+        if parsed.path == "/jobs_flaky":
+            # first two hits per offset fail with 500; third succeeds
+            key = params.get("offset", "0")
+            FLAKY_HITS[key] = FLAKY_HITS.get(key, 0) + 1
+            if FLAKY_HITS[key] <= 2:
+                return self._send({"error": "transient"}, 503)
         if parsed.path == "/jobs_auth":
             if self.headers.get("X-API-Key") != "sekret":
                 return self._send({"error": "forbidden"}, 403)
@@ -233,6 +240,19 @@ def test_login_auth_flow(backend, spark):
     assert all(
         r["headers"].get("Authorization") == "Bearer tok-123" for r in REQUESTS
     )
+
+
+def test_retry_on_transient_5xx(backend, spark):
+    """Each page GET retries through two 503s (bounded exponential
+    backoff) and completes with the full result set — idempotent page
+    reads make retries safe."""
+    FLAKY_HITS.clear()
+    df = reader_for(
+        backend, spark, path="/jobs_flaky", retry_backoff_s="0.05"
+    ).load()
+    assert df.count() == 57
+    # every offset needed exactly 3 attempts (2 failures + 1 success)
+    assert FLAKY_HITS and all(v == 3 for v in FLAKY_HITS.values())
 
 
 def test_oauth2_client_credentials_flow(backend, spark):
