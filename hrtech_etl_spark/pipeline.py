@@ -117,6 +117,7 @@ def pull(
     sink_path: Optional[str] = None,
     sink_format: str = "parquet",
     sink_mode: str = "append",
+    sink_partition_by: Optional[Sequence[str]] = None,
     dry_run: bool = False,
 ) -> PullResult:
     """Incremental pull: scan → filter → project → write → new cursor.
@@ -145,7 +146,12 @@ def pull(
 
     rows = -1
     if sink_path and not dry_run:
-        out.write.format(sink_format).mode(sink_mode).save(sink_path)
+        w = out.write.format(sink_format).mode(sink_mode)
+        if sink_partition_by:
+            # date/ingest-partitioned target: downstream incremental
+            # readers prune on the cursor column instead of scanning
+            w = w.partitionBy(*sink_partition_by)
+        w.save(sink_path)
     elif dry_run:
         rows = out.count()
     return PullResult(dataframe=out, cursor=next_cursor, rows=rows)
