@@ -229,3 +229,34 @@ def etl_upsert_merge(spark, sf_dir):
         F.count(F.when(F.col("action") == "insert", 1)).alias("n_inserted"),
         F.count(F.when(F.col("action") == "keep", 1)).alias("n_kept"),
     )
+
+
+@query(
+    "etl_unified_roundtrip",
+    sql="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS job_id,
+           o_orderpriority AS title,
+           CAST(o_orderdate AS TIMESTAMP) AS created_at,
+           CAST(o_orderdate AS TIMESTAMP) AS updated_at,
+           CAST(NULL AS VARCHAR) AS payload
+    FROM orders
+    """,
+)
+def etl_unified_roundtrip(spark, sf_dir):
+    """Native → unified → native canonical transform round-trip
+    (plans/transforms.py): the composition must be the identity on the
+    native fields — the oracle states that identity directly. Exercises
+    the normalize/denormalize select plans (id/key coalescing,
+    created_at fallback, typed-null unified fields) inside the
+    correctness gate."""
+    from hrtech_etl_spark.plans.transforms import from_unified_job, to_unified_job
+
+    o = load_table(spark, "orders", sf_dir)
+    native = o.select(
+        F.col("o_orderkey").cast("string").alias("job_id"),
+        F.col("o_orderpriority").alias("title"),
+        F.col("o_orderdate").cast("timestamp").alias("created_at"),
+        F.col("o_orderdate").cast("timestamp").alias("updated_at"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    return from_unified_job(to_unified_job(native, origin="wh_a"))
