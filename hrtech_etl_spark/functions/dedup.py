@@ -238,17 +238,33 @@ def jaccard_verify(
     shingle_k: int = 2,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs; keeps pairs with
     similarity >= threshold. Joins the (small) candidate set back to
     the shingle sets — candidates, not corpus, drive the cost. Pass the
     same ``shingles=shingle_table(...)`` used for candidate generation
-    so both verify sides read the ReusedExchange."""
+    so both verify sides read the ReusedExchange.
+
+    ``hashed=True`` intersects 64-bit shingle hashes instead of the
+    strings: integer set ops are cheaper and the broadcast shrinks.
+    This is still oracle-exact — the oracle applies the identical hash,
+    so even the (vanishingly rare) collision collapses identically in
+    both engines — but it is a *different* measure from string Jaccard
+    exactly when a within-doc collision occurs; set ``hashed=False``
+    for literal string-set semantics."""
     sets_ = (
         shingles
         if shingles is not None
         else shingle_table(df, text_col, id_col, shingle_k=shingle_k)
     )
+    if hashed:
+        sets_ = sets_.select(
+            id_col,
+            F.array_distinct(
+                F.transform(F.col("sh"), lambda s: portable_hash(s))
+            ).alias("sh"),
+        )
     out = (
         pairs.join(sets_.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sets_.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")

@@ -508,6 +508,34 @@ def agg_pivot(spark, sf_dir):
     return pivoted.select("returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
 
 
+@query(
+    "agg_unpivot",
+    sql="""
+    SELECT c_custkey AS custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide → long): DataFrame `unpivot` compiles to the
+    same Expand the UNION ALL oracle spells out — one scan, no self-
+    union."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumnRenamed("c_custkey", "custkey")
+
+
 @query("agg_approx_distinct", sql=None)  # approximate: rows-only check
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct estimate — the scale path when exact

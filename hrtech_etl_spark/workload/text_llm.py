@@ -240,6 +240,10 @@ _BANDS_SQL = " UNION ALL ".join(
     "dedup_minhash_lsh",
     sql=f"""
     WITH sh AS (SELECT doc_id, {shingles_sql()} AS sh FROM documents),
+    hs AS (SELECT doc_id,
+                  list_distinct(list_transform(sh,
+                    s -> (('0x' || substr(md5('0:' || s), 1, 8))::BIGINT))) AS sh
+           FROM sh),
     sig AS (SELECT doc_id, {_SIG_COLS} FROM sh),
     banded AS ({_BANDS_SQL}),
     cand AS (
@@ -252,7 +256,7 @@ _BANDS_SQL = " UNION ALL ".join(
              round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
                         THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh))
                         ELSE 0.0 END, 4) AS jaccard
-      FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+      FROM cand c JOIN hs x ON c.id_a = x.doc_id JOIN hs y ON c.id_b = y.doc_id
     )
     SELECT count(*) AS n_candidates,
            count(CASE WHEN jaccard >= 0.25 THEN 1 END) AS n_verified,
