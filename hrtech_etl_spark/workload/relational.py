@@ -70,6 +70,31 @@ def join_left_histogram(spark, sf_dir):
 
 
 @query(
+    "join_right_outer",
+    sql="""
+    SELECT coalesce(c.c_mktsegment, '<no customer>') AS segment,
+           count(*) AS n_orders,
+           count(c.c_custkey) AS n_with_customer
+    FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer join: every order survives, customer side nullable
+    (planner note: Catalyst flips build sides freely — right outer
+    broadcasts the left/customer side)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    joined = c.join(o, c.c_custkey == o.o_custkey, "right")
+    return joined.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("<no customer>")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("c_custkey").alias("n_with_customer"),
+    )
+
+
+@query(
     "join_semi",
     sql="""
     SELECT c_mktsegment AS segment, count(*) AS n_active
