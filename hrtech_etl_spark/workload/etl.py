@@ -48,78 +48,46 @@ def etl_pull_incremental(spark, sf_dir):
     )
 
 
-# --- 2. CONTAINS postfilter (stringified substring semantics) -------------
+# --- 2. condition algebra: CONTAINS postfilter + IN prefilter -------------
 
 @query(
-    "etl_contains_postfilter",
+    "etl_condition_filters",
     sql="""
-    SELECT o_orderpriority AS priority, count(*) AS n
+    SELECT 'contains' AS rule, o_orderpriority AS grp, count(*) AS n,
+           CAST(NULL AS DOUBLE) AS revenue
     FROM orders
     WHERE position('URGENT' IN o_orderpriority) > 0
     GROUP BY o_orderpriority
-    """,
-)
-def etl_contains_postfilter(spark, sf_dir):
-    """HAVING-style residual filter with the reference's CONTAINS
-    (substring on stringified operands, core/utils.py:96-97)."""
-    orders = load_table(spark, "orders", sf_dir)
-    filtered = apply_conditions(
-        orders, [Condition("o_orderpriority", Operator.CONTAINS, "URGENT")]
-    )
-    return filtered.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-# --- 3. IN prefilter ------------------------------------------------------
-
-@query(
-    "etl_in_prefilter",
-    sql="""
-    SELECT o_orderstatus AS status, count(*) AS n, {rev} AS revenue
+    UNION ALL
+    SELECT 'in' AS rule, o_orderstatus AS grp, count(*) AS n, {rev} AS revenue
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o_orderstatus
     """.format(rev=sql_dsum("o_totalprice")),
 )
-def etl_in_prefilter(spark, sf_dir):
-    """IN-condition pushdown (reference in_binding, core/utils.py:520-601)."""
+def etl_condition_filters(spark, sf_dir):
+    """Condition algebra on one table, union-tagged: the reference's
+    CONTAINS (substring on stringified operands, core/utils.py:96-97)
+    as a HAVING-style residual filter, plus IN-condition pushdown
+    (reference in_binding, core/utils.py:520-601). Both branches run
+    through apply_conditions — the Condition→Column compiler."""
     orders = load_table(spark, "orders", sf_dir)
-    filtered = apply_conditions(
+    contains = apply_conditions(
+        orders, [Condition("o_orderpriority", Operator.CONTAINS, "URGENT")]
+    )
+    c_branch = contains.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("contains").alias("rule"), "grp", "n",
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    infil = apply_conditions(
         orders, [Condition("o_orderpriority", Operator.IN, ["1-URGENT", "2-HIGH"])]
     )
-    return filtered.groupBy(F.col("o_orderstatus").alias("status")).agg(
+    i_branch = infil.groupBy(F.col("o_orderstatus").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
-    )
-
-
-# --- 4. event→resource lookup join with missing accounting ---------------
-
-@query(
-    "etl_event_lookup",
-    sql="""
-    SELECT e.event_type AS event_type,
-           count(*) AS total_events,
-           count(c.c_custkey) AS matched,
-           count(*) - count(c.c_custkey) AS skipped_missing
-    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY e.event_type
-    """,
-)
-def etl_event_lookup(spark, sf_dir):
-    """EVENTS-mode lookup join (core/pipeline.py:127-167): matched vs
-    skipped_missing accounted from ONE left join — the dimension side
-    broadcasts (customer is small relative to the event stream)."""
-    events = load_table(spark, "events", sf_dir)
-    customer = load_table(spark, "customer", sf_dir)
-    joined = events.join(
-        F.broadcast(customer), events.user_id == customer.c_custkey, "left"
-    )
-    return joined.groupBy(F.col("event_type")).agg(
-        F.count(F.lit(1)).alias("total_events"),
-        F.count("c_custkey").alias("matched"),
-        (F.count(F.lit(1)) - F.count("c_custkey")).alias("skipped_missing"),
-    )
+    ).select(F.lit("in").alias("rule"), "grp", "n", "revenue")
+    return c_branch.unionByName(i_branch)
 
 
 # --- 5. last-wins dedup per resource id -----------------------------------
@@ -147,7 +115,7 @@ def etl_lastwins_dedup(spark, sf_dir):
     )
 
 
-# --- 6. event type normalization (unknown → upserted) ---------------------
+# --- 6. event pipeline: type normalization + resource lookup join ---------
 
 EVENT_TYPE_MAP = {
     "signup": "created",
@@ -158,25 +126,42 @@ EVENT_TYPE_MAP = {
 }
 
 @query(
-    "etl_event_type_normalize",
+    "etl_event_pipeline",
     sql="""
-    SELECT CASE event_type
+    SELECT CASE e.event_type
              WHEN 'signup' THEN 'created'
              WHEN 'click' THEN 'updated'
              WHEN 'error' THEN 'deleted'
              WHEN 'view' THEN 'archived'
              ELSE 'upserted' END AS unified_type,
-           count(*) AS n
-    FROM events GROUP BY 1
+           count(*) AS total_events,
+           count(c.c_custkey) AS matched,
+           count(*) - count(c.c_custkey) AS skipped_missing
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
     """,
 )
-def etl_event_type_normalize(spark, sf_dir):
-    """Raw→unified event type mapping with unknown→UPSERTED fallback
-    (connectors/warehouse_a/models.py:199-206)."""
+def etl_event_pipeline(spark, sf_dir):
+    """EVENTS-mode pipeline (core/pipeline.py:127-167) in one plan:
+    raw→unified type mapping with unknown→UPSERTED fallback
+    (connectors/warehouse_a/models.py:199-206), then the event→resource
+    lookup join with matched vs skipped_missing accounted from ONE left
+    join — the dimension side broadcasts (customer is small relative to
+    the event stream)."""
     events = load_table(spark, "events", sf_dir)
-    return events.select(
-        normalize_event_type(F.col("event_type"), EVENT_TYPE_MAP).alias("unified_type")
-    ).groupBy("unified_type").agg(F.count(F.lit(1)).alias("n"))
+    customer = load_table(spark, "customer", sf_dir)
+    typed = events.select(
+        normalize_event_type(F.col("event_type"), EVENT_TYPE_MAP).alias("unified_type"),
+        "user_id",
+    )
+    joined = typed.join(
+        F.broadcast(customer), typed.user_id == customer.c_custkey, "left"
+    )
+    return joined.groupBy("unified_type").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count("c_custkey").alias("matched"),
+        (F.count(F.lit(1)) - F.count("c_custkey")).alias("skipped_missing"),
+    )
 
 
 # --- 7. upsert merge (update-else-insert, set-based) ----------------------

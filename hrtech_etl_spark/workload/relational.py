@@ -57,41 +57,19 @@ def join_inner_revenue(spark, sf_dir):
     """,
 )
 def join_left_histogram(spark, sf_dir):
-    """Left join preserving zero-order customers, then a histogram —
-    two aggregations, the second over already-tiny data."""
+    """Outer join preserving zero-order customers, then a histogram —
+    two aggregations, the second over already-tiny data. Written as
+    ``orders RIGHT JOIN customer`` (≡ customer LEFT JOIN orders) so the
+    right-outer join type is exercised too; the oracle states the LEFT
+    form."""
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
+        o.join(c, c.c_custkey == o.o_custkey, "right")
         .groupBy(c.c_custkey)
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
-
-
-@query(
-    "join_right_outer",
-    sql="""
-    SELECT coalesce(c.c_mktsegment, '<no customer>') AS segment,
-           count(*) AS n_orders,
-           count(c.c_custkey) AS n_with_customer
-    FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
-    GROUP BY 1
-    """,
-)
-def join_right_outer(spark, sf_dir):
-    """Right outer join: every order survives, customer side nullable
-    (planner note: Catalyst flips build sides freely — right outer
-    broadcasts the left/customer side)."""
-    c = load_table(spark, "customer", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
-    joined = c.join(o, c.c_custkey == o.o_custkey, "right")
-    return joined.groupBy(
-        F.coalesce(F.col("c_mktsegment"), F.lit("<no customer>")).alias("segment")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.count("c_custkey").alias("n_with_customer"),
-    )
 
 
 @query(
@@ -187,37 +165,17 @@ def join_broadcast_dim(spark, sf_dir):
 
 
 @query(
-    "join_theta_pairs",
-    sql="""
-    SELECT a.p_size AS size, count(*) AS n_pairs
+    "join_nonequi_suite",
+    sql=f"""
+    SELECT 'theta' AS kind, CAST(a.p_size AS VARCHAR) AS grp,
+           count(*) AS n, CAST(NULL AS DOUBLE) AS revenue
     FROM part a JOIN part b
       ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
      AND a.p_retailprice > b.p_retailprice
     GROUP BY a.p_size
-    """,
-)
-def join_theta_pairs(spark, sf_dir):
-    """Theta join (equi prefix + two inequality conjuncts): Catalyst
-    shuffles on the equi part and evaluates the rest post-probe; never
-    a cartesian."""
-    a = load_table(spark, "part", sf_dir).alias("a")
-    b = load_table(spark, "part", sf_dir).alias("b")
-    cond = (
-        (F.col("a.p_size") == F.col("b.p_size"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-        & (F.col("a.p_retailprice") > F.col("b.p_retailprice"))
-    )
-    return theta_join(a, b, cond).groupBy(F.col("a.p_size").alias("size")).agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
-
-
-@query(
-    "join_range_interval",
-    sql=f"""
-    SELECT l.l_linestatus AS linestatus,
-           count(*) AS n,
-           {sql_dsum("l.l_extendedprice")} AS revenue
+    UNION ALL
+    SELECT 'range_equi' AS kind, l.l_linestatus AS grp,
+           count(*) AS n, {sql_dsum("l.l_extendedprice")} AS revenue
     FROM lineitem l JOIN orders o
       ON l.l_orderkey = o.o_orderkey
      AND l.l_shipdate >= o.o_orderdate
@@ -225,9 +183,35 @@ def join_theta_pairs(spark, sf_dir):
     GROUP BY l.l_linestatus
     """,
 )
-def join_range_interval(spark, sf_dir):
-    """Range/interval join anchored on an equi key: the range conjunct
-    rides the equi shuffle as a cheap post-filter."""
+def join_nonequi_suite(spark, sf_dir):
+    """Non-equi join family, union-tagged into one result:
+
+    - ``theta``: equi prefix + two inequality conjuncts — Catalyst
+      shuffles on the equi part and evaluates the rest post-probe;
+      never a cartesian.
+    - ``range_equi``: interval predicate anchored on an equi key — the
+      range conjunct rides the equi shuffle as a cheap post-filter.
+
+    (The pure range join with NO equi anchor is `join_range_bucketed`.)
+    """
+    a = load_table(spark, "part", sf_dir).alias("a")
+    b = load_table(spark, "part", sf_dir).alias("b")
+    cond = (
+        (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.col("a.p_retailprice") > F.col("b.p_retailprice"))
+    )
+    theta = (
+        theta_join(a, b, cond)
+        .groupBy(F.col("a.p_size").alias("size"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("theta").alias("kind"),
+            F.col("size").cast("string").alias("grp"),
+            "n",
+            F.lit(None).cast("double").alias("revenue"),
+        )
+    )
     l = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     joined = range_join(
@@ -237,9 +221,10 @@ def join_range_interval(spark, sf_dir):
         range_condition=(l.l_shipdate >= o.o_orderdate)
         & (l.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
     )
-    return joined.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+    ranged = joined.groupBy(F.col("l_linestatus").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue")
-    )
+    ).select(F.lit("range_equi").alias("kind"), "grp", "n", "revenue")
+    return theta.unionByName(ranged)
 
 
 @query(
@@ -402,102 +387,110 @@ def agg_count_distinct(spark, sf_dir):
 
 
 @query(
-    "agg_rollup",
+    "agg_multidim_grouping",
     sql=f"""
-    SELECT coalesce(o_orderstatus, 'ALL') AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n, {sql_dsum("o_totalprice")} AS revenue
+    SELECT 'rollup' AS mode,
+           coalesce(o_orderstatus, 'ALL') AS k1,
+           coalesce(o_orderpriority, 'ALL') AS k2,
+           count(*) AS n, {sql_dsum("o_totalprice")} AS meas
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
-def agg_rollup(spark, sf_dir):
-    o = load_table(spark, "orders", sf_dir)
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue"))
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n",
-            "revenue",
-        )
-    )
-
-
-@query(
-    "agg_cube",
-    sql=f"""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           count(*) AS n, {sql_dsum("l_quantity")} AS sum_qty
+    UNION ALL
+    SELECT 'cube' AS mode,
+           coalesce(l_returnflag, 'ALL') AS k1,
+           coalesce(l_linestatus, 'ALL') AS k2,
+           count(*) AS n, {sql_dsum("l_quantity")} AS meas
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def agg_cube(spark, sf_dir):
-    l = load_table(spark, "lineitem", sf_dir)
-    return (
-        l.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n",
-            "sum_qty",
-        )
-    )
-
-
-@query(
-    "agg_grouping_sets",
-    sql=f"""
-    SELECT coalesce(o_orderstatus, 'ALL') AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n, {sql_dsum("o_totalprice")} AS revenue
+    UNION ALL
+    SELECT 'gsets' AS mode,
+           coalesce(o_orderstatus, 'ALL') AS k1,
+           coalesce(o_orderpriority, 'ALL') AS k2,
+           count(*) AS n, {sql_dsum("o_totalprice")} AS meas
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 )
-def agg_grouping_sets(spark, sf_dir):
-    """Custom grouping sets via the SQL surface (same Catalyst Expand
-    operator as rollup/cube)."""
+def agg_multidim_grouping(spark, sf_dir):
+    """Multi-dimensional grouping family — ROLLUP, CUBE and custom
+    GROUPING SETS (all the same Catalyst Expand operator under the
+    hood), union-tagged by `mode` into one hash-checked result. Expand
+    multiplies rows BEFORE the shuffle (one row per grouping set), so
+    partial aggregation still collapses each set map-side."""
     o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    rollup = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("meas"))
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+            "n",
+            "meas",
+        )
+    )
+    cube = (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("meas"))
+        .select(
+            F.lit("cube").alias("mode"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
+            "n",
+            "meas",
+        )
+    )
     o.createOrReplaceTempView("__orders_gs")
-    return spark.sql(
-        f"""
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS mode,
+               coalesce(o_orderstatus, 'ALL') AS k1,
+               coalesce(o_orderpriority, 'ALL') AS k2,
                count(*) AS n,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS meas
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 @query(
-    "agg_moments_stddev",
+    "agg_stats_profile",
     sql="""
-    SELECT o_orderstatus AS status,
-           n,
-           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 4) AS stddev_price
+    SELECT status, n, stddev_price, p50, p90, p99
     FROM (
-      SELECT o_orderstatus,
+      SELECT o_orderstatus AS status,
              count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s1,
-             sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS s2
+             round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                        - CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                          * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+                        / (count(*) - 1)), 4) AS stddev_price,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 2) AS p99
       FROM orders GROUP BY o_orderstatus
     )
     """,
 )
-def agg_moments_stddev(spark, sf_dir):
-    """Sample stddev from exact decimal moments (sum, sum-of-squares):
-    order-independent across engines, unlike streaming variance."""
+def agg_stats_profile(spark, sf_dir):
+    """Distribution profile per group, two statistical families in one
+    aggregation pass:
+
+    - sample stddev from exact decimal moments (sum, sum-of-squares) —
+      order-independent across engines, unlike streaming variance;
+    - exact interpolated percentiles (Spark `percentile` == SQL
+      quantile_cont: linear interpolation between order statistics).
+      At corpus scale swap for percentile_approx — declared exact here
+      so the oracle checks values."""
     o = load_table(spark, "orders", sf_dir)
     x = dec("o_totalprice")
     base = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("s1"),
         F.sum(x * x).alias("s2"),
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 2).alias("p99"),
     )
     return base.select(
         F.col("o_orderstatus").alias("status"),
@@ -509,56 +502,44 @@ def agg_moments_stddev(spark, sf_dir):
             ),
             4,
         ).alias("stddev_price"),
+        "p50",
+        "p90",
+        "p99",
     )
 
 
 @query(
-    "agg_pivot",
+    "agg_pivot_unpivot",
     sql=f"""
-    SELECT l_returnflag AS returnflag,
-           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
-           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
-    FROM lineitem GROUP BY l_returnflag
+    WITH piv AS (
+      SELECT l_returnflag AS returnflag,
+             {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+             {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT returnflag, 'qty_O' AS linestatus, qty_O AS qty FROM piv
+    UNION ALL
+    SELECT returnflag, 'qty_F' AS linestatus, qty_F AS qty FROM piv
     """,
 )
-def agg_pivot(spark, sf_dir):
-    """Pivot = groupBy().pivot() — compiles to the same conditional
-    aggregation the SQL spells out."""
+def agg_pivot_unpivot(spark, sf_dir):
+    """Pivot→unpivot round trip: `groupBy().pivot()` (compiles to the
+    conditional aggregation the oracle spells out) immediately melted
+    back to long form by DataFrame `unpivot` (Catalyst Expand — one
+    pass over the pivoted rows, no self-union)."""
     l = load_table(spark, "lineitem", sf_dir)
     pivoted = (
         l.groupBy(F.col("l_returnflag").alias("returnflag"))
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum(dec("l_quantity")), 2).cast("double"))
+        .select("returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
     )
-    return pivoted.select("returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
-
-
-@query(
-    "agg_unpivot",
-    sql="""
-    SELECT c_custkey AS custkey, metric, CAST(val AS DOUBLE) AS val
-    FROM (
-      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
-      UNION ALL
-      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    return pivoted.unpivot(
+        ids=["returnflag"],
+        values=["qty_O", "qty_F"],
+        variableColumnName="linestatus",
+        valueColumnName="qty",
     )
-    """,
-)
-def agg_unpivot(spark, sf_dir):
-    """Unpivot/melt (wide → long): DataFrame `unpivot` compiles to the
-    same Expand the UNION ALL oracle spells out — one scan, no self-
-    union."""
-    c = load_table(spark, "customer", sf_dir)
-    return c.select(
-        "c_custkey",
-        F.col("c_acctbal").cast("double").alias("acctbal"),
-        F.col("c_nationkey").cast("double").alias("nationkey"),
-    ).unpivot(
-        ids=["c_custkey"],
-        values=["acctbal", "nationkey"],
-        variableColumnName="metric",
-        valueColumnName="val",
-    ).withColumnRenamed("c_custkey", "custkey")
 
 
 @query("agg_approx_distinct", sql=None)  # approximate: rows-only check
@@ -609,157 +590,78 @@ def window_topk_per_group(spark, sf_dir):
 
 
 @query(
-    "window_rank_dense",
+    "window_rank_suite",
     sql="""
-    SELECT p_brand AS brand, p_partkey AS partkey,
-           CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS price_rank,
-           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS price_dense_rank
-    FROM part
+    SELECT c_custkey AS custkey,
+           CAST(rank() OVER wt AS INT) AS bal_rank,
+           CAST(dense_rank() OVER wt AS INT) AS bal_dense_rank,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WINDOW wt AS (ORDER BY c_acctbal),
+           w AS (ORDER BY c_acctbal, c_custkey)
     """,
 )
-def window_rank_dense(spark, sf_dir):
-    """rank/dense_rank with ties (identical prices rank equally —
-    deterministic output values even without a total order)."""
-    p = load_table(spark, "part", sf_dir)
-    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
-    return p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("partkey"),
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
+def window_rank_suite(spark, sf_dir):
+    """Ranking + distribution window family in one pass: rank/dense_rank
+    over a ties-allowed ordering (identical balances rank equally —
+    values deterministic without a total order), ntile/percent_rank/
+    cume_dist over the total order. Single unpartitioned window — at
+    scale replace with approx percentiles or range partitioning;
+    declared here for parity."""
+    c = load_table(spark, "customer", sf_dir)
+    wt = W.orderBy("c_acctbal")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.rank().over(wt).alias("bal_rank"),
+        F.dense_rank().over(wt).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
 
 
 @query(
-    "window_lag_lead",
+    "window_frame_suite",
     sql="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT) AS days_since_prev,
-           lead(o_orderkey) OVER w AS next_orderkey
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(count(*) OVER wr AS BIGINT) AS n_last_30d,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER wr, 2) AS DOUBLE)
+             AS sum_last_30d
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wr AS (PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
     """,
 )
-def window_lag_lead(spark, sf_dir):
+def window_frame_suite(spark, sf_dir):
+    """Window frame family in one pass over one partitioning: lag/lead
+    (physical offsets), a ROWS-frame running sum (decimal accumulation
+    → engine-exact prefix sums), and a RANGE frame over a value axis
+    (trailing 30-day per-customer count/revenue — peers defined by the
+    ordering VALUE, so results are independent of tie order). All specs
+    share PARTITION BY o_custkey: one exchange, sorts reused."""
     o = load_table(spark, "orders", sf_dir)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    wr = W.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, W.currentRow)
     return o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
         F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
-    )
-
-
-@query(
-    "window_running_sum",
-    sql="""
-    SELECT event_id,
-           user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-    FROM events
-    """,
-)
-def window_running_sum(spark, sf_dir):
-    """Running sum with an explicit ROWS frame; decimal accumulation →
-    engine-exact prefix sums."""
-    e = load_table(spark, "events", sf_dir)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return e.select(
-        "event_id",
-        "user_id",
-        F.sum(dec("value")).over(w).cast("double").alias("running_value"),
-    )
-
-
-@query(
-    "agg_percentiles",
-    sql="""
-    SELECT o_orderpriority AS priority,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def agg_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles per group (Spark `percentile` ==
-    SQL quantile_cont semantics: linear interpolation between order
-    statistics). At corpus scale swap for percentile_approx — declared
-    exact here so the oracle checks values."""
-    o = load_table(spark, "orders", sf_dir)
-    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90"),
-        F.round(F.percentile("o_totalprice", 0.99), 2).alias("p99"),
-    )
-
-
-@query(
-    "window_range_frame",
-    sql="""
-    SELECT o_orderkey AS orderkey,
-           CAST(count(*) OVER w AS BIGINT) AS n_last_30d,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
-             AS sum_last_30d
-    FROM orders
-    WINDOW w AS (
-      PARTITION BY o_custkey
-      ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
-      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
-    )
-    """,
-)
-def window_range_frame(spark, sf_dir):
-    """RANGE frame over a value axis (trailing 30-day per-customer
-    order count/revenue): unlike ROWS frames, peers are defined by the
-    ordering VALUE, so results are independent of tie order —
-    the frame spec a time-decayed feature pipeline uses. Decimal
-    accumulation keeps the windowed sums engine-exact."""
-    o = load_table(spark, "orders", sf_dir)
-    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy(day)
-        .rangeBetween(-30, W.currentRow)
-    )
-    return o.select(
-        F.col("o_orderkey").alias("orderkey"),
-        F.count(F.lit(1)).over(w).alias("n_last_30d"),
-        F.round(F.sum(dec("o_totalprice")).over(w), 2)
-        .cast("double")
-        .alias("sum_last_30d"),
-    )
-
-
-@query(
-    "window_ntile_percentile",
-    sql="""
-    SELECT c_custkey AS custkey,
-           CAST(ntile(4) OVER w AS INT) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cum_dist
-    FROM customer
-    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
-    """,
-)
-def window_ntile_percentile(spark, sf_dir):
-    """Distribution functions over a total order. Single unpartitioned
-    window — at scale replace with approx percentiles or range
-    partitioning; declared here for parity."""
-    c = load_table(spark, "customer", sf_dir)
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        F.col("c_custkey").alias("custkey"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.sum(dec("o_totalprice")).over(wrun).cast("double").alias("running_total"),
+        F.count(F.lit(1)).over(wr).alias("n_last_30d"),
+        F.round(F.sum(dec("o_totalprice")).over(wr), 2).cast("double").alias("sum_last_30d"),
     )
 
 
@@ -792,60 +694,59 @@ def sort_topk_global(spark, sf_dir):
 
 
 @query(
-    "setop_union_counts",
+    "setop_suite",
     sql="""
-    SELECT nk AS nationkey, count(*) AS n_parties FROM (
+    SELECT 'union' AS op, CAST(nk AS VARCHAR) AS key, count(*) AS n FROM (
       SELECT c_nationkey AS nk FROM customer
       UNION ALL
       SELECT s_nationkey AS nk FROM supplier
     ) GROUP BY nk
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(k AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS n FROM (
+      SELECT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    UNION ALL
+    SELECT 'except' AS op, CAST(k AS VARCHAR) AS key, CAST(NULL AS BIGINT) AS n FROM (
+      SELECT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
     """,
 )
-def setop_union_counts(spark, sf_dir):
+def setop_suite(spark, sf_dir):
+    """Set-operator family union-tagged into one result: UNION ALL (+
+    count per key), INTERSECT and EXCEPT (both DISTINCT semantics —
+    hash-aggregate + co-partitioned existence join under the hood;
+    same single shuffle shape the standalone operators had)."""
     c = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk"))
-    return c.unionByName(s).groupBy(F.col("nk").alias("nationkey")).agg(
-        F.count(F.lit(1)).alias("n_parties")
+    union = (
+        c.unionByName(s)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union").alias("op"), F.col("nk").cast("string").alias("key"), "n")
     )
-
-
-@query(
-    "setop_intersect",
-    sql="""
-    SELECT o_custkey AS custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-    INTERSECT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-    """,
-)
-def setop_intersect(spark, sf_dir):
     o = load_table(spark, "orders", sf_dir)
-    y94 = o.where(
+    y96 = o.where(
         "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
-    ).select(F.col("o_custkey").alias("custkey"))
-    y95 = o.where(
+    ).select(F.col("o_custkey").alias("k"))
+    y97 = o.where(
         "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
-    ).select(F.col("o_custkey").alias("custkey"))
-    return y94.intersect(y95)
-
-
-@query(
-    "setop_except",
-    sql="""
-    SELECT o_custkey AS custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-    EXCEPT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-    """,
-)
-def setop_except(spark, sf_dir):
-    o = load_table(spark, "orders", sf_dir)
-    y94 = o.where(
-        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
-    ).select(F.col("o_custkey").alias("custkey"))
-    y95 = o.where(
-        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
-    ).select(F.col("o_custkey").alias("custkey"))
-    return y94.subtract(y95)  # EXCEPT DISTINCT semantics
+    ).select(F.col("o_custkey").alias("k"))
+    both = y96.intersect(y97).select(
+        F.lit("intersect").alias("op"),
+        F.col("k").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    only96 = y96.subtract(y97).select(  # EXCEPT DISTINCT semantics
+        F.lit("except").alias("op"),
+        F.col("k").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return union.unionByName(both).unionByName(only96)
