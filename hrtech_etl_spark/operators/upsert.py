@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 
 from hrtech_etl_spark.operators.joins import last_wins_dedup
 
+#: Upper bound on driver-collected distinct partition values in
+#: `merge_upsert(partition_col=...)` — past this, the caller almost
+#: certainly passed a high-cardinality column by mistake.
+MAX_AFFECTED_PARTITIONS = 10_000
+
 
 def merge_frames(
     target: DataFrame,
@@ -88,23 +93,51 @@ def merge_upsert(
     target = spark.read.parquet(target_path)
 
     if partition_col:
+        # Driver-side partition enumeration is bounded by the number of
+        # partitions the source batch touches (days, not rows) — but a
+        # mis-keyed call (e.g. partition_col=primary key) would collect
+        # millions of values. Cap it: count first, fail loudly.
+        n_affected = source.select(partition_col).distinct().count()
+        if n_affected > MAX_AFFECTED_PARTITIONS:
+            raise ValueError(
+                f"merge_upsert: source touches {n_affected} distinct "
+                f"'{partition_col}' partitions (max {MAX_AFFECTED_PARTITIONS}). "
+                "Is the partition column right? For unpartitioned merges "
+                "use partition_col=None (full-table rewrite)."
+            )
         affected = [
             r[0]
             for r in source.select(partition_col).distinct().collect()
         ]
         sub_target = target.where(F.col(partition_col).isin(affected))
         merged = merge_frames(sub_target, source, key_cols, order_cols)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Dynamic mode replaces only the partitions present in `merged`.
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        # Session-scoped conf: save/restore so later mode('overwrite')
+        # writes in the same session keep full-truncate semantics.
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                target_path
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return
 
     merged = merge_frames(target, source, key_cols, order_cols)
     tmp = target_path.rstrip("/") + ".__tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(target_path)
-    _rm(spark, tmp)
+    # Swap with directory renames (no second Spark job onto the live
+    # target): a crash leaves either the old target or the new one,
+    # never a half-written directory.
+    old = target_path.rstrip("/") + ".__old"
+    _rm(spark, old)
+    os.rename(target_path.rstrip("/"), old)
+    os.rename(tmp, target_path.rstrip("/"))
+    _rm(spark, old)
 
 
 def _dataset_exists(path: str) -> bool:

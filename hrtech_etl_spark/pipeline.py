@@ -140,6 +140,25 @@ def pull(
     # rejected by HAVING is consumed, not re-read forever.
     next_cursor = advance_cursor(scanned, cursor, cursor_col, uid_col)
 
+    # Snapshot bound: the advance aggregation and the sink write are
+    # separate jobs, so on a live source rows can land between them.
+    # Bound the written slice by the checkpointed (end, end_uid) pair —
+    # write and checkpoint then describe the SAME snapshot; later rows
+    # belong to the next resume. An empty advance writes nothing (a
+    # late arrival would otherwise be written now AND re-read next
+    # resume → duplicate in an append sink).
+    asc = cursor.sort_by is SortOrder.ASC
+    if next_cursor is cursor:
+        scanned = scanned.where(F.lit(False))
+    else:
+        c, u = F.col(cursor_col), F.col(uid_col)
+        end = F.lit(next_cursor.end).cast(source.schema[cursor_col].dataType)
+        eu = F.lit(next_cursor.end_uid)
+        bound = ((c < end) | ((c == end) & (u <= eu))) if asc else (
+            (c > end) | ((c == end) & (u >= eu))
+        )
+        scanned = scanned.where(bound)
+
     out = apply_conditions(scanned, having)
     if mapping:
         out = apply_mapping(out, mapping)

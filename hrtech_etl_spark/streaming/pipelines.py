@@ -242,9 +242,10 @@ def user_running_stats(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if watermark:
+        events = events.withWatermark(ts_col, watermark)
     return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(key_col)
+        events.groupBy(key_col)
         .applyInPandasWithState(
             update,
             outputStructType=RUNNING_STATS_SCHEMA,
@@ -280,10 +281,18 @@ def foreach_batch_upsert(
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: set-based MERGE of each micro-batch into a
     parquet target, with the reference's per-batch error containment
-    (``core/pipeline.py:130-135``): a failing batch is captured (and
-    optionally dead-lettered) instead of killing the stream."""
+    (``core/pipeline.py:130-135``): with a ``dead_letter_path``, a
+    failing batch is captured to the dead-letter dataset and the stream
+    continues. WITHOUT one, the exception re-raises so the checkpoint
+    does NOT commit the failed batch and the restarted stream reprocesses
+    it (exactly-once) — swallowing it would be silent data loss.
+
+    The batch is persisted before the merge so the dead-letter write
+    appends the rows that actually failed instead of recomputing (and
+    possibly re-failing) the batch plan."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
         try:
             n = batch_df.count()
             merge_upsert(
@@ -300,8 +309,11 @@ def foreach_batch_upsert(
         except Exception as exc:  # noqa: BLE001 — containment is the contract
             if metrics is not None:
                 metrics.errors.append(f"batch {batch_id}: {exc}")
-            if dead_letter_path is not None:
-                batch_df.write.mode("append").parquet(dead_letter_path)
+            if dead_letter_path is None:
+                raise  # fail the batch → checkpoint not committed → retried
+            batch_df.write.mode("append").parquet(dead_letter_path)
+        finally:
+            batch_df.unpersist()
 
     return sink
 

@@ -163,29 +163,40 @@ def stream_stateful_running_stats(spark, sf_dir):
 
     # events.ts is parquet TIMESTAMP(NANOS); the stream schema reads it
     # as raw nanos (legacy long path) and converts, like load_table.
+    # Session-scoped conf: save/restore so later parquet reads in this
+    # session decode timestamps normally again.
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(src).schema
-    # file streams take directories; stage the single file into one
-    stage_dir = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(src, os.path.join(stage_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-    name = f"running_stats_{uuid.uuid4().hex[:8]}"
-    # State-store instances scale with shuffle partitions; a default-200
-    # session would spin up 200 stores for a small drain. Pin a bounded
-    # count for this run, restore after.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        run_available_now(
-            user_running_stats(stream),
-            checkpoint=tempfile.mkdtemp(prefix="ck_running_stats_"),
-            output_mode="update",
-            memory_table=name,
-        )
+        src = os.path.join(sf_dir, "events.parquet")
+        raw_schema = spark.read.parquet(src).schema
+        # file streams take directories; stage the single file into one
+        stage_dir = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+        stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+
+        name = f"running_stats_{uuid.uuid4().hex[:8]}"
+        # State-store instances scale with shuffle partitions; a
+        # default-200 session would spin up 200 stores for a small
+        # drain. Pin a bounded count for this run, restore after.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try:
+            run_available_now(
+                user_running_stats(stream),
+                checkpoint=tempfile.mkdtemp(prefix="ck_running_stats_"),
+                output_mode="update",
+                memory_table=name,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return spark.table(name)

@@ -253,6 +253,38 @@ def test_merge_upsert_partition_scoped(spark, tmp_path):
     assert got == {1: ("2024-01-01", "a"), 2: ("2024-01-02", "B")}
 
 
+def test_merge_upsert_partition_guard(spark, tmp_path, monkeypatch):
+    """A mis-keyed partition_col (high cardinality) must fail loudly
+    instead of collecting millions of values onto the driver."""
+    import pytest
+
+    import hrtech_etl_spark.operators.upsert as U
+
+    path = str(tmp_path / "gtarget")
+    base = spark.createDataFrame(
+        [(i, f"d{i}", "x") for i in range(6)], ["id", "day", "val"]
+    )
+    merge_upsert(spark, path, base, ["id"], partition_col="day")
+    monkeypatch.setattr(U, "MAX_AFFECTED_PARTITIONS", 3)
+    with pytest.raises(ValueError, match="distinct 'day' partitions"):
+        merge_upsert(spark, path, base, ["id"], partition_col="day")
+
+
+def test_merge_upsert_restores_overwrite_mode(spark, tmp_path):
+    """Partitioned merge must not leak partitionOverwriteMode=dynamic
+    into the session: a later plain mode('overwrite') write would
+    silently switch from truncate-table to partition-merge semantics."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    path = str(tmp_path / "rtarget")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")], ["id", "day", "val"]
+    )
+    merge_upsert(spark, path, base, ["id"], partition_col="day")
+    merge_upsert(spark, path, base, ["id"], partition_col="day")
+    assert spark.conf.get(key, None) == prev
+
+
 def test_foreach_batch_upsert_stream(spark, event_stream_dir, events_batch, tmp_path):
     """End-to-end EVENTS-mode streaming push: stream → last-wins per
     user → foreachBatch merge upsert. Final target = batch last-wins."""
@@ -285,32 +317,41 @@ def test_foreach_batch_upsert_stream(spark, event_stream_dir, events_batch, tmp_
 
 
 def test_foreach_batch_error_containment(spark, tmp_path):
-    """A failing micro-batch is captured in metrics (and the stream
-    keeps running) instead of propagating — reference per-chunk
-    error capture (core/pipeline.py:130-135)."""
-    metrics = StreamMetrics()
+    """Failing micro-batch contract: WITHOUT a dead-letter path the
+    exception re-raises (checkpoint must not commit a failed batch —
+    swallowing it would be silent data loss); WITH one, the batch is
+    captured to the dead-letter dataset and the stream continues —
+    reference per-chunk error capture (core/pipeline.py:130-135)."""
+    import pytest
 
-    def bad_sink(batch_df, batch_id):
-        raise RuntimeError("boom")
-
-    wrapped = foreach_batch_upsert(
-        str(tmp_path / "t"), ["id"], metrics=metrics
-    )
-
-    # call the containment wrapper directly with a broken merge: force
-    # failure by passing a frame whose write will throw (invalid path
-    # chars are OS-dependent; instead monkey-patch merge to raise)
     import hrtech_etl_spark.streaming.pipelines as P
 
     orig = P.merge_upsert
     P.merge_upsert = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
     try:
         df = spark.createDataFrame([(1,)], ["id"])
-        wrapped(df, 0)
+
+        # no dead letter → the batch failure must propagate (retry-able)
+        metrics = StreamMetrics()
+        wrapped = foreach_batch_upsert(str(tmp_path / "t"), ["id"], metrics=metrics)
+        with pytest.raises(RuntimeError, match="boom"):
+            wrapped(df, 0)
+        assert metrics.errors and "boom" in metrics.errors[0]
+        assert metrics.batches == 0
+
+        # dead letter set → contained: rows land in the dead-letter
+        # dataset, nothing raises, stream would keep running
+        metrics2 = StreamMetrics()
+        dlq = str(tmp_path / "dead")
+        wrapped2 = foreach_batch_upsert(
+            str(tmp_path / "t"), ["id"], metrics=metrics2, dead_letter_path=dlq
+        )
+        wrapped2(df, 1)
+        assert metrics2.errors and "boom" in metrics2.errors[0]
+        assert metrics2.batches == 0
+        assert spark.read.parquet(dlq).count() == 1
     finally:
         P.merge_upsert = orig
-    assert metrics.errors and "boom" in metrics.errors[0]
-    assert metrics.batches == 0
 
 
 def test_checkpoint_resume_incremental_exactly_once(
