@@ -13,7 +13,8 @@ Shapes
 - MinHash:  shingle → k seeded min-hashes → band buckets → self-join
             *within buckets only* → exact Jaccard verify on survivors.
 - SimHash:  per-token hash bit-votes → 32-bit signature; candidates
-            share the signature's top band, verified by Hamming dist.
+            share ≥1 of its disjoint bands (pigeonhole ⇒ exact recall
+            at the Hamming threshold), verified by Hamming dist.
 - n-gram:   blocking key (cheap) → exact Jaccard within block.
 """
 
@@ -284,7 +285,7 @@ def jaccard_verify(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 
 def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
@@ -296,10 +297,10 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     token count in its last slot, and the ``finish`` lambda turns the
     materialized counts into the signature. The per-bit
     ``size(filter(hashes, ...))`` formulation re-evaluated the md5
-    token hashing once per bit (16x) in interpreted HOF eval. 16 bits
-    keeps the expression tree tractable; the scale path for 64-bit
-    signatures is a pandas UDF over numpy packed bits (same contract,
-    swappable here).
+    token hashing once per bit (32x) in interpreted HOF eval. 32 bits
+    is the full width of :func:`portable_hash`; the scale path for
+    64-bit signatures is a pandas UDF over numpy packed bits (same
+    contract, swappable here).
     """
     toks = F.array_distinct(tokens(col))
     hashed = F.transform(toks, lambda t: portable_hash(t, seed=99))
@@ -335,11 +336,29 @@ def simhash_pairs(
     *,
     bits: int = SIMHASH_BITS,
     max_hamming: int = 3,
-    band_bits: int = 8,
+    num_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the signature's top
-    ``band_bits`` bits (docs differing there can't be near-identical),
-    verify Hamming distance within blocks."""
+    """Near-dup pairs by SimHash with multi-band blocking — the MinHash
+    band scheme applied to the signature's bit ranges.
+
+    The signature splits into ``num_bands`` disjoint bands (default
+    ``max_hamming + 1``); candidates are pairs agreeing on AT LEAST ONE
+    band, verified by Hamming distance. Pigeonhole: ``max_hamming``
+    differing bits can dirty at most ``max_hamming`` bands, so with
+    ``max_hamming + 1`` bands every within-threshold pair shares a
+    clean band — **exact recall**, unlike single-band top-bits blocking
+    (which silently missed pairs whose differing bits fell in the
+    band). Scale: candidate buckets are keyed by (band index, band
+    value) — ``num_bands × 2^(bits/num_bands)`` blocks (default
+    4 × 2^8), dialable upward via ``bits``; bucket sizes shrink as the
+    signature space spreads, and the per-band join is one shuffle on
+    the bucket key.
+    """
+    num_bands = num_bands or (max_hamming + 1)
+    if bits % num_bands:
+        raise ValueError(f"bits={bits} not divisible by num_bands={num_bands}")
+    band_bits = bits // num_bands
+    mask = (1 << band_bits) - 1
     n = df.sparkSession.sparkContext.defaultParallelism
     # Round-robin spread parallelizes the simhash pass beyond the
     # scan's file granularity; the keyed barrier then materializes ONE
@@ -350,10 +369,31 @@ def simhash_pairs(
         F.col(id_col), simhash(F.col(text_col), bits).alias("sh")
     )
     sig = sig.repartition(n, id_col)
-    sig = sig.withColumn("band", F.shiftright("sh", bits - band_bits))
-    a, b = sig.alias("a"), sig.alias("b")
+    banded = sig.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.shiftright("sh", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "sh", "band.bi", "band.bv")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .withColumn("hamming", hamming_distance(F.col("a.sh"), F.col("b.sh")))
         .where(F.col("hamming") <= max_hamming)
         .select(
@@ -361,6 +401,7 @@ def simhash_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             "hamming",
         )
+        .distinct()  # a pair can agree on several bands
     )
 
 

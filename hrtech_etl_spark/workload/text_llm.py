@@ -65,7 +65,8 @@ def minhash_sql(j: int, shingles: str = "sh") -> str:
 
 
 def simhash_sql(bits: int = dd.SIMHASH_BITS) -> str:
-    """16-bit bit-vote simhash over distinct tokens, DuckDB dialect."""
+    """Bit-vote simhash over distinct tokens, DuckDB dialect (default
+    32-bit, matching dedup.SIMHASH_BITS)."""
     toks = TOKENS_SQL.format(t="text")
     hashes = f"list_transform(list_distinct({toks}), t -> (('0x' || substr(md5('99:' || t), 1, 8))::BIGINT))"
     terms = []
@@ -284,18 +285,20 @@ def dedup_minhash_lsh(spark, sf_dir):
 @query(
     "dedup_simhash",
     sql=f"""
-    WITH sig AS (SELECT doc_id, {simhash_sql()} AS sh FROM documents),
-    banded AS (SELECT doc_id, sh, sh >> 8 AS band FROM sig)
+    WITH sig AS (SELECT doc_id, {simhash_sql()} AS sh FROM documents)
     SELECT hamming, count(*) AS n_pairs FROM (
       SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3
     ) GROUP BY hamming
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: 16-bit bit-vote signature, top-8-bit band
-    blocking, Hamming-distance verify."""
+    """SimHash near-dup: 32-bit bit-vote signature, multi-band blocking
+    (4 disjoint 8-bit bands; pigeonhole ⇒ exact recall at hamming ≤ 3),
+    Hamming-distance verify. The oracle states the ALL-PAIRS join — the
+    banded candidate generation must reproduce it exactly, which the
+    hash-match verifies."""
     d = load_table(spark, "documents", sf_dir)
     pairs = dd.simhash_pairs(d, "text", "doc_id", max_hamming=3)
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))

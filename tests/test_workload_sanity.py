@@ -10,6 +10,34 @@ from hrtech_etl_spark.sources.testdata import load_table
 from hrtech_etl_spark.workload import REGISTRY
 
 
+def test_simhash_multiband_exact_recall(spark, sf_dir):
+    """Multi-band blocking (max_hamming+1 disjoint bands) must find
+    EXACTLY the pairs the unblocked all-pairs join finds — pigeonhole
+    guarantees no within-threshold pair is missed, and the Hamming
+    verify removes any extras."""
+    from hrtech_etl_spark.functions import dedup as dd
+
+    d = load_table(spark, "documents", sf_dir)
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_pairs(d, "text", "doc_id", max_hamming=3).collect()
+    }
+    sig = d.select(F.col("doc_id"), dd.simhash(F.col("text")).alias("sh"))
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dd.hamming_distance(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
 def test_approx_distinct_within_tolerance(spark, sf_medium):
     """HyperLogLog++ estimate (rsd=0.02) must sit within 5% of the
     exact per-group distinct count — the rows-only oracle row for
