@@ -53,19 +53,24 @@ def main() -> None:
 
     # One untimed warm-up run per query (janino codegen of the large
     # expression trees costs whole seconds the first time a plan
-    # compiles — irrelevant at production scale), then min of two
-    # timed runs (single-shot timings on a shared microVM showed
-    # 2-10x swings from GC/host noise; the min is the steady-state
-    # cost of the plan).
+    # compiles — irrelevant at production scale), then n timed runs
+    # (single-shot timings on a shared microVM showed 2-10x swings from
+    # GC/host noise). Headline per-query number = MIN (the steady-state
+    # cost of the plan); medians are reported alongside so a regression
+    # can be told apart from one noisy run.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         REGISTRY[name].fn(spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +80,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "n_runs": n_runs,
                 "sf": sf,
             }
         )

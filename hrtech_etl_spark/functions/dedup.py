@@ -88,9 +88,12 @@ def word_shingles(col: Column, k: int = 2) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+def minhash_signature(
+    shingles: Column, num_hashes: int = 8, *, pre_hashed: bool = False
+) -> Column:
     """The k-minhash signature as ONE ``array<long>`` column, computed
-    in a single pass with a single md5 per shingle.
+    in a single pass with a single md5 per shingle (zero md5s when
+    ``pre_hashed`` — the column already holds portable_hash values).
 
     Universal-hash construction: base = portable_hash(shingle), then
     ``h_j = (A[j]*base + B[j]) mod P`` (:mod:`..functions.hashing`).
@@ -100,9 +103,15 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     whole LSH pipeline; here the inner ``transform`` materializes the
     base hashes once, and the fold keeps elementwise minima of the k
     cheap affine transforms. Empty shingle sets yield NULL (parity with
-    SQL ``list_min`` over an empty list).
+    SQL ``list_min`` over an empty list). min over the distinct hashed
+    set == min over all shingles' hashes, so a ``pre_hashed`` distinct
+    array gives the identical signature.
     """
-    hashed = F.transform(shingles, lambda s: portable_hash(s))
+    hashed = (
+        shingles
+        if pre_hashed
+        else F.transform(shingles, lambda s: portable_hash(s))
+    )
     init = F.array(*[F.lit(MINHASH_PRIME)] * num_hashes).cast("array<long>")
     folded = F.aggregate(
         hashed,
@@ -135,43 +144,58 @@ def lsh_bands(
 
 
 def shingle_table(
-    df: DataFrame, text_col: str, id_col: str, *, shingle_k: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 2,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, shingle-set) table behind a repartition barrier.
 
-    Two exchanges, deliberately:
+    ``hashed=False`` (string shingles): ONE keyed exchange of the raw
+    (id, text) rows with the shingle projection ABOVE it — measured
+    against materializing the shingle arrays behind a second exchange,
+    recomputing the projection per consumer is cheaper than shuffling
+    ``array<string>`` columns (8.2s vs 4.3s for the full LSH query at
+    sf0.1): text compresses/serializes better than its exploded form.
 
-    1. Raw (id, text) rows are repartitioned by id BEFORE the shingle
-       projection — shingling (tokenize + k-gram + distinct) is the
-       CPU-dominant step, and a scan's natural parallelism is file
-       granularity, which can be far below the cluster's cores (one
-       small file = one task doing all the work).
-    2. The shingled rows are exchanged again: that shuffle is the
-       materialization point, so every consumer (signature stage,
-       Jaccard verify — both sides) reads ONE ReusedExchange instead of
-       re-shingling the corpus per consumer. At corpus scale this
-       boundary is where you'd persist the table.
+    ``hashed=True`` (the LSH fast path): shingles are reduced to their
+    distinct ``portable_hash`` values (``array<long>``) and exchanged
+    AGAIN — this second shuffle materializes the hashed sets, so every
+    consumer (signature fold, both Jaccard-verify sides) reads ONE
+    ReusedExchange and performs ZERO tokenize/md5 work. Unlike string
+    shingles, the hashed arrays are compact (8 bytes/shingle), so the
+    extra exchange wins. Signature + hash-based verify are both
+    invariant to this reduction (min over the distinct hash set == min
+    over per-shingle hashes). At corpus scale this boundary is where
+    you'd persist the table.
 
-    Both repartitions pin an explicit partition count: with a bare
+    All repartitions pin an explicit partition count: with a bare
     ``repartition(col)`` AQE sees a few MB of shuffle data and
     coalesces back to one partition — correct for IO-bound plans,
-    wrong here where cost is per-row CPU (8 seeded md5s per shingle),
-    and it would serialize the heavy stages.
+    wrong here where cost is per-row CPU, and it would serialize the
+    heavy stages.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    # Keyed exchange of the RAW (id, text) rows, shingling above it.
-    # Measured against materializing the shingle arrays behind a second
-    # exchange: recomputing the shingle projection per consumer is
-    # cheaper than shuffling array<string> columns through an extra
-    # exchange (8.2s vs 4.3s for the full LSH query at sf0.1) — text
-    # compresses/serializes better than its exploded shingle form.
-    return (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(n, F.col(id_col))
-        .select(
-            F.col(id_col), word_shingles(F.col(text_col), k=shingle_k).alias("sh")
-        )
+    raw = df.select(F.col(id_col), F.col(text_col)).repartition(n, F.col(id_col))
+    sh = word_shingles(F.col(text_col), k=shingle_k)
+    if not hashed:
+        return raw.select(F.col(id_col), sh.alias("sh"))
+    hashed_sh = F.array_distinct(F.transform(sh, lambda s: portable_hash(s)))
+    # 2n, not n: same key + same count would let EnsureRequirements
+    # drop this barrier and re-inline the hashing into every consumer.
+    return raw.select(F.col(id_col), hashed_sh.alias("sh")).repartition(
+        2 * n, F.col(id_col)
     )
+
+
+def _shingles_pre_hashed(shingles: DataFrame) -> bool:
+    """True when a shingle table carries hashed (array<long>) sets."""
+    from pyspark.sql import types as T
+
+    dt = shingles.schema["sh"].dataType
+    return isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.LongType)
 
 
 def minhash_lsh_pairs(
@@ -197,14 +221,26 @@ def minhash_lsh_pairs(
 
     Pass ``shingles=shingle_table(...)`` to share the shingle exchange
     with a downstream :func:`jaccard_verify`.
+
+    Band-join skew, measured at sf0.1 (5k docs, 8 hashes × 4 bands):
+    8,761 buckets, mean size 2.3, p99 = 14, max = 192 (a genuine
+    near-identical cluster — its within-bucket product IS the answer,
+    not skew). With bucket sizes this flat the pinned partition counts
+    are about CPU parallelism, not key skew; a corpus-scale hot bucket
+    (boilerplate shingles) would show up here first and is the cue to
+    pre-filter stop-shingles or salt the verify join
+    (operators/skew.py).
     """
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_k=shingle_k)
     n = df.sparkSession.sparkContext.defaultParallelism
     sig = shingles.select(
-        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        F.col(id_col),
+        minhash_signature(
+            F.col("sh"), num_hashes, pre_hashed=_shingles_pre_hashed(shingles)
+        ).alias("sig"),
     )
-    sig = sig.repartition(2 * n, id_col)
+    sig = sig.repartition(3 * n, id_col)
     # NULL signature = empty shingle set: SQL semantics give these a
     # NULL bucket that never joins; mirror that instead of letting
     # concat_ws collapse the nulls into one md5("") mega-bucket.
@@ -259,7 +295,7 @@ def jaccard_verify(
         if shingles is not None
         else shingle_table(df, text_col, id_col, shingle_k=shingle_k)
     )
-    if hashed:
+    if hashed and not _shingles_pre_hashed(sets_):
         sets_ = sets_.select(
             id_col,
             F.array_distinct(
