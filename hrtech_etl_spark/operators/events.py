@@ -11,10 +11,12 @@ per-chunk Python loop.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hrtech_etl_spark.core.expressions import apply_conditions, conditions_to_column
 from hrtech_etl_spark.core.types import Condition
@@ -32,6 +34,109 @@ DEFAULT_TYPE_MAP: Mapping[str, str] = {
     "profile.deleted": "deleted",
     "profile.archived": "archived",
 }
+
+
+# ---------------------------------------------------------------------------
+# Per-connector webhook event specs
+# ---------------------------------------------------------------------------
+
+def _webhook_payload_schema(entity: str) -> T.StructType:
+    """The connectors' documented webhook shape:
+    ``{"id", "type", "timestamp", "data": {"<entity>": {"id", ...}}}``
+    (reference connectors/warehouse_a/models.py:163-190,
+    connectors/hrflow/models.py:322-355 — both ship this shape)."""
+    return T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+            T.StructField(
+                "data",
+                T.StructType(
+                    [
+                        T.StructField(
+                            entity,
+                            T.StructType([T.StructField("id", T.StringType())]),
+                        )
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+@dataclass(frozen=True)
+class EventSpec:
+    """One connector × entity webhook contract: payload schema + native
+    type → unified type table. The reference encodes this per connector
+    as ``from_payload`` / ``to_unified`` model methods; here it is data
+    driving one generic parser, so adding a connector is a table, not
+    code."""
+
+    connector: str
+    entity: str  # "job" | "profile"
+    type_map: Mapping[str, str] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return _webhook_payload_schema(self.entity)
+
+
+# to_unified maps ONLY created/updated/deleted; every other type —
+# including "<entity>.archived" — falls through to UPSERTED
+# (warehouse_a/models.py:199-206,267-274; hrflow/models.py:361-368,
+# 425-432). Both connectors ship the identical table today; they are
+# registered separately because the reference keeps them per-connector
+# (a connector with different native names changes only its table).
+def _crud_type_map(entity: str) -> Mapping[str, str]:
+    return {
+        f"{entity}.created": "created",
+        f"{entity}.updated": "updated",
+        f"{entity}.deleted": "deleted",
+    }
+
+
+CONNECTOR_EVENT_SPECS: Mapping[str, EventSpec] = {
+    "warehouse_a.jobs": EventSpec("warehouse_a", "job", _crud_type_map("job")),
+    "warehouse_a.profiles": EventSpec(
+        "warehouse_a", "profile", _crud_type_map("profile")
+    ),
+    "hrflow.jobs": EventSpec("hrflow", "job", _crud_type_map("job")),
+    "hrflow.profiles": EventSpec("hrflow", "profile", _crud_type_map("profile")),
+}
+
+
+def parse_connector_events(df: DataFrame, json_col: str, spec: EventSpec) -> DataFrame:
+    """``from_payload().to_unified()`` as one column plan (works on
+    batch and streaming frames alike).
+
+    Mirrors the reference's error contract exactly: a payload missing
+    ``id``, ``type`` or ``data.<entity>.id`` — or whose ``timestamp``
+    does not parse — is DROPPED (``from_payload`` catches and returns
+    None); a missing timestamp is fine (``occurred_at`` null). Output:
+    ``event_id, <entity>_id, type (unified), occurred_at, payload``
+    (the raw JSON, as the reference carries the full payload through).
+    """
+    e = F.from_json(F.col(json_col), spec.schema)
+    parsed = df.select(
+        e.getField("id").alias("event_id"),
+        e.getField("data").getField(spec.entity).getField("id").alias(
+            f"{spec.entity}_id"
+        ),
+        e.getField("type").alias("_type_raw"),
+        normalize_event_type(e.getField("type"), spec.type_map).alias("type"),
+        e.getField("timestamp").alias("_ts_raw"),
+        # try_: ANSI sessions throw on a malformed literal; the
+        # reference's contract is drop-the-event, i.e. NULL here.
+        F.try_to_timestamp(e.getField("timestamp")).alias("occurred_at"),
+        F.col(json_col).alias("payload"),
+    )
+    return parsed.where(
+        F.col("event_id").isNotNull()
+        & F.col(f"{spec.entity}_id").isNotNull()
+        & F.col("_type_raw").isNotNull()
+        & (F.col("_ts_raw").isNull() | F.col("occurred_at").isNotNull())
+    ).drop("_type_raw", "_ts_raw")
 
 
 def normalize_event_type(col: Column, type_map: Mapping[str, str] | None = None) -> Column:

@@ -9,11 +9,52 @@ watermarks (covered by streaming tests, not oracle-checkable).
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from hrtech_etl_spark.sources.testdata import load_table
 from hrtech_etl_spark.workload.registry import dec, dsum, query, sql_dsum
+
+
+@contextlib.contextmanager
+def _staged_event_stream(spark, sf_dir):
+    """readStream over the events parquet, ts decoded like load_table.
+
+    events.ts is parquet TIMESTAMP(NANOS); the stream schema reads it
+    as raw nanos (legacy long path) and converts. Session-scoped conf:
+    saved/restored so later parquet reads decode normally. File streams
+    take directories; the single file is symlink-staged into one."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # State-store instances scale with shuffle partitions; a default-200
+    # session would spin up 200 stores for a small drain. Pin a bounded
+    # count for the run, restore after.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        raw_schema = spark.read.parquet(src).schema
+        stage_dir = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+        stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        yield stream
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
 
 
 @query(
@@ -88,21 +129,39 @@ def stream_sliding_window(spark, sf_dir):
     """,
 )
 def stream_session_window(spark, sf_dir):
-    """Session windows (30-min gap): session_window() merges events
-    strictly less than one gap apart; session end = last event + gap.
-    The oracle is the classic gaps-and-islands rewrite."""
-    e = load_table(spark, "events", sf_dir)
+    """Session windows (30-min gap) as a REAL Structured Streaming run
+    under the oracle gate: readStream over the events parquet →
+    session_window() merging-session aggregation (streaming state) →
+    availableNow drain into a memory sink in COMPLETE mode (session
+    windows without watermark are complete-mode-only; the final table
+    is the full merged-session set, equal to the batch aggregation the
+    gaps-and-islands oracle computes). session_window() merges events
+    strictly less than one gap apart; session end = last event + gap."""
+    import tempfile
+    import uuid
+
+    from hrtech_etl_spark.streaming.pipelines import run_available_now
+
+    name = f"session_windows_{uuid.uuid4().hex[:8]}"
     sw = F.session_window("ts", "30 minutes")
-    return (
-        e.groupBy(F.col("user_id"), sw.alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
+    with _staged_event_stream(spark, sf_dir) as stream:
+        agg = (
+            stream.groupBy(F.col("user_id"), sw.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
         )
-    )
+        run_available_now(
+            agg,
+            checkpoint=tempfile.mkdtemp(prefix="ck_session_"),
+            output_mode="complete",
+            memory_table=name,
+        )
+    return spark.table(name)
 
 
 @query(
@@ -150,53 +209,20 @@ def stream_stateful_running_stats(spark, sf_dir):
     sink. The whole input arrives as one micro-batch, so the final
     state equals the batch aggregation the oracle computes — verifying
     the custom stateful operator end-to-end, not just its batch twin."""
-    import os
     import tempfile
     import uuid
-
-    from pyspark.sql import types as T
 
     from hrtech_etl_spark.streaming.pipelines import (
         run_available_now,
         user_running_stats,
     )
 
-    # events.ts is parquet TIMESTAMP(NANOS); the stream schema reads it
-    # as raw nanos (legacy long path) and converts, like load_table.
-    # Session-scoped conf: save/restore so later parquet reads in this
-    # session decode timestamps normally again.
-    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        src = os.path.join(sf_dir, "events.parquet")
-        raw_schema = spark.read.parquet(src).schema
-        # file streams take directories; stage the single file into one
-        stage_dir = tempfile.mkdtemp(prefix="stream_events_")
-        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
-        stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-        if isinstance(raw_schema["ts"].dataType, T.LongType):
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-
-        name = f"running_stats_{uuid.uuid4().hex[:8]}"
-        # State-store instances scale with shuffle partitions; a
-        # default-200 session would spin up 200 stores for a small
-        # drain. Pin a bounded count for this run, restore after.
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
-        try:
-            run_available_now(
-                user_running_stats(stream),
-                checkpoint=tempfile.mkdtemp(prefix="ck_running_stats_"),
-                output_mode="update",
-                memory_table=name,
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+    name = f"running_stats_{uuid.uuid4().hex[:8]}"
+    with _staged_event_stream(spark, sf_dir) as stream:
+        run_available_now(
+            user_running_stats(stream),
+            checkpoint=tempfile.mkdtemp(prefix="ck_running_stats_"),
+            output_mode="update",
+            memory_table=name,
+        )
     return spark.table(name)
