@@ -1,0 +1,336 @@
+"""Minimal HTTP facade mirroring the reference's FastAPI surface
+(``app/api.py:35-386``) over the engine's pure functions — stdlib WSGI
+only (FastAPI is not in this environment, and the facade adds no query
+capability: every endpoint is a thin JSON shim over ``pipeline``,
+``connectors``, ``plans.mapping`` and ``sources.rest``).
+
+Routes (all under ``/api``):
+
+- ``GET  /health``
+- ``GET  /connectors``                      ≙ reference ``/connectors``
+- ``GET  /schema/unified/{resource}``       ≙ ``/schema/unified/...``
+- ``GET  /schema/{connector}/{resource}``   ≙ ``/schema/{c}/{r}``
+  (``?only_prefilterable=true`` filters to pushdown-capable fields)
+- ``POST /formatters/build`` / ``GET /formatters/{id}``
+  ≙ mapping-formatter registry (``app/api.py:166-214``)
+- ``POST /run/pull`` / ``POST /run/push``   ≙ ``/run/pull|push``
+- ``POST /debug/connector_params``          ≙ ``/debug/connector_params``
+  (``app/api.py:343-386``): shows how EQ/IN/CONTAINS conditions and the
+  cursor translate into backend query params via the same
+  ``compile_pushed_params`` the REST reader executes.
+
+The Spark-facing endpoints acquire the session lazily via
+``spark_factory`` (default :func:`hrtech_etl_spark.core.session.
+get_spark`); metadata endpoints never touch Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import asdict
+from typing import Any, Callable, Optional
+
+from hrtech_etl_spark.connectors import (
+    RestConnector,
+    get_connector_instance,
+    list_connectors,
+)
+from hrtech_etl_spark.core.schemas import (
+    UNIFIED_JOB_SCHEMA,
+    UNIFIED_PROFILE_SCHEMA,
+    export_schema_fields,
+)
+from hrtech_etl_spark.core.state import CursorStore
+from hrtech_etl_spark.core.types import Condition, Cursor, Resource, SortOrder
+from hrtech_etl_spark.plans.mapping import FORMATTER_REGISTRY, register_formatter
+
+_UNIFIED = {"job": UNIFIED_JOB_SCHEMA, "profile": UNIFIED_PROFILE_SCHEMA}
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+def _conditions(raw: Optional[list]) -> list[Condition]:
+    return [Condition(c["field"], c["op"], c.get("value")) for c in raw or []]
+
+
+def _cursor(raw: Optional[dict]) -> Cursor:
+    raw = raw or {}
+    return Cursor(
+        mode=raw.get("mode", "updated_at"),
+        start=raw.get("start"),
+        end=raw.get("end"),
+        sort_by=raw.get("sort_by", "asc"),
+        start_uid=raw.get("start_uid"),
+        end_uid=raw.get("end_uid"),
+    )
+
+
+def _cursor_dict(cursor: Cursor) -> dict:
+    d = asdict(cursor)
+    d["mode"] = cursor.mode.value
+    d["sort_by"] = cursor.sort_by.value
+    return {k: (v if v is None or isinstance(v, (int, float, bool)) else str(v)) for k, v in d.items()}
+
+
+def _resolve_mapping(body: dict):
+    if body.get("formatter_id"):
+        fid = body["formatter_id"]
+        if fid not in FORMATTER_REGISTRY:
+            raise ApiError(404, f"Formatter not found: {fid}")
+        return FORMATTER_REGISTRY[fid]
+    if body.get("mapping"):
+        return [{"from": m["from"], "to": m["to"]} for m in body["mapping"]]
+    return None
+
+
+def _connector(name: str):
+    try:
+        return get_connector_instance(name)
+    except KeyError as exc:
+        raise ApiError(404, str(exc)) from exc
+
+
+# ---------------------------------------------------------------------------
+# Endpoint implementations (pure JSON-in/JSON-out functions)
+# ---------------------------------------------------------------------------
+
+def ep_connectors() -> list[dict]:
+    return [
+        {
+            "name": m.name,
+            "warehouse_type": m.warehouse_type,
+            "description": m.description,
+        }
+        for m in list_connectors().values()
+    ]
+
+
+def ep_schema(spark_factory, connector: str, resource: str, only_prefilterable: bool) -> list[dict]:
+    if resource not in ("job", "profile"):
+        raise ApiError(400, f"resource must be job|profile, got {resource!r}")
+    if connector == "unified":
+        fields = export_schema_fields(_UNIFIED[resource])
+    else:
+        conn = _connector(connector)
+        df = conn.read_resource(spark_factory(), Resource(resource))
+        fields = export_schema_fields(df.schema)
+    if only_prefilterable:
+        fields = [f for f in fields if f["prefilter_operators"]]
+    return fields
+
+
+def ep_build_formatter(body: dict) -> dict:
+    mapping = [{"from": m["from"], "to": m["to"]} for m in body["mapping"]]
+    fid = register_formatter(mapping)
+    return {
+        "formatter_id": fid,
+        "resource": body.get("resource"),
+        "origin": body.get("origin"),
+        "target": body.get("target"),
+        "mapping": mapping,
+    }
+
+
+def ep_get_formatter(fid: str) -> dict:
+    if fid not in FORMATTER_REGISTRY:
+        raise ApiError(404, "Formatter not found")
+    return {"formatter_id": fid, "mapping": list(FORMATTER_REGISTRY[fid])}
+
+
+def ep_run_pull(spark_factory, body: dict) -> dict:
+    from hrtech_etl_spark import pipeline as pl
+
+    spark = spark_factory()
+    resource = Resource(body["resource"])
+    source = _connector(body["origin"]).read_resource(spark, resource)
+    store = CursorStore(body["state_dir"]) if body.get("state_dir") else None
+    key = body.get("pipeline_key", "default")
+    cursor = store.load(key) if store else None
+    if cursor is not None and cursor.end is not None:
+        cursor = Cursor(
+            mode=cursor.mode,
+            start=cursor.end,
+            start_uid=cursor.end_uid,
+            sort_by=cursor.sort_by,
+        )
+    if cursor is None:
+        cursor = _cursor(body.get("cursor"))
+    result = pl.pull(
+        source,
+        cursor=cursor,
+        cursor_col=body.get("cursor_col") or cursor.mode.value,
+        uid_col=body.get("uid_col", "uid"),
+        where=_conditions(body.get("where")),
+        having=_conditions(body.get("having")),
+        mapping=_resolve_mapping(body),
+        dry_run=bool(body.get("dry_run")),
+    )
+    if body.get("target") and not body.get("dry_run"):
+        _connector(body["target"]).write_resource(result.dataframe, resource)
+    if store:
+        store.save(key, result.cursor)
+    return {"cursor": _cursor_dict(result.cursor), "rows": result.rows}
+
+
+def ep_run_push(spark_factory, body: dict) -> dict:
+    from hrtech_etl_spark import pipeline as pl
+
+    spark = spark_factory()
+    resource = Resource(body["resource"])
+    source = _connector(body["origin"]).read_resource(spark, resource)
+    having = _conditions(body.get("having"))
+    mapping = _resolve_mapping(body)
+    metrics = pl.push_resources(
+        source, having=having, mapping=mapping, dry_run=bool(body.get("dry_run"))
+    )
+    if body.get("target") and not body.get("dry_run"):
+        from hrtech_etl_spark.core.expressions import apply_conditions
+        from hrtech_etl_spark.plans.mapping import apply_mapping
+
+        out = apply_conditions(source, having)
+        if mapping:
+            out = apply_mapping(out, mapping)
+        _connector(body["target"]).write_resource(out, resource)
+    return metrics
+
+
+def ep_debug_connector_params(body: dict) -> dict:
+    from hrtech_etl_spark.sources.rest import RestConfig, compile_pushed_params
+
+    conn = _connector(body["connector"])
+    resource = body.get("resource", "job")
+    if not isinstance(conn, RestConnector):
+        raise ApiError(400, "connector_params debug requires a REST connector")
+    try:
+        cfg = RestConfig.from_options(dict(conn.options[resource]))
+    except KeyError as exc:
+        raise ApiError(400, f"connector has no {resource!r} options") from exc
+
+    pushed: list[tuple] = []
+    for c in _conditions(body.get("where")):
+        pushed.append((c.field, c.op.value, c.value))
+    cursor = _cursor(body.get("cursor"))
+    sort_by_unified = body.get("sort_by_unified") or cursor.mode.value
+    asc = cursor.sort_by is SortOrder.ASC
+    if cursor.start is not None:
+        pushed.append((sort_by_unified, "gte" if asc else "lte", cursor.start))
+    if cursor.end is not None:
+        pushed.append((sort_by_unified, "lte" if asc else "gte", cursor.end))
+    try:
+        params = compile_pushed_params(pushed, cfg)
+    except KeyError as exc:
+        raise ApiError(
+            400, f"no binding for pushed field {exc} in connector options"
+        ) from exc
+    return {
+        "connector": body["connector"],
+        "resource": resource,
+        "sort_by_unified": sort_by_unified,
+        "params": params,
+        "pushed": [list(p) for p in pushed],
+    }
+
+
+# ---------------------------------------------------------------------------
+# WSGI plumbing
+# ---------------------------------------------------------------------------
+
+_ROUTES = [
+    ("GET", re.compile(r"^/api/health$")),
+    ("GET", re.compile(r"^/api/connectors$")),
+    ("GET", re.compile(r"^/api/schema/(?P<connector>[^/]+)/(?P<resource>[^/]+)$")),
+    ("POST", re.compile(r"^/api/formatters/build$")),
+    ("GET", re.compile(r"^/api/formatters/(?P<fid>[^/]+)$")),
+    ("POST", re.compile(r"^/api/run/pull$")),
+    ("POST", re.compile(r"^/api/run/push$")),
+    ("POST", re.compile(r"^/api/debug/connector_params$")),
+]
+
+
+def create_app(spark_factory: Callable[[], Any] | None = None):
+    """Build the WSGI application. ``spark_factory`` defaults to the
+    shared session builder; inject a fake in tests."""
+    if spark_factory is None:
+
+        def spark_factory():  # pragma: no cover - default wiring
+            from hrtech_etl_spark.core.session import get_spark
+
+            return get_spark(app_name="hrtech-etl-spark-api")
+
+    def app(environ, start_response):
+        method = environ["REQUEST_METHOD"]
+        path = environ.get("PATH_INFO", "")
+        query = environ.get("QUERY_STRING", "")
+
+        def respond(status: int, payload):
+            body = json.dumps(payload, default=str).encode()
+            start_response(
+                f"{status} {'OK' if status < 400 else 'ERROR'}",
+                [
+                    ("Content-Type", "application/json"),
+                    ("Content-Length", str(len(body))),
+                ],
+            )
+            return [body]
+
+        def read_body() -> dict:
+            try:
+                length = int(environ.get("CONTENT_LENGTH") or 0)
+            except ValueError:
+                length = 0
+            raw = environ["wsgi.input"].read(length) if length else b"{}"
+            try:
+                return json.loads(raw or b"{}")
+            except json.JSONDecodeError as exc:
+                raise ApiError(400, f"invalid JSON body: {exc}") from exc
+
+        try:
+            if method == "GET" and path == "/api/health":
+                return respond(200, {"status": "ok"})
+            if method == "GET" and path == "/api/connectors":
+                return respond(200, ep_connectors())
+            m = re.match(r"^/api/schema/(?P<connector>[^/]+)/(?P<resource>[^/]+)$", path)
+            if method == "GET" and m:
+                only_pref = "only_prefilterable=true" in query.lower()
+                return respond(
+                    200,
+                    ep_schema(spark_factory, m["connector"], m["resource"], only_pref),
+                )
+            if method == "POST" and path == "/api/formatters/build":
+                return respond(200, ep_build_formatter(read_body()))
+            m = re.match(r"^/api/formatters/(?P<fid>[^/]+)$", path)
+            if method == "GET" and m:
+                return respond(200, ep_get_formatter(m["fid"]))
+            if method == "POST" and path == "/api/run/pull":
+                return respond(200, ep_run_pull(spark_factory, read_body()))
+            if method == "POST" and path == "/api/run/push":
+                return respond(200, ep_run_push(spark_factory, read_body()))
+            if method == "POST" and path == "/api/debug/connector_params":
+                return respond(200, ep_debug_connector_params(read_body()))
+            return respond(404, {"detail": f"no route {method} {path}"})
+        except ApiError as exc:
+            return respond(exc.status, {"detail": exc.detail})
+        except (KeyError, ValueError, TypeError) as exc:
+            return respond(400, {"detail": f"{type(exc).__name__}: {exc}"})
+
+    return app
+
+
+def serve(host: str = "127.0.0.1", port: int = 8000, spark_factory=None):  # pragma: no cover
+    """Run the facade on stdlib wsgiref (dev/debug server, matching the
+    reference's uvicorn entry point in capability)."""
+    from wsgiref.simple_server import make_server
+
+    with make_server(host, port, create_app(spark_factory)) as httpd:
+        print(f"hrtech-etl-spark api on http://{host}:{port}/api/health")
+        httpd.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    serve()

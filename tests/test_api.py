@@ -1,0 +1,190 @@
+"""HTTP facade tests: drive the WSGI app directly (no server), mirror
+the reference's endpoint contracts (app/api.py:35-386)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.app import create_app
+from hrtech_etl_spark.connectors import (
+    ConnectorMeta,
+    RestConnector,
+    TableConnector,
+    register_connector,
+)
+
+
+def call(app, method, path, body=None, query=""):
+    raw = json.dumps(body or {}).encode()
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": query,
+        "CONTENT_LENGTH": str(len(raw)),
+        "wsgi.input": io.BytesIO(raw),
+    }
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = int(status.split()[0])
+
+    chunks = app(environ, start_response)
+    return captured["status"], json.loads(b"".join(chunks))
+
+
+@pytest.fixture()
+def app(spark):
+    return create_app(spark_factory=lambda: spark)
+
+
+@pytest.fixture()
+def jobs_connector(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "eng 1", "2024-01-01 10:00:00", "open"),
+            (2, "eng 2", "2024-02-01 10:00:00", "open"),
+            (3, "ops 3", "2024-03-01 10:00:00", "closed"),
+        ],
+        ["uid", "title", "updated_at", "status"],
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "jobs"))
+    register_connector(
+        ConnectorMeta(
+            name="api_wh",
+            description="facade test warehouse",
+            factory=lambda: TableConnector(root=str(tmp_path)),
+        )
+    )
+    return "api_wh"
+
+
+def test_health_and_connectors(app, jobs_connector):
+    status, body = call(app, "GET", "/api/health")
+    assert (status, body) == (200, {"status": "ok"})
+    status, body = call(app, "GET", "/api/connectors")
+    assert status == 200
+    assert any(c["name"] == "api_wh" for c in body)
+
+
+def test_unified_schema_endpoint(app):
+    status, fields = call(app, "GET", "/api/schema/unified/job")
+    assert status == 200
+    names = {f["name"] for f in fields}
+    assert {"id", "name", "updated_at"} <= names
+    status, pref = call(
+        app, "GET", "/api/schema/unified/job", query="only_prefilterable=true"
+    )
+    assert status == 200
+    assert all(f["prefilter_operators"] for f in pref)
+    assert len(pref) < len(fields)
+
+
+def test_connector_schema_endpoint(app, jobs_connector):
+    status, fields = call(app, "GET", f"/api/schema/{jobs_connector}/job")
+    assert status == 200
+    assert {f["name"] for f in fields} == {"uid", "title", "updated_at", "status"}
+    status, body = call(app, "GET", "/api/schema/nope/job")
+    assert status == 404
+
+
+def test_formatter_build_get_roundtrip(app):
+    mapping = [{"from": "title", "to": "name"}]
+    status, built = call(
+        app, "POST", "/api/formatters/build",
+        {"resource": "job", "origin": "a", "target": "b", "mapping": mapping},
+    )
+    assert status == 200 and built["mapping"] == mapping
+    status, got = call(app, "GET", f"/api/formatters/{built['formatter_id']}")
+    assert status == 200 and got["mapping"] == mapping
+    status, _ = call(app, "GET", "/api/formatters/missing-id")
+    assert status == 404
+
+
+def test_run_pull_dry_run(app, jobs_connector):
+    status, body = call(
+        app, "POST", "/api/run/pull",
+        {
+            "resource": "job",
+            "origin": jobs_connector,
+            "cursor": {"mode": "updated_at", "start": "2024-01-15 00:00:00"},
+            "where": [{"field": "status", "op": "eq", "value": "open"}],
+            "mapping": [
+                {"from": "uid", "to": "job_id"},
+                {"from": "title", "to": "name"},
+            ],
+            "uid_col": "uid",
+            "dry_run": True,
+        },
+    )
+    assert status == 200
+    assert body["rows"] == 1  # uid=2: open AND after the cursor start
+    assert body["cursor"]["end"].startswith("2024-02-01")
+
+
+def test_run_push_dry_run_metrics(app, jobs_connector):
+    status, body = call(
+        app, "POST", "/api/run/push",
+        {
+            "resource": "job",
+            "origin": jobs_connector,
+            "having": [{"field": "status", "op": "eq", "value": "open"}],
+            "dry_run": True,
+        },
+    )
+    assert status == 200
+    assert body == {
+        "total_resources": 3,
+        "total_resources_pushed": 2,
+        "skipped_having": 1,
+    }
+
+
+def test_debug_connector_params(app):
+    register_connector(
+        ConnectorMeta(
+            name="api_rest",
+            factory=lambda: RestConnector(
+                options={
+                    "job": {
+                        "url": "http://backend/jobs",
+                        "range_bindings": json.dumps(
+                            {"updated_at": {"gte": "updated_at_min", "lte": "updated_at_max"}}
+                        ),
+                        "search_bindings": json.dumps(
+                            {"title": {"search_field": "q", "value_join": " OR "}}
+                        ),
+                    }
+                }
+            ),
+        )
+    )
+    status, body = call(
+        app, "POST", "/api/debug/connector_params",
+        {
+            "connector": "api_rest",
+            "resource": "job",
+            "cursor": {"mode": "updated_at", "start": "2024-01-10", "end": "2024-02-01"},
+            "where": [
+                {"field": "status", "op": "eq", "value": "open"},
+                {"field": "tags", "op": "in", "value": ["a", "b"]},
+                {"field": "title", "op": "contains", "value": "python"},
+            ],
+        },
+    )
+    assert status == 200
+    assert body["params"] == {
+        "status": "open",
+        "tags__in": "a,b",
+        "q": "python",
+        "updated_at_min": "2024-01-10",
+        "updated_at_max": "2024-02-01",
+    }
+    # non-REST connector → 400 with explanation
+    status, body = call(
+        app, "POST", "/api/debug/connector_params", {"connector": "api_wh"}
+    )
+    assert status in (400, 404)
