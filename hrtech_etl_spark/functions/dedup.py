@@ -318,6 +318,101 @@ def jaccard_verify(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering (pairs → connected components → canonical keep)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    *,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Connected components over verified near-dup pairs → one cluster
+    label per id (the minimum id in its component; singletons label
+    themselves). The step between "pairs" and "drop duplicates" in a
+    dedup pipeline: transitive matches (a~b, b~c) must collapse into
+    ONE cluster even though (a,c) was never compared.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds — near-dup components are clique-like
+    (diameter ≤ ~2-3), so a handful of rounds suffice; bounded by
+    ``max_iterations`` (raises if not converged — the cue the pair
+    graph has pathological chains and the large-star/small-star variant
+    of this loop is needed). Each round is one join + partial-agg
+    shuffle on the edge key; ``localCheckpoint`` truncates the lineage
+    so round N's plan does not replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("neigh_min", F.col("cluster"))
+                ).alias("cluster"),
+                (F.col("neigh_min") < F.col("cluster")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        changed = updated.where(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iterations} rounds; "
+        "component diameter exceeds the bound — raise max_iterations or "
+        "switch to large-star/small-star contraction"
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 2,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH candidates → exact Jaccard
+    verify at ``threshold`` → connected components → keep the minimum-id
+    row per cluster. The whole pipeline is the bucketed scale path —
+    no all-pairs stage anywhere."""
+    sh = shingle_table(df, text_col, id_col, shingle_k=shingle_k)
+    cand = minhash_lsh_pairs(df, text_col, id_col, shingles=sh)
+    verified = jaccard_verify(
+        cand, df, text_col, id_col, threshold=threshold, shingles=sh
+    )
+    clusters = near_dup_clusters(
+        verified, df.select(id_col), id_col, max_iterations=max_iterations
+    )
+    keep = (
+        clusters.groupBy("cluster")
+        .agg(F.min("id").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,97 @@
+"""Near-dup clustering: connected components over pair graphs and the
+end-to-end drop_near_duplicates pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.functions.dedup import (
+    drop_near_duplicates,
+    jaccard_verify,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+)
+
+
+def _union_find(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_transitive_chain_collapses(spark):
+    """a~b, b~c (no a~c pair) must land in ONE cluster; disjoint pair
+    d~e separate; f singleton labels itself."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    got = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(pairs, ids, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_long_chain_converges(spark):
+    """A path graph needs O(diameter) rounds — make sure propagation
+    actually iterates rather than stopping after one round."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    got = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(pairs, ids, "doc_id", max_iterations=20).collect()
+    }
+    assert set(got.values()) == {1}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, ids, "doc_id", max_iterations=2)
+
+
+def test_clusters_match_union_find_on_documents(spark, sf_dir):
+    """On the real fixture: Spark components == driver-side union-find
+    over the same verified pair set."""
+    from hrtech_etl_spark.sources.testdata import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    cand = minhash_lsh_pairs(d, "text", "doc_id")
+    verified = jaccard_verify(cand, d, "text", "doc_id", threshold=0.5)
+    pair_rows = [(r["id_a"], r["id_b"]) for r in verified.collect()]
+    all_ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    want = _union_find(all_ids, pair_rows)
+    got = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(verified, d.select("doc_id"), "doc_id").collect()
+    }
+    assert got == want
+
+
+def test_drop_near_duplicates_keeps_min_per_cluster(spark, sf_dir):
+    from hrtech_etl_spark.sources.testdata import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    kept = drop_near_duplicates(d, "text", "doc_id", threshold=0.5)
+    cand = minhash_lsh_pairs(d, "text", "doc_id")
+    verified = jaccard_verify(cand, d, "text", "doc_id", threshold=0.5)
+    comp = _union_find(
+        [r["doc_id"] for r in d.select("doc_id").collect()],
+        [(r["id_a"], r["id_b"]) for r in verified.collect()],
+    )
+    want_kept = {min(i for i, c2 in comp.items() if c2 == c) for c in set(comp.values())}
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want_kept
+    # schema preserved
+    assert kept.columns == d.columns
