@@ -168,6 +168,36 @@ def lsh_cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train a k-means coarse quantizer for :func:`ivf_cosine_topk` —
+    the production path (the deterministic seed-vector default exists
+    so the oracle can replicate assignment). Returns the tiny
+    ``(__cid, __cvec)`` broadcast table; persist it next to the corpus
+    and write the corpus partitioned by its assigned ``__cid`` so every
+    probe is a partition-pruned scan. Spark ML runs the training as the
+    usual sampled-init + Lloyd iterations over the cluster — no
+    driver-side data pass beyond the k centers."""
+    from pyspark.ml.clustering import KMeans  # import-gated: ML optional
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "`__cid` INT, `__cvec` ARRAY<DOUBLE>",
+    )
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -177,6 +207,7 @@ def ivf_cosine_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     inverted lists, probe only the query's ``nprobe`` nearest lists.
@@ -192,14 +223,24 @@ def ivf_cosine_topk(
     Plan: broadcast centroids → cross join + row_number over cosine to
     assign each vector its nearest list (ties break on cid) → probe =
     semi-join on the query's nprobe best lists → exact cosine + top-k.
+
+    Pass ``centroids=train_ivf_centroids(...)`` (``__cid, __cvec``) to
+    swap in the trained quantizer; the plan is unchanged.
     """
-    cents = F.broadcast(
-        embeddings.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("__cid"),
-            F.col(vec_col).alias("__cvec"),
-            _norm(F.col(vec_col)).alias("__cn"),
+    if centroids is not None:
+        cents = F.broadcast(
+            centroids.select(
+                "__cid", "__cvec", _norm(F.col("__cvec")).alias("__cn")
+            )
         )
-    )
+    else:
+        cents = F.broadcast(
+            embeddings.where(F.col(id_col) < n_centroids).select(
+                F.col(id_col).alias("__cid"),
+                F.col(vec_col).alias("__cvec"),
+                _norm(F.col(vec_col)).alias("__cn"),
+            )
+        )
 
     def nearest(df: DataFrame, keep: int) -> DataFrame:
         from pyspark.sql import Window as W

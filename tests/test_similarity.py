@@ -46,3 +46,24 @@ def test_ivf_probes_fraction_of_corpus(spark):
         ).collect()
     ]
     assert full == exact
+
+
+def test_ivf_trained_centroids(spark):
+    """Trained k-means quantizer swaps into the same plan: the query's
+    own list is probed (self-match survives at similarity 1.0), and
+    probing ALL trained lists recovers the exact brute-force answer."""
+    import pytest
+
+    pytest.importorskip("pyspark.ml")
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") == 0)
+    cents = sim.train_ivf_centroids(e, n_centroids=8)
+    assert cents.count() == 8
+    rows = sim.ivf_cosine_topk(e, q, k=10, nprobe=2, centroids=cents).collect()
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["score"] - 1.0) < 1e-6
+    exact = [r["vec_id"] for r in sim.cosine_topk(e, q, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in sim.ivf_cosine_topk(e, q, k=10, nprobe=8, centroids=cents).collect()
+    ]
+    assert full == exact
