@@ -73,6 +73,38 @@ def test_malformed_payloads_dropped(spark):
     assert json.loads(out[0]["payload"])["id"] == "keep1"
 
 
+def test_parse_connector_events_on_a_real_stream(spark, tmp_path):
+    """The same column plan runs on a streaming frame: webhook payload
+    files → readStream text → parse_connector_events → availableNow
+    drain; malformed rows drop mid-stream."""
+    from hrtech_etl_spark.streaming.pipelines import run_available_now
+
+    src = tmp_path / "webhooks"
+    src.mkdir()
+    lines = [
+        _payload("job", "s1", "job.created"),
+        _payload("job", "s2", "job.archived"),
+        "{broken json",
+    ]
+    (src / "batch1.txt").write_text("\n".join(lines))
+
+    spec = CONNECTOR_EVENT_SPECS["warehouse_a.jobs"]
+    stream = spark.readStream.format("text").load(str(src))
+    parsed = parse_connector_events(stream, "value", spec)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_available_now(
+            parsed,
+            checkpoint=str(tmp_path / "ck"),
+            memory_table="webhook_events",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {r["event_id"]: r["type"] for r in spark.table("webhook_events").collect()}
+    assert got == {"s1": "created", "s2": "upserted"}
+
+
 def test_profile_events_carry_profile_id(spark):
     spec = CONNECTOR_EVENT_SPECS["hrflow.profiles"]
     df = spark.createDataFrame(

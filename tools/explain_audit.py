@@ -43,8 +43,13 @@ DEFAULT = [
     "join_asof",
     "etl_pull_incremental",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "join_nonequi_suite",
+    "agg_multidim_grouping",
+    "window_frame_suite",
+    "setop_suite",
 ]
 
 
