@@ -31,7 +31,8 @@ from hrtech_etl_spark.workload import REGISTRY  # noqa: E402
 INTERESTING = re.compile(
     r"(FileScan|PushedFilters|ReadSchema|BroadcastHashJoin|SortMergeJoin|"
     r"ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin|Exchange|"
-    r"ReusedExchange|WindowGroupLimit|HashAggregate|ObjectHashAggregate|"
+    r"ReusedExchange|ReusedQueryStage|ShuffleQueryStage|WindowGroupLimit|"
+    r"HashAggregate|ObjectHashAggregate|"
     r"SortAggregate|Window\b|Generate|MapInPandas|FlatMapGroupsInPandas)"
 )
 
@@ -57,12 +58,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", help="comma-separated query names")
+    ap.add_argument(
+        "--executed",
+        action="store_true",
+        help="run each query and audit the FINAL adaptive plan — "
+        "ReusedExchange and AQE join/coalesce decisions only appear "
+        "here, never in the static explain",
+    )
     args = ap.parse_args()
     names = args.only.split(",") if args.only else DEFAULT
 
     spark = get_spark(app_name="explain-audit")
     for name in names:
         df = REGISTRY[name].fn(spark, args.sf_dir)
+        if args.executed:
+            # collect() on THIS df — count() would execute a different
+            # (aggregated) query and leave this plan un-finalized
+            df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         # keep only the final plan section when AQE prints both
         final = plan.split("+- == Initial Plan ==")[0]
