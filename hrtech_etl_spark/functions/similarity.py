@@ -198,6 +198,79 @@ def train_ivf_centroids(
     )
 
 
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    bits: int = 4,
+    dim: int = 64,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Multiprobe SRP top-k: probe the query's bucket PLUS the buckets
+    reached by flipping its lowest-|margin| sign bits — the standard
+    recall fix for bucket-limited LSH without adding hash tables.
+
+    A near neighbor that lands in another bucket almost always differs
+    in the bit whose hyperplane the query sits closest to, so probing
+    those neighbors first recovers most of the lost recall while still
+    scanning only ``n_probes``/2^bits of the corpus. Probes are
+    generated from the query's per-bit projection magnitudes (flip the
+    smallest-margin bit, then the next, …) — deterministic, broadcast
+    as a tiny bucket list, and the probe join stays a partition-prune
+    when the corpus is written bucketed by ``srp_bucket``.
+    """
+    corpus = _spread(embeddings).withColumn(
+        "__bucket", srp_bucket(F.col(vec_col), bits=bits, dim=dim)
+    )
+    # Per-bit signed projections of the query, as (|margin|, bit) pairs.
+    projs = []
+    for b in range(bits):
+        signs = F.array(
+            *[F.lit(1.0 if _PROJ_SIGNS[(b, d)] else -1.0) for d in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        projs.append(F.struct(F.abs(proj).alias("m"), F.lit(b).alias("b")))
+    base = srp_bucket(F.col(vec_col), bits=bits, dim=dim)
+    flips = F.slice(
+        F.transform(
+            F.array_sort(F.array(*projs)), lambda s: s.getField("b")
+        ),
+        1,
+        max(n_probes - 1, 0),
+    )
+    # bucket list = [base] + [base XOR (1 << lowest-margin bits)]
+    buckets = F.array_union(
+        F.array(base),
+        F.transform(
+            flips,
+            # shiftleft() takes only a literal shift; 2^b via pow is
+            # exact in double for b < 53
+            lambda b: base.bitwiseXOR(
+                F.pow(F.lit(2.0), b.cast("double")).cast("long")
+            ),
+        ),
+    )
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
+            F.explode(buckets).alias("__qbucket"),
+        )
+    )
+    scored = corpus.join(q, corpus["__bucket"] == q["__qbucket"]).select(
+        F.col(id_col),
+        cosine_vs(F.col(vec_col), F.col("__qvec"), F.col("__qn")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     query: DataFrame,

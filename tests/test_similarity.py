@@ -67,3 +67,34 @@ def test_ivf_trained_centroids(spark):
         for r in sim.ivf_cosine_topk(e, q, k=10, nprobe=8, centroids=cents).collect()
     ]
     assert full == exact
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multiprobe recall@k vs brute force is monotone in the probe
+    count (each extra probe only adds candidates), never below the
+    single-bucket baseline, and deterministic. n_probes=1 must equal
+    the single-bucket operator exactly."""
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in sim.cosine_topk(e, q, k=10).collect()]
+
+    def recall(ids):
+        return len(set(ids) & set(exact)) / len(exact)
+
+    single = [r["vec_id"] for r in sim.lsh_cosine_topk(e, q, k=10).collect()]
+    one = [r["vec_id"] for r in sim.lsh_multiprobe_topk(e, q, k=10, n_probes=1).collect()]
+    assert one == single
+    recalls = []
+    for n in (1, 3, 5):  # bits=4 → up to base + 4 single-bit flips
+        got = [
+            r["vec_id"]
+            for r in sim.lsh_multiprobe_topk(e, q, k=10, n_probes=n).collect()
+        ]
+        recalls.append(recall(got))
+        assert got[0] == 0  # self-match always survives (own bucket probed)
+    assert recalls == sorted(recalls)  # monotone in probe count
+    assert recalls[-1] >= recall(single)
+
+    multi = [r["vec_id"] for r in sim.lsh_multiprobe_topk(e, q, k=10, n_probes=3).collect()]
+    again = [r["vec_id"] for r in sim.lsh_multiprobe_topk(e, q, k=10, n_probes=3).collect()]
+    assert multi == again
