@@ -399,3 +399,56 @@ def test_checkpoint_resume_incremental_exactly_once(
     w = {r["user_id"]: r["event_id"] for r in want.collect()}
     g = {r["user_id"]: r["event_id"] for r in got.collect()}
     assert g == w
+
+
+def test_stream_static_enrichment_parity(
+    spark, event_stream_dir, events_batch, sf_dir, tmp_path
+):
+    """Stream-static broadcast enrichment: the streaming frame joins a
+    static dimension inside the stream (per micro-batch, no state) and
+    the drained result equals the batch join."""
+    customer = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = _stream_events(spark, event_stream_dir, events_batch)
+    enriched = stream.join(F.broadcast(customer), "user_id", "left").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    run_available_now(
+        enriched,
+        checkpoint=str(tmp_path / "ck_enrich"),
+        memory_table="enriched_events",
+    )
+    got = _rows(spark.table("enriched_events"), "event_id")
+    want = _rows(
+        events_batch.join(F.broadcast(customer), "user_id", "left").select(
+            "event_id", "user_id", "c_mktsegment"
+        ),
+        "event_id",
+    )
+    assert got == want
+
+
+def test_merge_frames_property_last_wins(spark):
+    """Property: chaining order-aware merges over ANY batch split
+    equals the single global last-wins pick. Unique order values make
+    the groundtruth fully deterministic (ties across merges would be
+    broken by merge order, which the global groundtruth cannot see)."""
+    import random
+
+    rng = random.Random(7)
+    ords = random.Random(11).sample(range(10_000), 60)
+    rows = [(rng.randrange(8), ords[n], f"v{n}") for n in range(60)]
+    want = {}
+    best = {}
+    for k, o, v in rows:
+        if k not in best or o > best[k]:
+            best[k] = o
+            want[k] = v
+
+    target = spark.createDataFrame(rows[:20], ["id", "ord", "val"])
+    for lo, hi in [(20, 35), (35, 50), (50, 60)]:
+        batch = spark.createDataFrame(rows[lo:hi], ["id", "ord", "val"])
+        target = merge_frames(target, batch, ["id"], order_cols=[F.col("ord")])
+    got = {r["id"]: r["val"] for r in target.collect()}
+    assert got == want
