@@ -30,6 +30,7 @@ import json
 import re
 from dataclasses import asdict
 from typing import Any, Callable, Optional
+from urllib.parse import parse_qs
 
 from hrtech_etl_spark.connectors import (
     RestConnector,
@@ -41,7 +42,7 @@ from hrtech_etl_spark.core.schemas import (
     UNIFIED_PROFILE_SCHEMA,
     export_schema_fields,
 )
-from hrtech_etl_spark.core.state import CursorStore
+from hrtech_etl_spark.core.state import CursorStore, resume_cursor
 from hrtech_etl_spark.core.types import Condition, Cursor, Resource, SortOrder
 from hrtech_etl_spark.plans.mapping import FORMATTER_REGISTRY, register_formatter
 
@@ -144,6 +145,9 @@ def ep_get_formatter(fid: str) -> dict:
 
 
 def ep_run_pull(spark_factory, body: dict) -> dict:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from hrtech_etl_spark import pipeline as pl
 
     spark = spark_factory()
@@ -151,16 +155,7 @@ def ep_run_pull(spark_factory, body: dict) -> dict:
     source = _connector(body["origin"]).read_resource(spark, resource)
     store = CursorStore(body["state_dir"]) if body.get("state_dir") else None
     key = body.get("pipeline_key", "default")
-    cursor = store.load(key) if store else None
-    if cursor is not None and cursor.end is not None:
-        cursor = Cursor(
-            mode=cursor.mode,
-            start=cursor.end,
-            start_uid=cursor.end_uid,
-            sort_by=cursor.sort_by,
-        )
-    if cursor is None:
-        cursor = _cursor(body.get("cursor"))
+    cursor = resume_cursor(store, key, _cursor(body.get("cursor")))
     result = pl.pull(
         source,
         cursor=cursor,
@@ -171,11 +166,16 @@ def ep_run_pull(spark_factory, body: dict) -> dict:
         mapping=_resolve_mapping(body),
         dry_run=bool(body.get("dry_run")),
     )
+    rows = result.rows if result.rows >= 0 else None
     if body.get("target") and not body.get("dry_run"):
-        _connector(body["target"]).write_resource(result.dataframe, resource)
+        # count rides the write pass as an Observation — no extra job
+        obs = Observation()
+        observed = result.dataframe.observe(obs, F.count(F.lit(1)).alias("n"))
+        _connector(body["target"]).write_resource(observed, resource)
+        rows = int(obs.get["n"])
     if store:
         store.save(key, result.cursor)
-    return {"cursor": _cursor_dict(result.cursor), "rows": result.rows}
+    return {"cursor": _cursor_dict(result.cursor), "rows": rows}
 
 
 def ep_run_push(spark_factory, body: dict) -> dict:
@@ -184,20 +184,16 @@ def ep_run_push(spark_factory, body: dict) -> dict:
     spark = spark_factory()
     resource = Resource(body["resource"])
     source = _connector(body["origin"]).read_resource(spark, resource)
-    having = _conditions(body.get("having"))
-    mapping = _resolve_mapping(body)
-    metrics = pl.push_resources(
-        source, having=having, mapping=mapping, dry_run=bool(body.get("dry_run"))
+    target = _connector(body["target"]) if body.get("target") else None
+    return pl.push_resources(
+        source,
+        having=_conditions(body.get("having")),
+        mapping=_resolve_mapping(body),
+        sink_writer=(
+            (lambda out: target.write_resource(out, resource)) if target else None
+        ),
+        dry_run=bool(body.get("dry_run")),
     )
-    if body.get("target") and not body.get("dry_run"):
-        from hrtech_etl_spark.core.expressions import apply_conditions
-        from hrtech_etl_spark.plans.mapping import apply_mapping
-
-        out = apply_conditions(source, having)
-        if mapping:
-            out = apply_mapping(out, mapping)
-        _connector(body["target"]).write_resource(out, resource)
-    return metrics
 
 
 def ep_debug_connector_params(body: dict) -> dict:
@@ -240,18 +236,6 @@ def ep_debug_connector_params(body: dict) -> dict:
 # ---------------------------------------------------------------------------
 # WSGI plumbing
 # ---------------------------------------------------------------------------
-
-_ROUTES = [
-    ("GET", re.compile(r"^/api/health$")),
-    ("GET", re.compile(r"^/api/connectors$")),
-    ("GET", re.compile(r"^/api/schema/(?P<connector>[^/]+)/(?P<resource>[^/]+)$")),
-    ("POST", re.compile(r"^/api/formatters/build$")),
-    ("GET", re.compile(r"^/api/formatters/(?P<fid>[^/]+)$")),
-    ("POST", re.compile(r"^/api/run/pull$")),
-    ("POST", re.compile(r"^/api/run/push$")),
-    ("POST", re.compile(r"^/api/debug/connector_params$")),
-]
-
 
 def create_app(spark_factory: Callable[[], Any] | None = None):
     """Build the WSGI application. ``spark_factory`` defaults to the
@@ -297,7 +281,10 @@ def create_app(spark_factory: Callable[[], Any] | None = None):
                 return respond(200, ep_connectors())
             m = re.match(r"^/api/schema/(?P<connector>[^/]+)/(?P<resource>[^/]+)$", path)
             if method == "GET" and m:
-                only_pref = "only_prefilterable=true" in query.lower()
+                params = parse_qs(query)
+                only_pref = params.get("only_prefilterable", ["false"])[
+                    -1
+                ].lower() in ("true", "1", "yes")
                 return respond(
                     200,
                     ep_schema(spark_factory, m["connector"], m["resource"], only_pref),

@@ -20,7 +20,7 @@ from pyspark.sql import SparkSession
 
 from hrtech_etl_spark import pipeline as pl
 from hrtech_etl_spark.connectors import get_connector_instance
-from hrtech_etl_spark.core.state import CursorStore, cursor_to_json
+from hrtech_etl_spark.core.state import CursorStore, cursor_to_json, resume_cursor
 from hrtech_etl_spark.core.types import Condition, Cursor, CursorMode, Resource, SortOrder
 
 
@@ -98,21 +98,15 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
     if args.command == "pull":
         cursor_col = args.cursor_col or args.cursor_mode
         store = CursorStore(args.state_dir) if args.state_dir else None
-        cursor = store.load(args.pipeline_key) if store else None
-        if cursor is not None and cursor.end is not None:
-            # resume: last checkpointed end becomes the new start
-            cursor = Cursor(
-                mode=cursor.mode,
-                start=cursor.end,
-                start_uid=cursor.end_uid,
-                sort_by=cursor.sort_by,
-            )
-        if cursor is None:
-            cursor = Cursor(
+        cursor = resume_cursor(
+            store,
+            args.pipeline_key,
+            Cursor(
                 mode=CursorMode(args.cursor_mode),
                 start=args.cursor_start,
                 sort_by=SortOrder(args.cursor_sort_by),
-            )
+            ),
+        )
         result = pl.pull(
             source,
             cursor=cursor,
@@ -130,22 +124,18 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
         print(cursor_to_json(result.cursor))
         return 0
 
-    # push
+    # push: one observed pass — the target write IS the metrics pass
     metrics = pl.push_resources(
         source,
         having=having,
         mapping=mapping,
+        sink_writer=(
+            (lambda out: target.write_resource(out, resource))
+            if target is not None
+            else None
+        ),
         dry_run=args.dry_run,
     )
-    if target is not None and not args.dry_run:
-        out = source
-        from hrtech_etl_spark.core.expressions import apply_conditions
-        from hrtech_etl_spark.plans.mapping import apply_mapping
-
-        out = apply_conditions(out, having)
-        if mapping:
-            out = apply_mapping(out, mapping)
-        target.write_resource(out, resource)
     print(json.dumps(metrics))
     return 0
 

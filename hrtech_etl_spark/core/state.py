@@ -69,3 +69,21 @@ class CursorStore:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+
+def resume_cursor(
+    store: Optional[CursorStore], key: str, fallback: Cursor
+) -> Cursor:
+    """The resume contract shared by every entry point (CLI, HTTP
+    facade): load the checkpoint and promote its ``(end, end_uid)`` to
+    the new ``(start, start_uid)``; a checkpoint without an end resumes
+    as-is; no checkpoint → ``fallback``."""
+    cursor = store.load(key) if store else None
+    if cursor is not None and cursor.end is not None:
+        return Cursor(
+            mode=cursor.mode,
+            start=cursor.end,
+            start_uid=cursor.end_uid,
+            sort_by=cursor.sort_by,
+        )
+    return cursor if cursor is not None else fallback

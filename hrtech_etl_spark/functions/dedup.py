@@ -404,11 +404,9 @@ def drop_near_duplicates(
     clusters = near_dup_clusters(
         verified, df.select(id_col), id_col, max_iterations=max_iterations
     )
-    keep = (
-        clusters.groupBy("cluster")
-        .agg(F.min("id").alias(id_col))
-        .select(id_col)
-    )
+    # The converged label IS the component's minimum id, so the keep
+    # set is just the distinct labels — no extra min() aggregation.
+    keep = clusters.select(F.col("cluster").alias(id_col)).distinct()
     return df.join(keep, id_col, "left_semi")
 
 

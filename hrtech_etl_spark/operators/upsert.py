@@ -82,6 +82,14 @@ def merge_upsert(
     via dynamic partition overwrite — the 100 TB path: a day's upsert
     touches a day's partitions.
     """
+    # Crash recovery for the rename swap below: a crash between the two
+    # renames leaves the data in `.__old` with no live target. Restore
+    # it BEFORE the exists-check — otherwise this call would take the
+    # bootstrap branch and silently orphan the full history.
+    old = target_path.rstrip("/") + ".__old"
+    if not _dataset_exists(target_path) and _dataset_exists(old):
+        os.rename(old, target_path.rstrip("/"))
+
     exists = _dataset_exists(target_path)
     if not exists:
         w = source.write.mode("overwrite")
@@ -96,19 +104,24 @@ def merge_upsert(
         # Driver-side partition enumeration is bounded by the number of
         # partitions the source batch touches (days, not rows) — but a
         # mis-keyed call (e.g. partition_col=primary key) would collect
-        # millions of values. Cap it: count first, fail loudly.
-        n_affected = source.select(partition_col).distinct().count()
-        if n_affected > MAX_AFFECTED_PARTITIONS:
+        # millions of values. The limit caps what can ever reach the
+        # driver, one job total: collecting MAX+1 rows proves overflow
+        # without counting the full distinct set.
+        rows = (
+            source.select(partition_col)
+            .distinct()
+            .limit(MAX_AFFECTED_PARTITIONS + 1)
+            .collect()
+        )
+        if len(rows) > MAX_AFFECTED_PARTITIONS:
             raise ValueError(
-                f"merge_upsert: source touches {n_affected} distinct "
-                f"'{partition_col}' partitions (max {MAX_AFFECTED_PARTITIONS}). "
-                "Is the partition column right? For unpartitioned merges "
-                "use partition_col=None (full-table rewrite)."
+                f"merge_upsert: source touches more than "
+                f"{MAX_AFFECTED_PARTITIONS} distinct '{partition_col}' "
+                "partitions. Is the partition column right? For "
+                "unpartitioned merges use partition_col=None "
+                "(full-table rewrite)."
             )
-        affected = [
-            r[0]
-            for r in source.select(partition_col).distinct().collect()
-        ]
+        affected = [r[0] for r in rows]
         sub_target = target.where(F.col(partition_col).isin(affected))
         merged = merge_frames(sub_target, source, key_cols, order_cols)
         # Dynamic mode replaces only the partitions present in `merged`.
@@ -131,9 +144,9 @@ def merge_upsert(
     tmp = target_path.rstrip("/") + ".__tmp"
     merged.write.mode("overwrite").parquet(tmp)
     # Swap with directory renames (no second Spark job onto the live
-    # target): a crash leaves either the old target or the new one,
-    # never a half-written directory.
-    old = target_path.rstrip("/") + ".__old"
+    # target): a crash leaves either the live target or `.__old`
+    # (restored by the recovery check above on the next call), never a
+    # half-written directory.
     _rm(spark, old)
     os.rename(target_path.rstrip("/"), old)
     os.rename(tmp, target_path.rstrip("/"))

@@ -144,20 +144,27 @@ def pull(
     # separate jobs, so on a live source rows can land between them.
     # Bound the written slice by the checkpointed (end, end_uid) pair —
     # write and checkpoint then describe the SAME snapshot; later rows
-    # belong to the next resume. An empty advance writes nothing (a
-    # late arrival would otherwise be written now AND re-read next
-    # resume → duplicate in an append sink).
+    # belong to the next resume. An empty advance writes nothing that
+    # has a cursor value (a late arrival would otherwise be written now
+    # AND re-read next resume → duplicate in an append sink).
+    #
+    # NULL-cursor rows always pass the bound: they can only reach this
+    # point on an unbounded first pull (any cursor.start predicate
+    # already dropped them), no resume can ever re-read them (the range
+    # filter fails on NULL), and they do not advance the checkpoint —
+    # so writing them is both the only chance they get and duplicate-
+    # free.
     asc = cursor.sort_by is SortOrder.ASC
+    c, u = F.col(cursor_col), F.col(uid_col)
     if next_cursor is cursor:
-        scanned = scanned.where(F.lit(False))
+        scanned = scanned.where(c.isNull())
     else:
-        c, u = F.col(cursor_col), F.col(uid_col)
         end = F.lit(next_cursor.end).cast(source.schema[cursor_col].dataType)
         eu = F.lit(next_cursor.end_uid)
         bound = ((c < end) | ((c == end) & (u <= eu))) if asc else (
             (c > end) | ((c == end) & (u >= eu))
         )
-        scanned = scanned.where(bound)
+        scanned = scanned.where(bound | c.isNull())
 
     out = apply_conditions(scanned, having)
     if mapping:
@@ -184,12 +191,16 @@ def push_resources(
     sink_path: Optional[str] = None,
     sink_format: str = "parquet",
     sink_mode: str = "append",
+    sink_writer=None,
     dry_run: bool = False,
 ) -> dict:
     """RESOURCES-mode push (reference ``core/pipeline.py:181-210``):
     filter → format → write. Counter metrics ride on an Observation
     node computed DURING the sink pass — one execution of the source,
-    no separate metrics job."""
+    no separate metrics job. ``sink_writer`` (a ``DataFrame -> None``
+    callable, e.g. a connector's ``write_resource``) lets callers route
+    the SAME observed pass into their own sink instead of re-executing
+    the source for the write."""
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -201,10 +212,12 @@ def push_resources(
     out = apply_conditions(observed, having)
     if mapping:
         out = apply_mapping(out, mapping)
-    if sink_path and not dry_run:
+    if dry_run or (sink_path is None and sink_writer is None):
+        out.count()  # dry-run still executes the plan once
+    elif sink_path:
         out.write.format(sink_format).mode(sink_mode).save(sink_path)
     else:
-        out.count()  # dry-run still executes the plan once
+        sink_writer(out)
     m = obs.get
     return {
         "total_resources": int(m["total"]),

@@ -150,3 +150,38 @@ def test_push_resources_metrics(spark, sf_dir):
     assert metrics["total_resources"] == orders.count()
     assert metrics["total_resources_pushed"] == kept
     assert metrics["skipped_having"] == metrics["total_resources"] - kept
+
+
+def test_pull_null_cursor_rows_survive_first_pull(spark):
+    """Rows whose cursor column is NULL can only ever be emitted by an
+    unbounded first pull (every resume's range predicate drops them) —
+    the snapshot bound must let them through, and an all-NULL slice
+    must still write them while keeping the cursor unchanged."""
+    from pyspark.sql import functions as F
+
+    from hrtech_etl_spark.core.types import Cursor
+    from hrtech_etl_spark.pipeline import pull
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, None), (3, "2024-02-01"), (4, None)],
+        ["uid", "updated_at"],
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+
+    result = pull(df, cursor=Cursor(), cursor_col="updated_at", uid_col="uid")
+    assert {r["uid"] for r in result.dataframe.collect()} == {1, 2, 3, 4}
+    assert str(result.cursor.end).startswith("2024-02-01")
+
+    # resume: only post-cursor rows, NULLs not re-emitted (no dup)
+    resumed = pull(
+        df,
+        cursor=Cursor(start=result.cursor.end, start_uid=result.cursor.end_uid),
+        cursor_col="updated_at",
+        uid_col="uid",
+    )
+    assert resumed.dataframe.count() == 0
+
+    # all-NULL slice: rows written once, cursor object unchanged
+    nulls = df.where(F.col("updated_at").isNull())
+    r2 = pull(nulls, cursor=Cursor(), cursor_col="updated_at", uid_col="uid")
+    assert {r["uid"] for r in r2.dataframe.collect()} == {2, 4}
+    assert r2.cursor.end is None

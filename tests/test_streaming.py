@@ -452,3 +452,22 @@ def test_merge_frames_property_last_wins(spark):
         target = merge_frames(target, batch, ["id"], order_cols=[F.col("ord")])
     got = {r["id"]: r["val"] for r in target.collect()}
     assert got == want
+
+
+def test_merge_upsert_crash_recovery_from_old(spark, tmp_path):
+    """Crash window between the two swap renames leaves data only in
+    `.__old`; the next merge must restore it instead of bootstrapping a
+    fresh target from the batch alone."""
+    import os
+
+    path = str(tmp_path / "ctarget")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    merge_upsert(spark, path, base, ["id"])
+    # simulate the crash: target renamed away, new data never moved in
+    os.rename(path, path + ".__old")
+
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "val"])
+    merge_upsert(spark, path, upd, ["id"])
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # history restored, then merged
+    assert not os.path.exists(path + ".__old")
