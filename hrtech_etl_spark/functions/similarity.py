@@ -293,45 +293,65 @@ def ivf_cosine_topk(
     corpus partitioned by ``cid`` so each probe is a partition-pruned
     scan of nprobe/n_centroids of the data.
 
-    Plan: broadcast centroids → cross join + row_number over cosine to
-    assign each vector its nearest list (ties break on cid) → probe =
-    semi-join on the query's nprobe best lists → exact cosine + top-k.
+    Plan: the centroid table collapses to ONE broadcast row holding the
+    centroid array, so corpus assignment is a pure projection — an
+    argmax fold over the array per vector, ZERO shuffle (the former
+    crossJoin + row_number window shuffled 8× the corpus; at scale that
+    shuffle dominates everything else in the query). Probe = broadcast
+    semi-join of the query's nprobe best lists → exact cosine + top-k.
+    Tie-break matches the window formulation: highest rounded cosine,
+    then LOWEST cid (struct max over (sim, -cid)).
 
     Pass ``centroids=train_ivf_centroids(...)`` (``__cid, __cvec``) to
     swap in the trained quantizer; the plan is unchanged.
     """
     if centroids is not None:
-        cents = F.broadcast(
-            centroids.select(
-                "__cid", "__cvec", _norm(F.col("__cvec")).alias("__cn")
-            )
+        cent_rows = centroids.select(
+            "__cid", "__cvec", _norm(F.col("__cvec")).alias("__cn")
         )
     else:
-        cents = F.broadcast(
-            embeddings.where(F.col(id_col) < n_centroids).select(
-                F.col(id_col).alias("__cid"),
-                F.col(vec_col).alias("__cvec"),
-                _norm(F.col(vec_col)).alias("__cn"),
-            )
+        cent_rows = embeddings.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            _norm(F.col(vec_col)).alias("__cn"),
         )
+    # one row: array<struct<cid, cvec, cn>> — the whole quantizer
+    cents_arr = F.broadcast(
+        cent_rows.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__cid", "__cvec", "__cn"))
+            ).alias("__cents")
+        )
+    )
 
-    def nearest(df: DataFrame, keep: int) -> DataFrame:
-        from pyspark.sql import Window as W
-
-        scored = df.crossJoin(cents).withColumn(
-            "__csim", cosine_vs(F.col(vec_col), F.col("__cvec"), F.col("__cn"))
+    def with_best(df: DataFrame, keep: int) -> DataFrame:
+        """Attach the `keep` nearest centroid ids as an exploded __cid
+        column; assignment is a per-row argmax fold — no shuffle."""
+        sims = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine_vs(
+                    F.col(vec_col), c.getField("__cvec"), c.getField("__cn")
+                ).alias("sim"),
+                (-c.getField("__cid")).alias("negcid"),
+            ),
         )
-        w = W.partitionBy(id_col).orderBy(
-            F.col("__csim").desc(), F.col("__cid")
-        )
+        scored = df.crossJoin(cents_arr).withColumn("__sims", sims)
+        if keep == 1:
+            best = F.array_max(F.col("__sims"))
+            return scored.withColumn(
+                "__cid", -best.getField("negcid")
+            ).drop("__cents", "__sims")
+        top = F.slice(F.reverse(F.array_sort(F.col("__sims"))), 1, keep)
         return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= keep)
-            .drop("__cvec", "__cn", "__csim", "__rn")
+            scored.withColumn(
+                "__cid", F.explode(F.transform(top, lambda s: -s.getField("negcid")))
+            )
+            .drop("__cents", "__sims")
         )
 
-    assigned = nearest(_spread(embeddings), keep=1)
-    probe_lists = nearest(query, keep=nprobe).select(
+    assigned = with_best(_spread(embeddings), keep=1)
+    probe_lists = with_best(query, keep=nprobe).select(
         F.col("__cid"),
         F.col(vec_col).alias("__qvec"),
         _norm(F.col(vec_col)).alias("__qn"),
