@@ -373,10 +373,14 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking groups
     (label, cluster id, or SRP bucket) — the embedding analog of
-    blocked n-gram Jaccard."""
+    blocked n-gram Jaccard. Norms are computed once per ROW before the
+    self-join (each row pairs with every block-mate, so per-pair norm
+    evaluation would redo the same 64-element fold ~block-size times);
+    the per-pair work is the dot product alone."""
     # No spread here: the heavy cosine runs AFTER the block-key join's
     # shuffle, which already redistributes rows across cores.
-    a, b = embeddings.alias("a"), embeddings.alias("b")
+    with_norm = embeddings.withColumn("__n", _norm(F.col(vec_col)))
+    a, b = with_norm.alias("a"), with_norm.alias("b")
     return (
         a.join(
             b,
@@ -386,7 +390,11 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"),
+            F.round(
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                6,
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )
