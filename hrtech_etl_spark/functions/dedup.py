@@ -546,15 +546,22 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     shingle_k: int = 2,
     threshold: float = 0.3,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dup within blocking-key groups. The block
-    join bounds pair count; for unblocked corpora use minhash_lsh_pairs."""
+    join bounds pair count; for unblocked corpora use minhash_lsh_pairs.
+
+    ``hashed=True`` intersects 64-bit shingle hashes instead of the
+    strings — integer set ops per pair are far cheaper and the shuffled
+    sets shrink (same contract and collision note as
+    :func:`jaccard_verify`; the oracle applies the identical hash)."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    sh = word_shingles(F.col(text_col), k=shingle_k)
+    if hashed:
+        sh = F.array_distinct(F.transform(sh, lambda s: portable_hash(s)))
     # Spread → shingle → keyed barrier: shingle in parallel, once; both
     # join sides read the ReusedExchange (see simhash_pairs).
-    sets_ = df.repartition(n).select(
-        F.col(id_col), *block_cols, word_shingles(F.col(text_col), k=shingle_k).alias("sh")
-    )
+    sets_ = df.repartition(n).select(F.col(id_col), *block_cols, sh.alias("sh"))
     sets_ = sets_.repartition(n, id_col)
     a, b = sets_.alias("a"), sets_.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

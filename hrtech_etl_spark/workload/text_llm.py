@@ -313,10 +313,16 @@ def dedup_simhash(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     sql=f"""
-    WITH s AS (
+    WITH raw AS (
       SELECT doc_id, lang, CAST(n_chars / 100 AS BIGINT) AS size_bucket,
              {shingles_sql()} AS sh
       FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, size_bucket,
+             list_distinct(list_transform(sh,
+               s -> (('0x' || substr(md5('0:' || s), 1, 8))::BIGINT))) AS sh
+      FROM raw
     )
     SELECT a.lang AS lang, count(*) AS n_pairs,
            CAST(round(max(j.jaccard), 4) AS DOUBLE) AS max_jaccard
