@@ -182,12 +182,23 @@ def shingle_table(
     sh = word_shingles(F.col(text_col), k=shingle_k)
     if not hashed:
         return raw.select(F.col(id_col), sh.alias("sh"))
-    hashed_sh = F.array_distinct(F.transform(sh, lambda s: portable_hash(s)))
+    hashed_sh = hashed_shingles(sh)
     # 2n, not n: same key + same count would let EnsureRequirements
     # drop this barrier and re-inline the hashing into every consumer.
     return raw.select(F.col(id_col), hashed_sh.alias("sh")).repartition(
         2 * n, F.col(id_col)
     )
+
+
+def hashed_shingles(sh: Column) -> Column:
+    """THE hashed-set measure shared by every hashed-Jaccard path:
+    distinct 32-bit portable-hash values of the shingle set. Defined
+    once so the operators and the oracle renderings stay in lockstep
+    (portable_hash is 32-bit — an N-shingle doc has ~N²/2³³ internal
+    collision probability, e.g. ~1% at 10k shingles; both engines
+    collapse a collision identically, but set ``hashed=False`` where
+    literal string-set semantics matter)."""
+    return F.array_distinct(F.transform(sh, lambda s: portable_hash(s)))
 
 
 def _shingles_pre_hashed(shingles: DataFrame) -> bool:
@@ -283,7 +294,7 @@ def jaccard_verify(
     same ``shingles=shingle_table(...)`` used for candidate generation
     so both verify sides read the ReusedExchange.
 
-    ``hashed=True`` intersects 64-bit shingle hashes instead of the
+    ``hashed=True`` intersects 32-bit portable-hash values instead of the
     strings: integer set ops are cheaper and the broadcast shrinks.
     This is still oracle-exact — the oracle applies the identical hash,
     so even the (vanishingly rare) collision collapses identically in
@@ -296,12 +307,7 @@ def jaccard_verify(
         else shingle_table(df, text_col, id_col, shingle_k=shingle_k)
     )
     if hashed and not _shingles_pre_hashed(sets_):
-        sets_ = sets_.select(
-            id_col,
-            F.array_distinct(
-                F.transform(F.col("sh"), lambda s: portable_hash(s))
-            ).alias("sh"),
-        )
+        sets_ = sets_.select(id_col, hashed_shingles(F.col("sh")).alias("sh"))
     out = (
         pairs.join(sets_.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sets_.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -551,14 +557,14 @@ def ngram_jaccard_pairs(
     """Exact Jaccard near-dup within blocking-key groups. The block
     join bounds pair count; for unblocked corpora use minhash_lsh_pairs.
 
-    ``hashed=True`` intersects 64-bit shingle hashes instead of the
+    ``hashed=True`` intersects 32-bit portable-hash values instead of the
     strings — integer set ops per pair are far cheaper and the shuffled
     sets shrink (same contract and collision note as
     :func:`jaccard_verify`; the oracle applies the identical hash)."""
     n = df.sparkSession.sparkContext.defaultParallelism
     sh = word_shingles(F.col(text_col), k=shingle_k)
     if hashed:
-        sh = F.array_distinct(F.transform(sh, lambda s: portable_hash(s)))
+        sh = hashed_shingles(sh)
     # Spread → shingle → keyed barrier: shingle in parallel, once; both
     # join sides read the ReusedExchange (see simhash_pairs).
     sets_ = df.repartition(n).select(F.col(id_col), *block_cols, sh.alias("sh"))

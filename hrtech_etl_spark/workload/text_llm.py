@@ -20,7 +20,11 @@ from hrtech_etl_spark.functions.hashing import (
     FINGERPRINT_SQL,
     affine_minhash_sql,
     fingerprint,
+    portable_hash_sql,
 )
+
+# The ONE hashed-shingle rendering (mirrors dedup.hashed_shingles).
+_PH_S = portable_hash_sql("s")
 from hrtech_etl_spark.sources.testdata import load_table, spread
 from hrtech_etl_spark.workload.registry import query
 
@@ -56,7 +60,7 @@ def shingles_sql(t: str = "text", k: int = 2) -> str:
 def minhash_sql(j: int, shingles: str = "sh") -> str:
     """j-th universal-hash minhash (same A/B/P family as the Spark
     side; one md5 base hash + affine transform per shingle)."""
-    base = "(('0x' || substr(md5('0:' || s), 1, 8))::BIGINT)"
+    base = portable_hash_sql("s")
     return (
         f"CASE WHEN len({shingles}) > 0 THEN "
         f"list_min(list_transform({shingles}, s -> {affine_minhash_sql(base, j)})) "
@@ -68,7 +72,7 @@ def simhash_sql(bits: int = dd.SIMHASH_BITS) -> str:
     """Bit-vote simhash over distinct tokens, DuckDB dialect (default
     32-bit, matching dedup.SIMHASH_BITS)."""
     toks = TOKENS_SQL.format(t="text")
-    hashes = f"list_transform(list_distinct({toks}), t -> (('0x' || substr(md5('99:' || t), 1, 8))::BIGINT))"
+    hashes = f"list_transform(list_distinct({toks}), t -> {portable_hash_sql('t', seed=99)})"
     terms = []
     for i in range(bits):
         mask = 1 << i
@@ -243,7 +247,7 @@ _BANDS_SQL = " UNION ALL ".join(
     WITH sh AS (SELECT doc_id, {shingles_sql()} AS sh FROM documents),
     hs AS (SELECT doc_id,
                   list_distinct(list_transform(sh,
-                    s -> (('0x' || substr(md5('0:' || s), 1, 8))::BIGINT))) AS sh
+                    s -> {_PH_S})) AS sh
            FROM sh),
     sig AS (SELECT doc_id, {_SIG_COLS} FROM sh),
     banded AS ({_BANDS_SQL}),
@@ -321,7 +325,7 @@ def dedup_simhash(spark, sf_dir):
     s AS (
       SELECT doc_id, lang, size_bucket,
              list_distinct(list_transform(sh,
-               s -> (('0x' || substr(md5('0:' || s), 1, 8))::BIGINT))) AS sh
+               s -> {_PH_S})) AS sh
       FROM raw
     )
     SELECT a.lang AS lang, count(*) AS n_pairs,
@@ -497,14 +501,14 @@ def multimodal_binary_meta(spark, sf_dir):
 
 @query(
     "multimodal_features",
-    sql="""
+    sql=f"""
     SELECT count(*) AS n_assets,
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            round(avg(f0), 4) AS avg_f0,
            round(max(f0), 6) AS max_f0
     FROM (
       SELECT octet_length(encode(text)) AS n_bytes,
-             round((('0x' || substr(md5('0:' || text), 1, 8))::BIGINT)::DOUBLE
+             round({portable_hash_sql("text")}::DOUBLE
                    / 4294967295, 6) AS f0
       FROM documents
     )
