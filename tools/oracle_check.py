@@ -67,6 +67,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--registry-order",
+        action="store_true",
+        help="run queries in REGISTRY insertion order (the driver's "
+        "order) instead of alphabetically — catches session-state "
+        "leaks between queries that alphabetical order would mask",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="oracle-check", shuffle_partitions=16)
@@ -80,8 +87,9 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
 
+    items = list(qs.items()) if args.registry_order else sorted(qs.items())
     failures, passed, weak = [], 0, 0
-    for name, fn in sorted(qs.items()):
+    for name, fn in items:
         if only and name not in only:
             continue
         t0 = time.time()
