@@ -36,6 +36,20 @@ from hrtech_etl_spark.operators.events import normalize_event_type
 from hrtech_etl_spark.operators.upsert import merge_upsert
 
 
+def ensure_watermarkable(events: DataFrame, ts_col: str) -> DataFrame:
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP (LTZ).
+
+    ``withWatermark`` requires TIMESTAMP; parquet written without
+    timezone metadata (isAdjustedToUTC=false — how the testdata's
+    events.ts arrives) reads as TIMESTAMP_NTZ under Spark 4's type
+    inference. The cast interprets the naive value in the session
+    timezone, which the engine pins to UTC (core/session.py) — an
+    identity on the stored values."""
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 # ---------------------------------------------------------------------------
 # Sources
 # ---------------------------------------------------------------------------
@@ -103,7 +117,7 @@ def tumbling_counts(
     late rows beyond it are dropped — the late-data policy the
     reference lacks entirely."""
     if watermark:
-        events = events.withWatermark(ts_col, watermark)
+        events = ensure_watermarkable(events, ts_col).withWatermark(ts_col, watermark)
     win = F.window(ts_col, window)
     return (
         events.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
@@ -127,7 +141,7 @@ def sliding_counts(
     value_col: str = "value",
 ) -> DataFrame:
     if watermark:
-        events = events.withWatermark(ts_col, watermark)
+        events = ensure_watermarkable(events, ts_col).withWatermark(ts_col, watermark)
     win = F.window(ts_col, window, slide)
     return (
         events.groupBy(win.alias("w"))
@@ -152,7 +166,7 @@ def session_counts(
     """Session windows (gap-merged). Streaming requires a watermark —
     sessions can only close once the watermark passes their gap."""
     if watermark:
-        events = events.withWatermark(ts_col, watermark)
+        events = ensure_watermarkable(events, ts_col).withWatermark(ts_col, watermark)
     sw = F.session_window(ts_col, gap)
     return (
         events.groupBy(F.col(key_col), sw.alias("w"))
@@ -177,8 +191,10 @@ def streaming_dedup(
     ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
     key state once the watermark passes — the streaming analog of the
     batch first-occurrence dedup (workload ``stream_dedup_first``)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(keys)
+    return (
+        ensure_watermarkable(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
     )
 
 
@@ -243,7 +259,7 @@ def user_running_stats(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if watermark:
-        events = events.withWatermark(ts_col, watermark)
+        events = ensure_watermarkable(events, ts_col).withWatermark(ts_col, watermark)
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(
