@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hrtech_etl_spark.core.partitioning import keyed_barrier, num_partitions, spread
 from hrtech_etl_spark.functions.hashing import (
     MINHASH_PRIME,
     affine_minhash,
@@ -171,22 +172,29 @@ def shingle_table(
     over per-shingle hashes). At corpus scale this boundary is where
     you'd persist the table.
 
-    All repartitions pin an explicit partition count: with a bare
-    ``repartition(col)`` AQE sees a few MB of shuffle data and
-    coalesces back to one partition — correct for IO-bound plans,
+    Scale-conditional heads (core.partitioning): the raw keyed exchange
+    fires only when the scan is NARROWER than defaultParallelism — on a
+    cluster-scale scan that exchange was a full extra pass shuffling
+    raw text, and the already-wide scan parallelizes the shingling by
+    itself. The hashed barrier always exchanges (reuse is its point)
+    but never narrows a wide input. Pinned explicit counts throughout:
+    with a bare ``repartition(col)`` AQE sees a few MB of shuffle data
+    and coalesces back to one partition — correct for IO-bound plans,
     wrong here where cost is per-row CPU, and it would serialize the
     heavy stages.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    raw = df.select(F.col(id_col), F.col(text_col)).repartition(n, F.col(id_col))
+    raw = df.select(F.col(id_col), F.col(text_col))
+    if num_partitions(raw) < n:
+        raw = raw.repartition(n, F.col(id_col))
     sh = word_shingles(F.col(text_col), k=shingle_k)
     if not hashed:
         return raw.select(F.col(id_col), sh.alias("sh"))
     hashed_sh = hashed_shingles(sh)
-    # 2n, not n: same key + same count would let EnsureRequirements
+    # factor=2, not 1: same key + same count would let EnsureRequirements
     # drop this barrier and re-inline the hashing into every consumer.
-    return raw.select(F.col(id_col), hashed_sh.alias("sh")).repartition(
-        2 * n, F.col(id_col)
+    return keyed_barrier(
+        raw.select(F.col(id_col), hashed_sh.alias("sh")), id_col, factor=2
     )
 
 
@@ -244,14 +252,13 @@ def minhash_lsh_pairs(
     """
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_k=shingle_k)
-    n = df.sparkSession.sparkContext.defaultParallelism
     sig = shingles.select(
         F.col(id_col),
         minhash_signature(
             F.col("sh"), num_hashes, pre_hashed=_shingles_pre_hashed(shingles)
         ).alias("sig"),
     )
-    sig = sig.repartition(3 * n, id_col)
+    sig = keyed_barrier(sig, id_col, factor=3)
     # NULL signature = empty shingle set: SQL semantics give these a
     # NULL bucket that never joins; mirror that instead of letting
     # concat_ws collapse the nulls into one md5("") mega-bucket.
@@ -494,16 +501,15 @@ def simhash_pairs(
         raise ValueError(f"bits={bits} not divisible by num_bands={num_bands}")
     band_bits = bits // num_bands
     mask = (1 << band_bits) - 1
-    n = df.sparkSession.sparkContext.defaultParallelism
-    # Round-robin spread parallelizes the simhash pass beyond the
-    # scan's file granularity; the keyed barrier then materializes ONE
-    # signature pass that both self-join sides reuse (ReusedExchange).
-    # Pinned counts: AQE must not coalesce CPU-heavy stages (see
-    # shingle_table).
-    sig = df.repartition(n).select(
+    # Conditional spread parallelizes the simhash pass beyond a narrow
+    # scan's file granularity (identity on a wide cluster scan); the
+    # keyed barrier then materializes ONE signature pass that both
+    # self-join sides reuse (ReusedExchange). Pinned counts: AQE must
+    # not coalesce CPU-heavy stages (see shingle_table).
+    sig = spread(df).select(
         F.col(id_col), simhash(F.col(text_col), bits).alias("sh")
     )
-    sig = sig.repartition(n, id_col)
+    sig = keyed_barrier(sig, id_col)
     banded = sig.select(
         id_col,
         "sh",
@@ -561,14 +567,14 @@ def ngram_jaccard_pairs(
     strings — integer set ops per pair are far cheaper and the shuffled
     sets shrink (same contract and collision note as
     :func:`jaccard_verify`; the oracle applies the identical hash)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
     sh = word_shingles(F.col(text_col), k=shingle_k)
     if hashed:
         sh = hashed_shingles(sh)
-    # Spread → shingle → keyed barrier: shingle in parallel, once; both
-    # join sides read the ReusedExchange (see simhash_pairs).
-    sets_ = df.repartition(n).select(F.col(id_col), *block_cols, sh.alias("sh"))
-    sets_ = sets_.repartition(n, id_col)
+    # Conditional spread → shingle → keyed barrier: shingle in
+    # parallel, once; both join sides read the ReusedExchange (see
+    # simhash_pairs).
+    sets_ = spread(df).select(F.col(id_col), *block_cols, sh.alias("sh"))
+    sets_ = keyed_barrier(sets_, id_col)
     a, b = sets_.alias("a"), sets_.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:

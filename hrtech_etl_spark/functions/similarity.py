@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hrtech_etl_spark.core.partitioning import spread as _spread
 from hrtech_etl_spark.functions.hashing import portable_hash
 
 
@@ -83,14 +84,12 @@ def cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ahead of the CPU-heavy vector math: a
-    single small parquet file scans as ONE task regardless of cores, so
-    the interpreted HOF dot products serialize without it (same pinned-
-    count rationale as dedup.shingle_table; at cluster scale wide scans
-    already parallelize and the exchange is cheap relative to the
-    projection)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+# _spread = core.partitioning.spread — scale-conditional: widens a
+# narrow scan (the single-file local case) so the interpreted HOF dot
+# products parallelize, and is an IDENTITY on an already-wide
+# cluster-scale scan, where the old unconditional round-robin exchange
+# was a full extra pass over the corpus that the LSH bucket filter then
+# discarded ~(2^bits−1)/2^bits of.
 
 
 def srp_bucket(vec: Column, *, bits: int = 4, dim: int = 64) -> Column:

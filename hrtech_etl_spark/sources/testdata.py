@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hrtech_etl_spark.core.partitioning import spread as _spread
 from hrtech_etl_spark.core.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,20 +38,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
 
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Round-robin repartition to ``n`` (default: defaultParallelism)
-    ahead of a CPU-heavy projection.
-
-    A scan's parallelism is file/row-group granular: a small single-row-
-    group parquet file is ONE task no matter how many cores exist, so
-    per-row-expensive expressions (shingling, hashing, regex scoring)
-    serialize. The pinned partition count keeps AQE from coalescing the
-    tiny-bytes/huge-CPU shuffle back down. Use only where compute per
-    byte is high — for IO-bound plans the extra exchange is pure cost
-    (at cluster scale, wide scans already parallelize; this matters for
-    small dimension-like inputs feeding expensive transforms).
-    """
-    n = n or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n)
+    """Scale-conditional round-robin repartition ahead of a CPU-heavy
+    projection — re-exported from :mod:`hrtech_etl_spark.core.partitioning`
+    (see its docstring: widens a narrow single-file scan, identity on an
+    already-wide cluster scan)."""
+    return _spread(df, n)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -1,0 +1,132 @@
+"""Scale-conditional partitioning: the CPU-spread exchanges must fire
+on narrow (single-file) scans and VANISH on already-wide inputs — at
+cluster scale an unconditional round-robin repartition is a full extra
+pass over the corpus (round-2/4 verdict item #1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.core.partitioning import keyed_barrier, num_partitions, spread
+from hrtech_etl_spark.functions import dedup as dd
+from hrtech_etl_spark.functions import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _roundrobins(df) -> int:
+    return _plan(df).count("RoundRobinPartitioning")
+
+
+def _hashparts(df) -> int:
+    return _plan(df).count("Exchange hashpartitioning")
+
+
+@pytest.fixture(scope="module")
+def wide_emb(spark, tmp_path_factory):
+    """Embeddings written as many files → the scan itself is wide, with
+    no repartition node inside the test DataFrame's plan."""
+    out = str(tmp_path_factory.mktemp("wide") / "emb.parquet")
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(
+        16
+    ).write.parquet(out)
+    df = spark.read.parquet(out)
+    assert num_partitions(df) >= spark.sparkContext.defaultParallelism
+    return df
+
+
+@pytest.fixture(scope="module")
+def wide_docs(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wide") / "docs.parquet")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
+        16
+    ).write.parquet(out)
+    return spark.read.parquet(out)
+
+
+def test_spread_identity_on_wide_input(spark):
+    wide = spark.range(0, 1000).repartition(16)
+    assert spread(wide) is wide
+
+
+def test_spread_widens_narrow_input(spark):
+    narrow = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert num_partitions(narrow) < spark.sparkContext.defaultParallelism
+    assert num_partitions(spread(narrow)) == spark.sparkContext.defaultParallelism
+
+
+def test_keyed_barrier_never_narrows(spark):
+    wide = spark.range(0, 1000).repartition(24)
+    assert num_partitions(keyed_barrier(wide, "id")) == 24
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert (
+        num_partitions(keyed_barrier(narrow, "id", factor=2))
+        == 2 * spark.sparkContext.defaultParallelism
+    )
+
+
+def test_cosine_topk_no_exchange_above_wide_scan(spark, wide_emb):
+    q = wide_emb.where(F.col("vec_id") == 0)
+    df = sim.cosine_topk(wide_emb, q, k=10)
+    assert _roundrobins(df) == 0
+    assert _hashparts(df) == 0  # broadcast-only plan
+
+
+def test_cosine_topk_still_spreads_narrow_scan(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.where(F.col("vec_id") == 0)
+    assert _roundrobins(sim.cosine_topk(e, q, k=10)) == 1
+
+
+def test_lsh_topk_no_roundrobin_on_wide_scan(spark, wide_emb):
+    q = wide_emb.where(F.col("vec_id") == 0)
+    assert _roundrobins(sim.lsh_cosine_topk(wide_emb, q, k=10)) == 0
+    assert _roundrobins(sim.lsh_multiprobe_topk(wide_emb, q, k=10)) == 0
+
+
+def test_ivf_topk_no_roundrobin_on_wide_scan(spark, wide_emb):
+    q = wide_emb.where(F.col("vec_id") == 0)
+    assert _roundrobins(sim.ivf_cosine_topk(wide_emb, q, k=10)) == 0
+
+
+def test_simhash_pairs_no_roundrobin_on_wide_scan(spark, wide_docs):
+    df = dd.simhash_pairs(wide_docs, "text", "doc_id")
+    assert _roundrobins(df) == 0
+
+
+def test_shingle_table_skips_raw_exchange_on_wide_scan(spark, wide_docs):
+    # hashed path on a wide scan: exactly ONE keyed exchange (the
+    # hashed-set materialization barrier), not raw-text + hashed.
+    hashed = dd.shingle_table(wide_docs, "text", "doc_id", hashed=True)
+    assert _hashparts(hashed) == 1
+    # unhashed path on a wide scan: no exchange at all.
+    raw = dd.shingle_table(wide_docs, "text", "doc_id", hashed=False)
+    assert _hashparts(raw) == 0 and _roundrobins(raw) == 0
+
+
+def test_wide_and_narrow_agree(spark, wide_emb):
+    """Partitioning must never change results: top-k over the wide
+    corpus equals top-k over the narrow single-file corpus."""
+    narrow = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qn = narrow.where(F.col("vec_id") == 0)
+    qw = wide_emb.where(F.col("vec_id") == 0)
+    a = [(r["vec_id"], r["score"]) for r in sim.cosine_topk(narrow, qn, k=10).collect()]
+    b = [(r["vec_id"], r["score"]) for r in sim.cosine_topk(wide_emb, qw, k=10).collect()]
+    assert a == b
+    pa = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), "text", "doc_id"
+        ).collect()
+    )
+    wide_docs = wide_emb.sparkSession.read.parquet(f"{SF_DIR}/documents.parquet").repartition(16)
+    pb = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(wide_docs, "text", "doc_id").collect()
+    )
+    assert pa == pb
