@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hrtech_etl_spark.core.eventtime import ensure_event_time
 from hrtech_etl_spark.core.partitioning import spread as _spread
 from hrtech_etl_spark.core.schemas import TESTDATA_TABLES
 
@@ -32,8 +33,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # Runtime-settable SQL conf; harmless for non-nanos files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP(MICROS) with isAdjustedToUTC=false reads as NTZ:
+        # normalize to LTZ here, the SAME cast the streaming side's
+        # ensure_watermarkable applies, so batch and streaming twins
+        # emit identical schemas (UTC-asserted, identity on values).
+        df = ensure_event_time(df, "ts")
     return df
 
 

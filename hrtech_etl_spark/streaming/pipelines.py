@@ -32,22 +32,21 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hrtech_etl_spark.core.eventtime import ensure_event_time
 from hrtech_etl_spark.operators.events import normalize_event_type
 from hrtech_etl_spark.operators.upsert import merge_upsert
 
 
 def ensure_watermarkable(events: DataFrame, ts_col: str) -> DataFrame:
-    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP (LTZ).
-
-    ``withWatermark`` requires TIMESTAMP; parquet written without
-    timezone metadata (isAdjustedToUTC=false — how the testdata's
-    events.ts arrives) reads as TIMESTAMP_NTZ under Spark 4's type
-    inference. The cast interprets the naive value in the session
-    timezone, which the engine pins to UTC (core/session.py) — an
-    identity on the stored values."""
-    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
-        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return events
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP (LTZ) —
+    ``withWatermark`` rejects NTZ, which is how parquet written without
+    timezone metadata (isAdjustedToUTC=false) reads under Spark 4's
+    type inference. Delegates to :func:`core.eventtime.ensure_event_time`,
+    the SAME normalization ``load_table`` applies on the batch side, so
+    batch and streaming twins emit identical schemas; it asserts the
+    session timezone is UTC before casting (a non-UTC session would
+    silently shift every window boundary)."""
+    return ensure_event_time(events, ts_col)
 
 
 # ---------------------------------------------------------------------------

@@ -48,7 +48,11 @@ def _staged_event_stream(spark, sf_dir):
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        yield stream
+        # NTZ (isAdjustedToUTC=false micros) → LTZ, same normalization
+        # as the batch side's load_table: twins emit identical schemas.
+        from hrtech_etl_spark.core.eventtime import ensure_event_time
+
+        yield ensure_event_time(stream, "ts")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         if prev_nanos is None:

@@ -471,3 +471,133 @@ def test_merge_upsert_crash_recovery_from_old(spark, tmp_path):
     got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}  # history restored, then merged
     assert not os.path.exists(path + ".__old")
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP_NTZ regression (round-4 driver breakage: parquet written
+# with isAdjustedToUTC=false reads as NTZ, which withWatermark rejects)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ntz_events_dir(spark, sf_dir, tmp_path_factory):
+    """events re-written with an explicit TIMESTAMP_NTZ ts column, as a
+    single file (so the availableNow drain is one micro-batch and the
+    stateful final state equals the batch aggregation)."""
+    from pyspark.sql import types as T
+
+    path = str(tmp_path_factory.mktemp("ntz_events"))
+    events = load_table(spark, "events", sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    events.repartition(1).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert isinstance(back.schema["ts"].dataType, T.TimestampNTZType)
+    return path
+
+
+def test_ntz_tumbling_watermarked_matches_batch(
+    spark, ntz_events_dir, events_batch, tmp_path
+):
+    """withWatermark over an NTZ stream must not raise (the
+    ensure_watermarkable cast) and must not shift values: the complete-
+    mode drain equals the batch aggregation on the LTZ original."""
+    schema = spark.read.parquet(ntz_events_dir).schema
+    stream = read_event_stream(spark, ntz_events_dir, schema)
+    run_available_now(
+        tumbling_counts(stream, watermark="2 hours"),
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="complete",
+        memory_table="ntz_tumbling",
+    )
+    got = spark.table("ntz_tumbling")
+    want = tumbling_counts(events_batch, watermark=None)
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_ntz_streaming_dedup_runs(spark, ntz_events_dir, tmp_path):
+    schema = spark.read.parquet(ntz_events_dir).schema
+    stream = read_event_stream(spark, ntz_events_dir, schema)
+    # watermark far wider than the event-time span: no state eviction
+    # mid-drain, so output = exact distinct (user_id, event_type) count
+    run_available_now(
+        streaming_dedup(stream, ["user_id", "event_type"], watermark="365 days"),
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="append",
+        memory_table="ntz_dedup",
+    )
+    got = spark.table("ntz_dedup").count()
+    want = (
+        spark.read.parquet(ntz_events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == want
+
+
+def test_ntz_running_stats_matches_batch(spark, ntz_events_dir, tmp_path):
+    schema = spark.read.parquet(ntz_events_dir).schema
+    stream = read_event_stream(spark, ntz_events_dir, schema)
+    run_available_now(
+        user_running_stats(stream),
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="update",
+        memory_table="ntz_running",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in spark.table("ntz_running").collect()
+    }
+    from hrtech_etl_spark.core.eventtime import ensure_event_time
+
+    batch = ensure_event_time(spark.read.parquet(ntz_events_dir), "ts")
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 2), r["last_ts"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_load_table_normalizes_ntz_events(spark, ntz_events_dir):
+    """Batch twin schema parity (ADVICE r4): load_table applies the
+    same NTZ→LTZ normalization as the streaming side, so batch and
+    streaming pipelines emit identical event-time types."""
+    import os
+
+    from pyspark.sql import types as T
+
+    # stage the NTZ parquet dir under the expected <sf>/events.parquet name
+    sf_like = os.path.dirname(ntz_events_dir) + "/sf_ntz"
+    os.makedirs(sf_like, exist_ok=True)
+    dst = os.path.join(sf_like, "events.parquet")
+    if not os.path.exists(dst):
+        os.symlink(ntz_events_dir, dst)
+    df = load_table(spark, "events", sf_like)
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+
+
+def test_ensure_event_time_requires_utc(spark, ntz_events_dir):
+    """The NTZ cast is only an identity under a UTC session timezone;
+    any other tz must fail loudly instead of shifting event times."""
+    from hrtech_etl_spark.core.eventtime import ensure_event_time
+
+    ntz = spark.read.parquet(ntz_events_dir)
+    ltz = ensure_event_time(ntz, "ts")  # UTC session: fine
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            ensure_event_time(ntz, "ts")
+        # already-LTZ input never needs the cast -> no error, unchanged
+        assert ensure_event_time(ltz, "ts") is ltz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
