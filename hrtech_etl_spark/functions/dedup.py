@@ -20,6 +20,7 @@ Shapes
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -440,9 +441,9 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     materialized counts into the signature. The per-bit
     ``size(filter(hashes, ...))`` formulation re-evaluated the md5
     token hashing once per bit (32x) in interpreted HOF eval. 32 bits
-    is the full width of :func:`portable_hash`; the scale path for
-    64-bit signatures is a pandas UDF over numpy packed bits (same
-    contract, swappable here).
+    is the full width of :func:`portable_hash`; 64-bit signatures run
+    the numpy packed-bit pandas UDF :func:`simhash64` (same contract —
+    :func:`simhash_signatures` dispatches on width).
     """
     toks = F.array_distinct(tokens(col))
     hashed = F.transform(toks, lambda t: portable_hash(t, seed=99))
@@ -465,6 +466,81 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
         return out
 
     return F.aggregate(hashed, init, merge, finish)
+
+
+def simhash64(text_col: Column, *, bits: int = 64, seed: int = 99) -> Column:
+    """64-bit SimHash as an Arrow-batched pandas UDF over numpy packed
+    bits — the scale path when 32-bit signatures get crowded (at ~1e9
+    documents, 32-bit bands of 8 bits hold ~2^24 docs/bucket-space;
+    64-bit bands of 16 bits spread 256× wider).
+
+    Same contract as :func:`simhash`: bit i of the signature is the
+    majority vote of bit i across the distinct tokens' seeded hashes.
+    The token hash widens from 32-bit md5-prefix to the first 16 md5
+    hex chars (64 bits, same seeded payload ``{seed}:{token}``);
+    tokenization mirrors :func:`..functions.text.tokens`
+    (``split(trim(lower(s)), r'\\s+')``). The signature is returned as
+    a signed long via two's-complement bit reinterpretation — band
+    extraction (arithmetic shiftright + mask) and XOR/bit_count Hamming
+    are bit-pattern operations, indifferent to the sign.
+
+    Per Arrow batch the token hashing is a Python loop over distinct
+    tokens (md5), but the bit matrix → vote → pack pipeline is
+    vectorized numpy; the UDF cost is amortized over 10k-row batches
+    and embarrassingly parallel across partitions.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if bits > 64:
+        raise ValueError(f"bits={bits} exceeds the 64-bit packed path")
+
+    @pandas_udf("long")
+    def _sig(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = set(re.split(r"\s+", t.strip().lower()))
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:16], 16)
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            votes = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            sig_bits = (votes * 2 > len(toks)).astype(np.uint64)
+            out[i] = (sig_bits << shifts).sum(dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
+
+    return _sig(text_col)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, sh) signature table, dispatching on width: ≤32 bits runs
+    the pure-expression JVM fold (:func:`simhash`, oracle-replicable),
+    wider runs the numpy packed-bit pandas UDF (:func:`simhash64`).
+    Conditional spread first — both paths are CPU-bound per row."""
+    wide = spread(df)
+    sig = (
+        simhash(F.col(text_col), bits)
+        if bits <= SIMHASH_BITS
+        else simhash64(F.col(text_col), bits=bits)
+    )
+    return wide.select(F.col(id_col), sig.alias("sh"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -501,14 +577,13 @@ def simhash_pairs(
         raise ValueError(f"bits={bits} not divisible by num_bands={num_bands}")
     band_bits = bits // num_bands
     mask = (1 << band_bits) - 1
-    # Conditional spread parallelizes the simhash pass beyond a narrow
-    # scan's file granularity (identity on a wide cluster scan); the
-    # keyed barrier then materializes ONE signature pass that both
+    # Conditional spread parallelizes the signature pass beyond a
+    # narrow scan's file granularity (identity on a wide cluster scan);
+    # the keyed barrier then materializes ONE signature pass that both
     # self-join sides reuse (ReusedExchange). Pinned counts: AQE must
-    # not coalesce CPU-heavy stages (see shingle_table).
-    sig = spread(df).select(
-        F.col(id_col), simhash(F.col(text_col), bits).alias("sh")
-    )
+    # not coalesce CPU-heavy stages (see shingle_table). Width
+    # dispatch: ≤32 bits = JVM expression fold, 64 = numpy pandas UDF.
+    sig = simhash_signatures(df, text_col, id_col, bits=bits)
     sig = keyed_barrier(sig, id_col)
     banded = sig.select(
         id_col,

@@ -1,0 +1,83 @@
+"""64-bit SimHash (numpy pandas-UDF path): structural parity with the
+32-bit JVM-expression path and the pigeonhole exact-recall guarantee.
+
+Parity is exact by construction, not statistical: both widths hash
+tokens as md5 of the same seeded payload, and the first 8 hex chars
+(the 32-bit hash) are the TOP half of the first 16 (the 64-bit hash) —
+so the 64-bit signature's upper 32 bits must equal the 32-bit
+signature bit-for-bit, and 32-bit Hamming distance is a lower bound on
+64-bit Hamming distance (⇒ 64-bit pairs at a threshold are a subset of
+32-bit pairs at the same threshold)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.functions import dedup as dd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def sigs(spark, docs):
+    s32 = {
+        r["doc_id"]: r["sh"]
+        for r in dd.simhash_signatures(docs, "text", "doc_id", bits=32).collect()
+    }
+    s64 = {
+        r["doc_id"]: r["sh"]
+        for r in dd.simhash_signatures(docs, "text", "doc_id", bits=64).collect()
+    }
+    return s32, s64
+
+
+def test_upper_half_equals_32bit_signature(sigs):
+    s32, s64 = sigs
+    assert set(s32) == set(s64) and len(s32) == 500
+    for doc_id, v64 in s64.items():
+        assert (v64 % (1 << 64)) >> 32 == s32[doc_id], doc_id
+    # the packed-bit path really uses the full width: some signature
+    # has the top bit set (negative as a signed long)
+    assert any(v < 0 for v in s64.values())
+
+
+def test_64bit_banded_exact_recall(spark, docs, sigs):
+    """Multi-band blocking at bits=64 (4 bands × 16 bits) must find
+    EXACTLY the pairs the all-pairs Hamming join finds at
+    max_hamming=3 — the pigeonhole recall property."""
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_pairs(
+            docs, "text", "doc_id", bits=64, max_hamming=3
+        ).collect()
+    }
+    _, s64 = sigs
+    ids = sorted(s64)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((s64[a] ^ s64[b]) % (1 << 64)).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    assert banded == brute
+
+
+def test_64bit_pairs_subset_of_32bit(spark, docs):
+    rows64 = dd.simhash_pairs(
+        docs, "text", "doc_id", bits=64, max_hamming=3
+    ).collect()
+    p64 = {(r["id_a"], r["id_b"]) for r in rows64}
+    p32 = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    # 32-bit Hamming lower-bounds 64-bit Hamming (upper-half identity)
+    assert p64 and p64 <= p32
+    # same-token-set clones in the fixture stay hamming-0 at full width
+    assert any(r["hamming"] == 0 for r in rows64)
