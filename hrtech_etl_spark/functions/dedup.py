@@ -341,6 +341,7 @@ def near_dup_clusters(
     id_col: str,
     *,
     max_iterations: int = 10,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Connected components over verified near-dup pairs → one cluster
     label per id (the minimum id in its component; singletons label
@@ -354,10 +355,21 @@ def near_dup_clusters(
     (diameter ≤ ~2-3), so a handful of rounds suffice; bounded by
     ``max_iterations`` (raises if not converged — the cue the pair
     graph has pathological chains and the large-star/small-star variant
-    of this loop is needed). Each round is one join + partial-agg
-    shuffle on the edge key; ``localCheckpoint`` truncates the lineage
-    so round N's plan does not replay rounds 1..N-1.
+    of this loop is needed).
+
+    Driver coordination is ONE job per round: the round's labels are
+    persisted and materialized by a single ``count()`` whose plan
+    carries an ``Observation`` counting changed labels — the
+    convergence probe rides the materialization job instead of running
+    a second driver action (``Observation`` does NOT fire on a
+    ``localCheckpoint`` materialization, which is why the round action
+    is a real count). Lineage is truncated by an eager
+    ``localCheckpoint`` only every ``checkpoint_every`` rounds (a cheap
+    cache read); between checkpoints the persisted round outputs keep
+    execution flat while plans grow by one join per round.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -369,13 +381,15 @@ def near_dup_clusters(
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
     )
-    for _ in range(max_iterations):
+    prev_cached: DataFrame | None = None
+    for i in range(max_iterations):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("cluster").alias("neigh_min"))
         )
-        updated = (
+        obs = Observation(f"near_dup_clusters_round_{i}")
+        cached = (
             labels.join(neigh, labels["id"] == neigh["src"], "left")
             .select(
                 "id",
@@ -384,11 +398,21 @@ def near_dup_clusters(
                 ).alias("cluster"),
                 (F.col("neigh_min") < F.col("cluster")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            .observe(obs, F.count_if(F.col("__changed")).alias("n_changed"))
+            .drop("__changed")
+            .persist()
         )
-        changed = updated.where(F.col("__changed")).limit(1).count()
-        labels = updated.drop("__changed")
-        if changed == 0:
+        cached.count()  # the round's ONE job: materialize + fire the probe
+        n_changed = obs.get["n_changed"]
+        labels = cached
+        if (i + 1) % checkpoint_every == 0:
+            labels = cached.localCheckpoint(eager=True)  # reads the cache
+            cached.unpersist()
+            cached = None
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cached
+        if n_changed == 0:
             return labels
     raise RuntimeError(
         f"near_dup_clusters did not converge in {max_iterations} rounds; "

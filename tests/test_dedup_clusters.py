@@ -95,3 +95,40 @@ def test_drop_near_duplicates_keeps_min_per_cluster(spark, sf_dir):
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want_kept
     # schema preserved
     assert kept.columns == d.columns
+
+
+def test_one_driver_action_per_round(spark, monkeypatch):
+    """Round-5 structure: each round runs ONE count() (materialize +
+    Observation convergence probe in the same job); eager lineage
+    checkpoints happen only every checkpoint_every rounds, not per
+    round (the old shape was checkpoint + probe-count = 2 actions)."""
+    # patch the CONCRETE class (pyspark.sql.classic under Spark 4
+    # overrides the abstract base's methods, so patching the base
+    # never intercepts instance calls)
+    DataFrame = type(spark.range(1))
+
+    counts = {"count": 0, "ckpt_eager": 0, "ckpt_lazy": 0}
+    orig_count = DataFrame.count
+    orig_ckpt = DataFrame.localCheckpoint
+
+    def count_spy(self):
+        counts["count"] += 1
+        return orig_count(self)
+
+    def ckpt_spy(self, eager=True):
+        counts["ckpt_eager" if eager else "ckpt_lazy"] += 1
+        return orig_ckpt(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "count", count_spy)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", ckpt_spy)
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    got = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(pairs, ids, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    # 3 rounds to converge -> 3 counts; 1 lazy edge checkpoint; only
+    # round 3 (i+1 == checkpoint_every) truncates lineage eagerly.
+    assert counts == {"count": 3, "ckpt_eager": 1, "ckpt_lazy": 1}
