@@ -11,6 +11,8 @@ Routes (all under ``/api``):
 - ``GET  /schema/unified/{resource}``       ≙ ``/schema/unified/...``
 - ``GET  /schema/{connector}/{resource}``   ≙ ``/schema/{c}/{r}``
   (``?only_prefilterable=true`` filters to pushdown-capable fields)
+- ``GET  /schema/auth/{connector}``         ≙ ``/schema/auth/{c}``
+  (``app/api.py:96-119``): auth field descriptors for dynamic UI forms
 - ``POST /formatters/build`` / ``GET /formatters/{id}``
   ≙ mapping-formatter registry (``app/api.py:166-214``)
 - ``POST /run/pull`` / ``POST /run/push``   ≙ ``/run/pull|push``
@@ -124,6 +126,21 @@ def ep_schema(spark_factory, connector: str, resource: str, only_prefilterable: 
     if only_prefilterable:
         fields = [f for f in fields if f["prefilter_operators"]]
     return fields
+
+
+def ep_auth_schema(connector: str) -> list[dict]:
+    """Auth-field introspection for dynamic UI forms (reference
+    ``app/api.py:96-119`` via ``core/ui_schema.py:107-180``): resolve
+    the connector, export its auth class's field descriptors; a
+    connector without auth (table-backed, or none declared) returns
+    an empty list."""
+    from hrtech_etl_spark.sources.auth import export_auth_fields
+
+    conn = _connector(connector)
+    auth = getattr(conn, "auth", None)
+    if auth is None:
+        return []
+    return export_auth_fields(auth)
 
 
 def ep_build_formatter(body: dict) -> dict:
@@ -279,6 +296,10 @@ def create_app(spark_factory: Callable[[], Any] | None = None):
                 return respond(200, {"status": "ok"})
             if method == "GET" and path == "/api/connectors":
                 return respond(200, ep_connectors())
+            # auth route first: it shares the /api/schema/{a}/{b} shape
+            m = re.match(r"^/api/schema/auth/(?P<connector>[^/]+)$", path)
+            if method == "GET" and m:
+                return respond(200, ep_auth_schema(m["connector"]))
             m = re.match(r"^/api/schema/(?P<connector>[^/]+)/(?P<resource>[^/]+)$", path)
             if method == "GET" and m:
                 params = parse_qs(query)

@@ -70,6 +70,24 @@ class RestConnector(BaseConnector):
 
     options: Dict[str, Dict[str, str]]  # resource value -> reader options
 
+    @property
+    def auth(self):
+        """The auth instance this connector's reader options declare
+        (first resource carrying an ``auth`` payload), or None — the
+        introspection hook behind ``GET /api/schema/auth/{connector}``
+        (reference ``app/api.py:96-119`` reads ``connector.auth``)."""
+        import json
+
+        from hrtech_etl_spark.sources.auth import build_auth
+
+        for opts in self.options.values():
+            payload = opts.get("auth")
+            if payload:
+                if isinstance(payload, str):
+                    payload = json.loads(payload)
+                return build_auth(payload, base_url=opts.get("url", ""))
+        return None
+
     def read_resource(self, spark: SparkSession, resource: Resource) -> DataFrame:
         from hrtech_etl_spark.sources import rest
 

@@ -209,6 +209,45 @@ AUTH_KINDS: Dict[str, type[BaseAuth]] = {
 }
 
 
+def export_auth_fields(auth_or_cls) -> list:
+    """UI field descriptors for an auth kind — the engine counterpart
+    of the reference's ``export_auth_fields`` (``core/ui_schema.py:
+    107-180``), which introspects a Pydantic auth model; here the
+    fields come from the constructor signature (these classes stay
+    plain so they pickle to executors).
+
+    Each descriptor is ``{"name", "type", "required", "default"}``.
+    ``transport`` (the test-injection hook) is internal and skipped,
+    mirroring how the reference skips ``auth_type``. An empty-string
+    default is the "caller must supply" sentinel → required with a
+    null default.
+    """
+    import inspect
+
+    cls = auth_or_cls if isinstance(auth_or_cls, type) else type(auth_or_cls)
+    if not (isinstance(cls, type) and issubclass(cls, BaseAuth)):
+        return []
+    fields = []
+    for name, p in inspect.signature(cls.__init__).parameters.items():
+        if name in ("self", "transport") or p.kind in (
+            inspect.Parameter.VAR_POSITIONAL,
+            inspect.Parameter.VAR_KEYWORD,
+        ):
+            continue
+        ann = p.annotation
+        type_name = (
+            "Any"
+            if ann is inspect.Parameter.empty
+            else getattr(ann, "__name__", None) or str(ann)
+        )
+        required = p.default is inspect.Parameter.empty or p.default == ""
+        default = None if required else p.default
+        fields.append(
+            {"name": name, "type": type_name, "required": required, "default": default}
+        )
+    return fields
+
+
 def build_auth(payload: Optional[Dict[str, Any]], base_url: str = "") -> BaseAuth:
     """Payload → auth instance (reference ``build_auth_from_payload``,
     ``core/auth.py:201-223``). ``auth_type``/``type`` selects the kind;

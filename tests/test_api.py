@@ -188,3 +188,42 @@ def test_debug_connector_params(app):
         app, "POST", "/api/debug/connector_params", {"connector": "api_wh"}
     )
     assert status in (400, 404)
+
+
+def test_auth_schema_endpoint(app, jobs_connector):
+    """GET /api/schema/auth/{connector} (reference app/api.py:96-119):
+    REST connectors expose their auth class's field descriptors; a
+    table-backed connector (no auth) returns []; unknown -> 404."""
+    register_connector(
+        ConnectorMeta(
+            name="auth_rest_wh",
+            factory=lambda: RestConnector(
+                options={
+                    "job": {
+                        "url": "http://backend.test/jobs",
+                        "auth": json.dumps(
+                            {
+                                "auth_type": "api_key",
+                                "header_name": "X-API-Key",
+                                "api_key": "k",
+                            }
+                        ),
+                    }
+                }
+            ),
+        )
+    )
+    status, fields = call(app, "GET", "/api/schema/auth/auth_rest_wh")
+    assert status == 200
+    by_name = {f["name"]: f for f in fields}
+    assert {"base_url", "header_name", "api_key"} <= set(by_name)
+    assert by_name["api_key"]["required"] is True
+    assert by_name["header_name"]["default"] == "X-API-Key"
+    assert by_name["api_key"]["type"] == "str"
+
+    # table connector: no auth -> empty descriptor list
+    status, fields = call(app, "GET", f"/api/schema/auth/{jobs_connector}")
+    assert (status, fields) == (200, [])
+
+    status, _ = call(app, "GET", "/api/schema/auth/nope")
+    assert status == 404
