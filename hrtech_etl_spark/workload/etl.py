@@ -168,31 +168,62 @@ def etl_event_pipeline(spark, sf_dir):
 
 @query(
     "etl_upsert_merge",
-    sql="""
+    sql=f"""
     WITH target AS (
       SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
     ), source AS (
       SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    ), classify AS (
+      SELECT
+        count(*) AS n_rows,
+        count(CASE WHEN action = 'update' THEN 1 END) AS n_updated,
+        count(CASE WHEN action = 'insert' THEN 1 END) AS n_inserted,
+        count(CASE WHEN action = 'keep' THEN 1 END) AS n_kept
+      FROM (
+        SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+               CASE WHEN s.o_orderkey IS NULL THEN 'keep'
+                    WHEN t.o_orderkey IS NULL THEN 'insert'
+                    ELSE 'update' END AS action
+        FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+      )
+    ), final_state AS (
+      -- order-aware merge fixed point: whatever order the micro-batches
+      -- arrive in, per user the globally greatest (ts, event_id) row wins
+      SELECT user_id, value, event_id FROM (
+        SELECT user_id, value, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), ooo AS (
+      SELECT count(*) AS ooo_users,
+             {sql_dsum("value")} AS ooo_total_value,
+             CAST(sum(event_id) AS BIGINT) AS ooo_id_sum
+      FROM final_state
     )
-    SELECT
-      count(*) AS n_rows,
-      count(CASE WHEN action = 'update' THEN 1 END) AS n_updated,
-      count(CASE WHEN action = 'insert' THEN 1 END) AS n_inserted,
-      count(CASE WHEN action = 'keep' THEN 1 END) AS n_kept
-    FROM (
-      SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
-             CASE WHEN s.o_orderkey IS NULL THEN 'keep'
-                  WHEN t.o_orderkey IS NULL THEN 'insert'
-                  ELSE 'update' END AS action
-      FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
-    )
+    SELECT classify.*, ooo.* FROM classify, ooo
     """,
 )
 def etl_upsert_merge(spark, sf_dir):
-    """MERGE-style upsert without Delta: full-outer classify into
-    update/insert/keep — the set-based replacement for the reference's
-    per-row PUT-then-POST (connectors/hrflow/__init__.py:89-101).
-    Output is the merge audit (row counts per action)."""
+    """MERGE-style upsert without Delta, BOTH branches under the oracle:
+
+    1. Full-outer classify into update/insert/keep — the set-based
+       replacement for the reference's per-row PUT-then-POST
+       (``connectors/hrflow/__init__.py:89-101``); output is the merge
+       audit (row counts per action).
+    2. Order-aware out-of-order micro-batches through the REAL
+       ``merge_upsert`` sink (operators/upsert.py): events split into
+       three batches by event_id mod 3, applied in arrival order
+       0, 2, 1 with ``order_cols=[ts, event_id]`` and ``partition_col``
+       = user shard — every merge is a dynamic-partition-scoped parquet
+       rewrite, and a late batch can never regress a newer row. The
+       oracle states the fixed point directly: per user, the globally
+       greatest (ts, event_id) row, whatever order batches arrived in.
+    """
+    import tempfile
+
+    from hrtech_etl_spark.operators.upsert import merge_upsert
+
     orders = load_table(spark, "orders", sf_dir)
     target = orders.where("o_orderdate < TIMESTAMP '1996-01-01 00:00:00'").select(
         "o_orderkey", "o_totalprice"
@@ -208,12 +239,38 @@ def etl_upsert_merge(spark, sf_dir):
         .otherwise("update")
         .alias("action")
     )
-    return merged.agg(
+    classify = merged.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("action") == "update", 1)).alias("n_updated"),
         F.count(F.when(F.col("action") == "insert", 1)).alias("n_inserted"),
         F.count(F.when(F.col("action") == "keep", 1)).alias("n_kept"),
     )
+
+    # --- branch 2: out-of-order micro-batches into merge_upsert ---------
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("user_id") % 10).alias("shard"),
+    )
+    batches = [events.where(F.col("event_id") % 3 == m) for m in (0, 2, 1)]
+    state_path = tempfile.mkdtemp(prefix="upsert_ooo_") + "/state"
+    for batch in batches:
+        merge_upsert(
+            spark,
+            state_path,
+            batch,
+            ["user_id"],
+            order_cols=[F.col("ts"), F.col("event_id")],
+            partition_col="shard",
+        )
+    ooo = spark.read.parquet(state_path).agg(
+        F.count(F.lit(1)).alias("ooo_users"),
+        dsum("value").alias("ooo_total_value"),
+        F.sum("event_id").alias("ooo_id_sum"),
+    )
+    return classify.crossJoin(ooo)
 
 
 @query(
