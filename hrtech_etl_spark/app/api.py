@@ -20,6 +20,9 @@ Routes (all under ``/api``):
   (``app/api.py:343-386``): shows how EQ/IN/CONTAINS conditions and the
   cursor translate into backend query params via the same
   ``compile_pushed_params`` the REST reader executes.
+- ``GET|POST /playground``                  ≙ ``/playground``
+  (``app/playground.py:316-521``): the form-driven pull/push runner,
+  rendered by :mod:`hrtech_etl_spark.app.playground`.
 
 The Spark-facing endpoints acquire the session lazily via
 ``spark_factory`` (default :func:`hrtech_etl_spark.core.session.
@@ -141,6 +144,46 @@ def ep_auth_schema(connector: str) -> list[dict]:
     if auth is None:
         return []
     return export_auth_fields(auth)
+
+
+def ep_playground(spark_factory, method: str, form: dict) -> str:
+    """The form-driven playground page (reference
+    ``app/playground.py:316-521``): GET renders the blank form, POST
+    parses it into the same body ``ep_run_pull``/``ep_run_push`` take,
+    runs the operation, and re-renders the form with the result (or
+    error) and the submitted values preserved."""
+    from hrtech_etl_spark.app import playground as pg
+    from hrtech_etl_spark.sources.auth import export_auth_fields
+
+    connectors = sorted(list_connectors())
+    auth_fields = {}
+    for name in connectors:
+        try:
+            auth = getattr(get_connector_instance(name), "auth", None)
+        except Exception:  # noqa: BLE001 — metadata best-effort only
+            auth = None
+        if auth is not None:
+            auth_fields[name] = export_auth_fields(auth)
+
+    result = error = None
+    if method == "POST" and (form.get("action") or [""])[-1] == "run":
+        body = pg.parse_body(form)
+        try:
+            if body["operation"] == "push":
+                result = ep_run_push(spark_factory, body)
+            else:
+                result = ep_run_pull(spark_factory, body)
+        except ApiError as exc:
+            error = exc.detail
+        except Exception as exc:  # noqa: BLE001 — page shows the failure
+            error = f"{type(exc).__name__}: {exc}"
+    return pg.render(
+        connectors,
+        state=form if method == "POST" else None,
+        result=result,
+        error=error,
+        auth_fields=auth_fields,
+    )
 
 
 def ep_build_formatter(body: dict) -> dict:
@@ -291,7 +334,28 @@ def create_app(spark_factory: Callable[[], Any] | None = None):
             except json.JSONDecodeError as exc:
                 raise ApiError(400, f"invalid JSON body: {exc}") from exc
 
+        def respond_html(markup: str):
+            body = markup.encode()
+            start_response(
+                "200 OK",
+                [
+                    ("Content-Type", "text/html; charset=utf-8"),
+                    ("Content-Length", str(len(body))),
+                ],
+            )
+            return [body]
+
         try:
+            if path == "/playground" and method in ("GET", "POST"):
+                form: dict = {}
+                if method == "POST":
+                    try:
+                        length = int(environ.get("CONTENT_LENGTH") or 0)
+                    except ValueError:
+                        length = 0
+                    raw = environ["wsgi.input"].read(length) if length else b""
+                    form = parse_qs(raw.decode())
+                return respond_html(ep_playground(spark_factory, method, form))
             if method == "GET" and path == "/api/health":
                 return respond(200, {"status": "ok"})
             if method == "GET" and path == "/api/connectors":

@@ -227,3 +227,68 @@ def test_auth_schema_endpoint(app, jobs_connector):
 
     status, _ = call(app, "GET", "/api/schema/auth/nope")
     assert status == 404
+
+
+def call_html(app, method, path, form=None):
+    from urllib.parse import urlencode
+
+    raw = urlencode(form or {}).encode()
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": "",
+        "CONTENT_LENGTH": str(len(raw)),
+        "CONTENT_TYPE": "application/x-www-form-urlencoded",
+        "wsgi.input": io.BytesIO(raw),
+    }
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = int(status.split()[0])
+        captured["headers"] = dict(headers)
+
+    chunks = app(environ, start_response)
+    return captured["status"], b"".join(chunks).decode()
+
+
+def test_playground_form_renders(app, jobs_connector):
+    status, page = call_html(app, "GET", "/playground")
+    assert status == 200
+    assert "<form" in page and jobs_connector in page
+    assert "cursor_start" in page and "mapping_from_0" in page
+
+
+def test_playground_runs_dry_pull(app, jobs_connector):
+    status, page = call_html(
+        app,
+        "POST",
+        "/playground",
+        {
+            "action": "run",
+            "operation": "pull",
+            "resource": "job",
+            "origin": jobs_connector,
+            "uid_col": "uid",
+            "cursor_mode": "updated_at",
+            "cursor_start": "2024-01-15 00:00:00",
+            "cursor_sort_by": "asc",
+            "filter_field_0": "status",
+            "filter_op_0": "eq",
+            "filter_value_0": "open",
+            "dry_run": "on",
+        },
+    )
+    assert status == 200
+    assert "Result" in page and "cursor" in page
+    # form state preserved after submit
+    assert "2024-01-15 00:00:00" in page
+
+
+def test_playground_shows_error_inline(app):
+    status, page = call_html(
+        app,
+        "POST",
+        "/playground",
+        {"action": "run", "operation": "pull", "resource": "job", "origin": "nope"},
+    )
+    assert status == 200 and "Error:" in page
