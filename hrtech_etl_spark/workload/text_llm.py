@@ -404,8 +404,10 @@ def dedup_embedding_cosine(spark, sf_dir):
 )
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline): one projection +
-    TakeOrderedAndProject, no shuffle of the corpus."""
-    e = spread(load_table(spark, "embeddings", sf_dir))
+    TakeOrderedAndProject, no shuffle of the corpus. The operator
+    spreads the corpus side itself (conditionally); q derives from the
+    raw scan so the 1-row broadcast side carries no exchange."""
+    e = load_table(spark, "embeddings", sf_dir)
     q = e.where(F.col("vec_id") == 0)
     return sim.cosine_topk(e, q, k=10)
 
@@ -426,7 +428,7 @@ def sim_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k: probes only the query's
     sign-random-projection bucket (1/16th of the corpus at 4 bits).
     Deterministic projections → exact oracle parity."""
-    e = spread(load_table(spark, "embeddings", sf_dir))
+    e = load_table(spark, "embeddings", sf_dir)
     q = e.where(F.col("vec_id") == 0)
     return sim.lsh_cosine_topk(e, q, k=10)
 
@@ -466,7 +468,7 @@ def sim_ivf_topk(spark, sf_dir):
     quantizer, nprobe=2 inverted lists probed out of 8 — the
     partition-pruned scale path for ANN (see
     functions/similarity.py::ivf_cosine_topk)."""
-    e = spread(load_table(spark, "embeddings", sf_dir))
+    e = load_table(spark, "embeddings", sf_dir)
     q = e.where(F.col("vec_id") == 0)
     return sim.ivf_cosine_topk(e, q, k=10, n_centroids=8, nprobe=2)
 
