@@ -2,13 +2,21 @@
 
 Media travel as opaque ``binary`` columns wrapped in a typed struct
 (content + mime + metadata) — the pattern Spark's own ``binaryFile``
-source uses, extended with per-asset metadata. The decode/resize/
-frame-sample kernels are the only pieces that need media libraries
-(Pillow/ffmpeg/torchaudio); those are NOT in this environment, so each
-kernel is STUBBED behind ``NotImplementedError`` with a deterministic
-fake used by default in tests — the Spark-side plumbing (schema,
-``mapInPandas`` batch shape, Arrow transfer, partition sizing) is real
-and tested.
+source uses, extended with per-asset metadata. Decode is tiered:
+
+- UNCOMPRESSED, self-describing formats decode for REAL with pure
+  numpy/stdlib codecs (P6 PPM and 24-bit BMP images, PCM WAV audio,
+  concatenated-PPM raw video streams): ``real_media_features``,
+  ``real_resize``, ``real_frame_sample``.
+- COMPRESSED formats (JPEG/PNG/MP4/...) need Pillow/ffmpeg, which
+  this environment lacks: those paths raise ``NotImplementedError``
+  behind the same injectable-kernel contract, so a real model/codec
+  swaps in without touching the plumbing.
+- The oracle-checked default kernels remain the deterministic fakes
+  (they accept arbitrary bytes, which the DuckDB oracle replicates).
+
+The Spark-side plumbing (schema, ``mapInPandas`` batch shape, Arrow
+transfer, partition sizing) is identical for all three tiers.
 
 Design rules for 100 TB of media:
 
@@ -79,14 +87,207 @@ def attach_fake_media(
 
 
 # ---------------------------------------------------------------------------
-# Kernels (stubs + deterministic fakes)
+# Real codecs — pure numpy/stdlib, for self-describing UNCOMPRESSED
+# formats (P6 PPM, 24-bit BMP, PCM WAV). Compressed formats (JPEG/PNG/
+# MP4/...) genuinely need Pillow/ffmpeg, which this environment lacks:
+# those still raise NotImplementedError, with the injectable-kernel
+# contract unchanged. Everything below is deterministic byte math, so
+# features are reproducible across engines and processes.
 # ---------------------------------------------------------------------------
 
-def decode_image(content: bytes) -> "object":
-    """Real decode needs Pillow — not available here by design."""
+def _parse_ppm_header(content: bytes, offset: int = 0) -> tuple[int, int, int]:
+    """(width, height, data_offset) of a binary PPM (P6, maxval ≤ 255,
+    no comment lines) starting at ``offset``."""
+    if content[offset : offset + 2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    vals: list[int] = []
+    i = offset + 2
+    while len(vals) < 3:
+        while content[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        vals.append(int(content[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    return w, h, i
+
+
+def decode_ppm(content: bytes):
+    """P6 PPM → uint8 ndarray (h, w, 3)."""
+    import numpy as np
+
+    w, h, start = _parse_ppm_header(content)
+    data = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=start)
+    return data.reshape(h, w, 3)
+
+
+def encode_ppm(img) -> bytes:
+    """uint8 ndarray (h, w, 3) → P6 PPM bytes."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_bmp(content: bytes):
+    """Uncompressed 24-bit BMP → uint8 ndarray (h, w, 3) in RGB order
+    (handles 4-byte row padding and bottom-up storage)."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        content, np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)
+    img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_wav(content: bytes):
+    """PCM WAV → (mono float64 samples in [-1, 1], sample_rate); 8- and
+    16-bit PCM via the stdlib ``wave`` parser, channels averaged."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as wf:
+        n, sr, ch, sw = (
+            wf.getnframes(),
+            wf.getframerate(),
+            wf.getnchannels(),
+            wf.getsampwidth(),
+        )
+        raw = wf.readframes(n)
+    if sw == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, "u1").astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError("only 8/16-bit PCM WAV supported")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, sr
+
+
+def decode_image(content: bytes):
+    """Decode a self-describing uncompressed image payload (magic-byte
+    sniffed). Compressed formats need Pillow — not in this environment;
+    inject a kernel instead."""
+    if content[:2] == b"P6":
+        return decode_ppm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
     raise NotImplementedError(
-        "image decode requires Pillow; inject a kernel via features_udf(...)"
+        "compressed image decode requires Pillow; inject a kernel via "
+        "media_features(..., kernel=...)"
     )
+
+
+def real_media_features(content: bytes, dim: int = 8) -> list[float]:
+    """REAL feature kernel for uncompressed media, magic-byte sniffed:
+
+    - image (P6 PPM / 24-bit BMP): per-channel means and stds, luma
+      mean, log aspect ratio — 8 dims;
+    - audio (PCM WAV): duration, RMS, peak, mean |x|, zero-crossing
+      rate, spectral-centroid fraction (rfft), normalized sample rate,
+      log duration — 8 dims.
+
+    Deterministic numpy math, rounded to 6 decimals; swap in a learned
+    embedding kernel (CLIP/wav2vec) with the same signature at will.
+    """
+    import numpy as np
+
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        x, sr = decode_wav(content)
+        n = max(len(x), 1)
+        dur = n / sr
+        spec = np.abs(np.fft.rfft(x))
+        total = float(spec.sum())
+        centroid = float((spec * np.arange(len(spec))).sum() / total / len(spec)) if total > 0 else 0.0
+        zcr = float((np.diff(np.signbit(x)) != 0).sum()) / n
+        feats = [
+            dur,
+            float(np.sqrt((x**2).mean())) if n else 0.0,
+            float(np.abs(x).max()) if n else 0.0,
+            float(np.abs(x).mean()) if n else 0.0,
+            zcr,
+            centroid,
+            sr / 48000.0,
+            float(np.log1p(dur)),
+        ]
+    else:
+        img = decode_image(content).astype(np.float64) / 255.0
+        h, w = img.shape[0], img.shape[1]
+        luma = img @ np.array([0.2126, 0.7152, 0.0722])
+        feats = [
+            float(img[..., 0].mean()),
+            float(img[..., 1].mean()),
+            float(img[..., 2].mean()),
+            float(img[..., 0].std()),
+            float(img[..., 1].std()),
+            float(img[..., 2].std()),
+            float(luma.mean()),
+            float(np.log(w / h)),
+        ]
+    feats = [round(f, 6) for f in feats]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def real_resize(content: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for uncompressed images; output is
+    always P6 PPM (the canonical uncompressed interchange here)."""
+    import numpy as np
+
+    img = decode_image(content)
+    yi = (np.arange(height) * img.shape[0]) // height
+    xi = (np.arange(width) * img.shape[1]) // width
+    return encode_ppm(img[yi][:, xi])
+
+
+def split_ppm_stream(content: bytes) -> list[bytes]:
+    """Split a concatenated-P6 raw video stream into frame payloads —
+    the uncompressed analog of demuxing (container formats need
+    ffmpeg; inject a kernel for those)."""
+    frames = []
+    i = 0
+    while i < len(content):
+        w, h, start = _parse_ppm_header(content, i)
+        end = start + w * h * 3
+        frames.append(content[i:end])
+        i = end
+    return frames
+
+
+def real_frame_sample(content: bytes, every_n: int) -> list[bytes]:
+    """REAL frame sampling over a concatenated-PPM stream: every n-th
+    frame, each a standalone decodable P6 payload."""
+    return split_ppm_stream(content)[::every_n]
+
+
+# ---------------------------------------------------------------------------
+# Kernels (deterministic fakes — the oracle-checked default: they need
+# no decodable payload, so they run on arbitrary bytes)
+# ---------------------------------------------------------------------------
 
 
 def fake_image_features(content: bytes, dim: int = 8) -> list[float]:
