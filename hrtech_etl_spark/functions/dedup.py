@@ -342,6 +342,7 @@ def near_dup_clusters(
     *,
     max_iterations: int = 10,
     checkpoint_every: int = 3,
+    accelerate: bool = False,
 ) -> DataFrame:
     """Connected components over verified near-dup pairs → one cluster
     label per id (the minimum id in its component; singletons label
@@ -354,8 +355,18 @@ def near_dup_clusters(
     O(component diameter) rounds — near-dup components are clique-like
     (diameter ≤ ~2-3), so a handful of rounds suffice; bounded by
     ``max_iterations`` (raises if not converged — the cue the pair
-    graph has pathological chains and the large-star/small-star variant
-    of this loop is needed).
+    graph has pathological chains: rerun with ``accelerate=True``).
+
+    ``accelerate=True`` adds a pointer-jump to every round — the
+    star-contraction idea from the MapReduce connected-components
+    literature: the new label is the min of (own, neighbor labels,
+    label-of-label), the last term composing the previous round's
+    mapping with itself so pointer depth roughly halves per round.
+    Chains then converge in O(log diameter) rounds at the cost of one
+    extra join per round against the ALREADY-CACHED previous labels
+    (labels only ever decrease, so the fixed point is unchanged:
+    convergence still means neighbor-stable AND idempotent, which
+    forces labels constant per component).
 
     Driver coordination is ONE job per round: the round's labels are
     persisted and materialized by a single ``count()`` whose plan
@@ -389,15 +400,21 @@ def near_dup_clusters(
             .agg(F.min("cluster").alias("neigh_min"))
         )
         obs = Observation(f"near_dup_clusters_round_{i}")
-        cached = (
-            labels.join(neigh, labels["id"] == neigh["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce("neigh_min", F.col("cluster"))
-                ).alias("cluster"),
-                (F.col("neigh_min") < F.col("cluster")).alias("__changed"),
+        candidates = [F.col("cluster"), F.coalesce("neigh_min", F.col("cluster"))]
+        joined = labels.join(neigh, labels["id"] == neigh["src"], "left")
+        if accelerate:
+            jump = labels.select(
+                F.col("id").alias("__jid"), F.col("cluster").alias("__jcluster")
             )
+            joined = joined.join(jump, F.col("cluster") == F.col("__jid"), "left")
+            candidates.append(F.coalesce("__jcluster", F.col("cluster")))
+        cached = (
+            joined.select(
+                "id",
+                F.least(*candidates).alias("__new"),
+                (F.least(*candidates) < F.col("cluster")).alias("__changed"),
+            )
+            .withColumnRenamed("__new", "cluster")
             .observe(obs, F.count_if(F.col("__changed")).alias("n_changed"))
             .drop("__changed")
             .persist()
@@ -416,8 +433,8 @@ def near_dup_clusters(
             return labels
     raise RuntimeError(
         f"near_dup_clusters did not converge in {max_iterations} rounds; "
-        "component diameter exceeds the bound — raise max_iterations or "
-        "switch to large-star/small-star contraction"
+        "component diameter exceeds the bound — rerun with accelerate=True "
+        "(pointer-jumping, O(log diameter) rounds) or raise max_iterations"
     )
 
 

@@ -132,3 +132,43 @@ def test_one_driver_action_per_round(spark, monkeypatch):
     # 3 rounds to converge -> 3 counts; 1 lazy edge checkpoint; only
     # round 3 (i+1 == checkpoint_every) truncates lineage eagerly.
     assert counts == {"count": 3, "ckpt_eager": 1, "ckpt_lazy": 1}
+
+
+def test_accelerated_chain_converges_in_log_rounds(spark):
+    """accelerate=True composes labels through the previous round's
+    mapping (pointer jump): a 40-node path — 39 rounds for plain
+    propagation — converges within 9 rounds, same labels."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    got = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(
+            pairs, ids, "doc_id", max_iterations=9, accelerate=True
+        ).collect()
+    }
+    assert set(got.values()) == {1} and len(got) == n
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, ids, "doc_id", max_iterations=9)
+
+
+def test_accelerated_matches_plain_on_documents(spark, sf_dir):
+    from hrtech_etl_spark.sources.testdata import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    cand = minhash_lsh_pairs(d, "text", "doc_id")
+    verified = jaccard_verify(cand, d, "text", "doc_id", threshold=0.5)
+    plain = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(verified, d.select("doc_id"), "doc_id").collect()
+    }
+    fast = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(
+            verified, d.select("doc_id"), "doc_id", accelerate=True
+        ).collect()
+    }
+    assert plain == fast
