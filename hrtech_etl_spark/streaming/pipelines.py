@@ -271,6 +271,75 @@ def user_running_stats(
     )
 
 
+def user_running_stats_tws(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str | None = "2 hours",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The same running-stats contract as :func:`user_running_stats`,
+    on Spark 4's ``transformWithStateInPandas`` — the current-generation
+    arbitrary-stateful API (``StatefulProcessor`` + typed ``ValueState``,
+    with timers/TTL available on the handle) that supersedes
+    ``applyInPandasWithState``. Kept alongside the legacy operator so
+    both stateful surfaces stay exercised.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the transformWithState state protocol speaks
+    protobuf between the JVM and the Python workers). This sandbox has
+    neither protobuf nor pip, so the test suite skips the drive when
+    ``google.protobuf`` is missing — on a real cluster both ship with
+    the standard PySpark requirements.
+    """
+    import pandas as pd  # local import: executors only
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", _RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last_ts = 0, 0.0, None
+            if self._state.exists():
+                n, total, last_ts = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+                batch_max = pdf[ts_col].max()
+                if last_ts is None or (
+                    batch_max is not None and batch_max > last_ts
+                ):
+                    last_ts = batch_max
+            self._state.update((n, total, last_ts))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    if watermark:
+        events = ensure_watermarkable(events, ts_col).withWatermark(ts_col, watermark)
+    return events.groupBy(key_col).transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=RUNNING_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------

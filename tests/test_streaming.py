@@ -601,3 +601,53 @@ def test_ensure_event_time_requires_utc(spark, ntz_events_dir):
         assert ensure_event_time(ltz, "ts") is ltz
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_user_running_stats_transform_with_state(
+    spark, event_stream_dir, events_batch, tmp_path
+):
+    """Spark 4 transformWithStateInPandas twin of user_running_stats:
+    same final per-user state as the batch aggregation. Requires the
+    RocksDB state store provider (set for this stream, restored after)
+    and protobuf (the TWS state protocol — absent from this sandbox,
+    so the drive skips here and runs on a real cluster)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+    from hrtech_etl_spark.streaming.pipelines import user_running_stats_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _stream_events(spark, event_stream_dir, events_batch)
+        run_available_now(
+            user_running_stats_tws(stream, watermark=None),
+            checkpoint=str(tmp_path / "ck"),
+            output_mode="update",
+            memory_table="tws_running",
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table("tws_running")
+            .orderBy(F.col("last_ts").desc())
+            .dropDuplicates(["user_id"])
+            .collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events_batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
