@@ -227,6 +227,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     shingle_k: int = 2,
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH.
 
@@ -246,10 +247,18 @@ def minhash_lsh_pairs(
     8,761 buckets, mean size 2.3, p99 = 14, max = 192 (a genuine
     near-identical cluster — its within-bucket product IS the answer,
     not skew). With bucket sizes this flat the pinned partition counts
-    are about CPU parallelism, not key skew; a corpus-scale hot bucket
-    (boilerplate shingles) would show up here first and is the cue to
-    pre-filter stop-shingles or salt the verify join
-    (operators/skew.py).
+    are about CPU parallelism, not key skew.
+
+    ``max_bucket_size`` is the corpus-scale safety valve: a band bucket
+    of size b emits b·(b−1)/2 candidates, so ONE boilerplate mega-bucket
+    (shared headers/footers hashed into the same band) can dominate the
+    whole job quadratically. With the cap set, buckets larger than the
+    cap are dropped BEFORE the self-join (a window count over the same
+    key the join shuffles on — no extra exchange). Recall is lost only
+    for pairs whose EVERY shared band overflows; genuinely similar
+    pairs share several bands, so in practice the cap sheds boilerplate
+    noise, and the Jaccard verify already discards most of a
+    mega-bucket's candidates anyway. Default None = exact behavior.
     """
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_k=shingle_k)
@@ -270,6 +279,15 @@ def minhash_lsh_pairs(
             "band_idx", "bucket"
         ),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band_idx", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

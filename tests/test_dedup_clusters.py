@@ -172,3 +172,29 @@ def test_accelerated_matches_plain_on_documents(spark, sf_dir):
         ).collect()
     }
     assert plain == fast
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket_size drops mega-buckets before the self-join: a
+    boilerplate cluster of identical docs (one giant bucket per band)
+    emits no pairs under a small cap, while distinct near-dup pairs in
+    small buckets survive; cap=None stays exact."""
+    boiler = [(i, "the same exact boilerplate footer text repeated") for i in range(50)]
+    near = [
+        (100, "completely different unique payload alpha beta gamma delta"),
+        (101, "completely different unique payload alpha beta gamma epsilon"),
+    ]
+    df = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "text", "doc_id", max_bucket_size=10).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    # the 50-doc boilerplate clique (1225 pairs) is gone under the cap
+    assert any(a < 50 and b < 50 for a, b in uncapped)
+    assert not any(a < 50 and b < 50 for a, b in capped)
+    assert capped < uncapped
