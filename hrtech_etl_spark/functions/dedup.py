@@ -210,6 +210,54 @@ def hashed_shingles(sh: Column) -> Column:
     return F.array_distinct(F.transform(sh, lambda s: portable_hash(s)))
 
 
+def remove_stop_shingles(
+    shingles: DataFrame,
+    *,
+    max_doc_frac: float = 0.5,
+    max_stop: int = 100_000,
+) -> DataFrame:
+    """Drop boilerplate shingles — those appearing in more than
+    ``max_doc_frac`` of documents — from a hashed shingle table.
+
+    Boilerplate n-grams (shared headers/footers/disclaimers) are the
+    classic corpus-scale dedup poison: they drag unrelated documents'
+    MinHash signatures together, flooding the band join with false
+    candidates (the in-bucket analog of SQL stop words). Document
+    frequency is computed in one explode + count-distinct-free
+    aggregation pass; the stop set is by construction tiny (each stop
+    shingle occupies ≥ ``max_doc_frac`` of the corpus, so there can be
+    at most ``distinct_shingles_per_doc / max_doc_frac`` of them) and
+    ships back as ONE literal array filter — no join against the
+    corpus. ``max_stop`` guards the driver against a mis-set threshold
+    (e.g. ``max_doc_frac`` so low that half the vocabulary qualifies).
+
+    Apply between :func:`shingle_table` and the candidate/verify stages
+    — both then see the SAME cleaned sets, keeping signature and
+    Jaccard measures consistent.
+    """
+    if not _shingles_pre_hashed(shingles):
+        raise ValueError("remove_stop_shingles expects a hashed shingle table")
+    n_docs = shingles.count()
+    cutoff = max(int(n_docs * max_doc_frac), 1)
+    stop_rows = (
+        shingles.select(F.explode("sh").alias("h"))
+        .groupBy("h")
+        .count()
+        .where(F.col("count") > cutoff)
+        .limit(max_stop + 1)
+        .collect()
+    )
+    if len(stop_rows) > max_stop:
+        raise ValueError(
+            f"remove_stop_shingles: more than {max_stop} shingles exceed "
+            f"doc-frequency {max_doc_frac} — threshold too low for this corpus"
+        )
+    if not stop_rows:
+        return shingles
+    stop = F.array(*[F.lit(r["h"]).cast("long") for r in stop_rows])
+    return shingles.withColumn("sh", F.array_except(F.col("sh"), stop))
+
+
 def _shingles_pre_hashed(shingles: DataFrame) -> bool:
     """True when a shingle table carries hashed (array<long>) sets."""
     from pyspark.sql import types as T

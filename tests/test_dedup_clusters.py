@@ -198,3 +198,41 @@ def test_minhash_bucket_cap(spark):
     assert any(a < 50 and b < 50 for a, b in uncapped)
     assert not any(a < 50 and b < 50 for a, b in capped)
     assert capped < uncapped
+
+
+def test_remove_stop_shingles(spark):
+    """Shingles shared by most docs vanish; rare shingles survive; the
+    cleaned table keeps near-dup pairs findable while boilerplate-only
+    overlap stops producing candidates."""
+    from hrtech_etl_spark.functions.dedup import (
+        remove_stop_shingles,
+        shingle_table,
+    )
+
+    footer = "standard corporate footer all rights reserved"
+    docs = [(i, f"unique payload number {i} item {i * 7} " + footer) for i in range(20)]
+    docs += [
+        (100, "alpha beta gamma delta unique pair one " + footer),
+        (101, "alpha beta gamma delta unique pair two " + footer),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = shingle_table(df, "text", "doc_id", hashed=True)
+    cleaned = remove_stop_shingles(sh, max_doc_frac=0.5)
+
+    # footer bigrams appear in all 22 docs -> removed everywhere
+    sizes_before = {r["doc_id"]: len(r["sh"]) for r in sh.collect()}
+    sizes_after = {r["doc_id"]: len(r["sh"]) for r in cleaned.collect()}
+    assert all(sizes_after[d] < sizes_before[d] for d in sizes_after)
+
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", shingles=cleaned)
+    verified = jaccard_verify(pairs, df, "text", "doc_id", threshold=0.5, shingles=cleaned)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+
+    # raises on an unhashed table, and on an absurd threshold
+    raw = shingle_table(df, "text", "doc_id", hashed=False)
+    with pytest.raises(ValueError, match="hashed"):
+        remove_stop_shingles(raw)
+    with pytest.raises(ValueError, match="threshold too low"):
+        remove_stop_shingles(sh, max_doc_frac=0.0, max_stop=3)
