@@ -512,18 +512,38 @@ def drop_near_duplicates(
     threshold: float = 0.5,
     shingle_k: int = 2,
     max_iterations: int = 10,
+    max_bucket_size: int | None = None,
+    stop_shingle_frac: float | None = None,
+    accelerate: bool = False,
 ) -> DataFrame:
     """End-to-end corpus dedup: MinHash-LSH candidates → exact Jaccard
     verify at ``threshold`` → connected components → keep the minimum-id
     row per cluster. The whole pipeline is the bucketed scale path —
-    no all-pairs stage anywhere."""
-    sh = shingle_table(df, text_col, id_col, shingle_k=shingle_k)
-    cand = minhash_lsh_pairs(df, text_col, id_col, shingles=sh)
+    no all-pairs stage anywhere.
+
+    Corpus-scale knobs (all off by default, exact behavior):
+    ``stop_shingle_frac`` removes boilerplate shingles above that
+    document frequency before signatures AND verify (one consistent
+    measure — :func:`remove_stop_shingles`); ``max_bucket_size`` caps
+    band buckets before the self-join (:func:`minhash_lsh_pairs`);
+    ``accelerate`` turns on pointer-jumping clustering for chain-shaped
+    pair graphs (:func:`near_dup_clusters`).
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_k=shingle_k, hashed=True)
+    if stop_shingle_frac is not None:
+        sh = remove_stop_shingles(sh, max_doc_frac=stop_shingle_frac)
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, shingles=sh, max_bucket_size=max_bucket_size
+    )
     verified = jaccard_verify(
         cand, df, text_col, id_col, threshold=threshold, shingles=sh
     )
     clusters = near_dup_clusters(
-        verified, df.select(id_col), id_col, max_iterations=max_iterations
+        verified,
+        df.select(id_col),
+        id_col,
+        max_iterations=max_iterations,
+        accelerate=accelerate,
     )
     # The converged label IS the component's minimum id, so the keep
     # set is just the distinct labels — no extra min() aggregation.
