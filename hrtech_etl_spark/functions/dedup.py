@@ -237,13 +237,18 @@ def remove_stop_shingles(
     """
     if not _shingles_pre_hashed(shingles):
         raise ValueError("remove_stop_shingles expects a hashed shingle table")
-    n_docs = shingles.count()
-    cutoff = max(int(n_docs * max_doc_frac), 1)
+    # ONE action for both the doc count and the doc-frequency cutoff:
+    # the total rides the frequency scan as a broadcast-joined scalar
+    # aggregate, and both branches read the shingle table's keyed
+    # exchange back as a ReusedExchange — the corpus is shingled once,
+    # not once per statistic.
+    total = shingles.agg(F.count(F.lit(1)).alias("__n_docs"))
     stop_rows = (
         shingles.select(F.explode("sh").alias("h"))
         .groupBy("h")
         .count()
-        .where(F.col("count") > cutoff)
+        .join(F.broadcast(total))
+        .where(F.col("count") > F.greatest(F.col("__n_docs") * max_doc_frac, F.lit(1)))
         .limit(max_stop + 1)
         .collect()
     )
@@ -496,7 +501,15 @@ def near_dup_clusters(
             prev_cached.unpersist()
         prev_cached = cached
         if n_changed == 0:
+            if cached is not None:
+                # don't return a cache-pinned frame: CacheManager would
+                # hold the entry long after the caller dropped it. The
+                # checkpoint is one cheap cache-read job.
+                labels = cached.localCheckpoint(eager=True)
+                cached.unpersist()
             return labels
+    if prev_cached is not None:
+        prev_cached.unpersist()
     raise RuntimeError(
         f"near_dup_clusters did not converge in {max_iterations} rounds; "
         "component diameter exceeds the bound — rerun with accelerate=True "
@@ -602,14 +615,22 @@ def simhash64(text_col: Column, *, bits: int = 64, seed: int = 99) -> Column:
     64-bit bands of 16 bits spread 256× wider).
 
     Same contract as :func:`simhash`: bit i of the signature is the
-    majority vote of bit i across the distinct tokens' seeded hashes.
-    The token hash widens from 32-bit md5-prefix to the first 16 md5
-    hex chars (64 bits, same seeded payload ``{seed}:{token}``);
-    tokenization mirrors :func:`..functions.text.tokens`
-    (``split(trim(lower(s)), r'\\s+')``). The signature is returned as
-    a signed long via two's-complement bit reinterpretation — band
-    extraction (arithmetic shiftright + mask) and XOR/bit_count Hamming
-    are bit-pattern operations, indifferent to the sign.
+    majority vote of bit i across the distinct tokens' seeded hashes;
+    NULL text yields a NULL signature (whose NULL band values never
+    join — null rows must not become hamming-0 "duplicates"). The
+    token hash widens from 32-bit md5-prefix to the first 16 md5 hex
+    chars (64 bits, same seeded payload ``{seed}:{token}``), so the
+    64-bit signature's upper half equals the 32-bit signature exactly.
+    Tokenization mirrors the JVM :func:`..functions.text.tokens`
+    precisely — ``trim`` strips only ASCII spaces, the split class is
+    Java's ASCII ``\\s`` (``[ \\t\\n\\x0b\\f\\r]``), and trailing empty
+    strings are kept (Java split with limit -1) — a Python
+    ``str.strip()`` + Unicode ``\\s`` would silently break the parity
+    invariant on text with trailing newlines or Unicode whitespace.
+    The signature is returned as a signed long via two's-complement bit
+    reinterpretation — band extraction (arithmetic shiftright + mask)
+    and XOR/bit_count Hamming are bit-pattern operations, indifferent
+    to the sign.
 
     Per Arrow batch the token hashing is a Python loop over distinct
     tokens (md5), but the bit matrix → vote → pack pipeline is
@@ -628,12 +649,17 @@ def simhash64(text_col: Column, *, bits: int = 64, seed: int = 99) -> Column:
 
         import numpy as np
 
+        ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, ASCII-only
         shifts = np.arange(bits, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.uint64)
+        nulls = np.zeros(len(texts), dtype=bool)
         for i, t in enumerate(texts):
             if t is None:
+                nulls[i] = True
                 continue
-            toks = set(re.split(r"\s+", t.strip().lower()))
+            # trim strips only ASCII spaces; split keeps trailing empty
+            # strings — both exactly as Spark's trim/split(limit=-1) do
+            toks = set(ascii_ws.split(t.lower().strip(" ")))
             hs = np.fromiter(
                 (
                     int(hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:16], 16)
@@ -645,7 +671,11 @@ def simhash64(text_col: Column, *, bits: int = 64, seed: int = 99) -> Column:
             votes = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
             sig_bits = (votes * 2 > len(toks)).astype(np.uint64)
             out[i] = (sig_bits << shifts).sum(dtype=np.uint64)
-        return pd.Series(out.view(np.int64))
+        signed = pd.Series(
+            pd.array(out.view(np.int64), dtype="Int64")
+        )  # nullable Int64: NA survives without a float64 precision trip
+        signed[nulls] = pd.NA
+        return signed
 
     return _sig(text_col)
 

@@ -219,7 +219,13 @@ def real_media_features(content: bytes, dim: int = 8) -> list[float]:
 
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         x, sr = decode_wav(content)
-        n = max(len(x), 1)
+        n = len(x)
+        if n == 0:
+            # structurally valid but empty data chunk (truncated
+            # recordings): all-zero features except the rate — rfft and
+            # max() would both raise on an empty array
+            feats = [0.0] * 6 + [sr / 48000.0, 0.0]
+            return ([round(f, 6) for f in feats] + [0.0] * dim)[:dim]
         dur = n / sr
         spec = np.abs(np.fft.rfft(x))
         total = float(spec.sum())
@@ -227,9 +233,9 @@ def real_media_features(content: bytes, dim: int = 8) -> list[float]:
         zcr = float((np.diff(np.signbit(x)) != 0).sum()) / n
         feats = [
             dur,
-            float(np.sqrt((x**2).mean())) if n else 0.0,
-            float(np.abs(x).max()) if n else 0.0,
-            float(np.abs(x).mean()) if n else 0.0,
+            float(np.sqrt((x**2).mean())),
+            float(np.abs(x).max()),
+            float(np.abs(x).mean()),
             zcr,
             centroid,
             sr / 48000.0,

@@ -247,6 +247,10 @@ def etl_upsert_merge(spark, sf_dir):
     )
 
     # --- branch 2: out-of-order micro-batches into merge_upsert ---------
+    import hashlib
+    import os
+    import shutil
+
     events = load_table(spark, "events", sf_dir).select(
         "event_id",
         "user_id",
@@ -254,15 +258,26 @@ def etl_upsert_merge(spark, sf_dir):
         "value",
         (F.col("user_id") % 10).alias("shard"),
     )
-    batches = [events.where(F.col("event_id") % 3 == m) for m in (0, 2, 1)]
-    state_path = tempfile.mkdtemp(prefix="upsert_ooo_") + "/state"
-    for batch in batches:
+    order = [F.col("ts"), F.col("event_id")]
+    b0, b2, b1 = [events.where(F.col("event_id") % 3 == m) for m in (0, 2, 1)]
+    # Bootstrap with the DEDUP'D first batch: merge_upsert's bootstrap
+    # writes the source verbatim, and a later batch only rewrites the
+    # shard partitions it touches — un-deduped bootstrap rows in a
+    # shard no later batch hits would survive, making parity depend on
+    # batch/shard coverage instead of the merge semantics under test.
+    b0 = last_wins_dedup(b0, ["user_id"], order)
+    # Stable per-sf state dir, wiped up front: bounded temp usage
+    # across repeated driver runs instead of one leaked mkdtemp each.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state_path = os.path.join(tempfile.gettempdir(), f"upsert_ooo_{tag}", "state")
+    shutil.rmtree(os.path.dirname(state_path), ignore_errors=True)
+    for batch in (b0, b2, b1):
         merge_upsert(
             spark,
             state_path,
             batch,
             ["user_id"],
-            order_cols=[F.col("ts"), F.col("event_id")],
+            order_cols=order,
             partition_col="shard",
         )
     ooo = spark.read.parquet(state_path).agg(

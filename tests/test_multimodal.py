@@ -229,3 +229,20 @@ def test_compressed_formats_still_gated():
         mm.real_media_features(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
         mm.real_resize(b"\xff\xd8\xff\xe0JFIF", 2, 2)
+
+
+def test_empty_wav_yields_zero_features():
+    """A structurally valid WAV with zero frames (truncated recording)
+    must produce zero features, not crash rfft/max on an empty array."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"")
+    feats = mm.real_media_features(buf.getvalue())
+    assert feats[6] == round(16000 / 48000, 6)  # rate still reported
+    assert all(f == 0.0 for i, f in enumerate(feats) if i != 6)

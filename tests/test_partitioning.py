@@ -62,12 +62,48 @@ def test_spread_widens_narrow_input(spark):
 
 def test_keyed_barrier_never_narrows(spark):
     wide = spark.range(0, 1000).repartition(24)
-    assert num_partitions(keyed_barrier(wide, "id")) == 24
+    assert num_partitions(keyed_barrier(wide, "id")) >= 24
     narrow = spark.range(0, 1000).coalesce(1)
     assert (
         num_partitions(keyed_barrier(narrow, "id", factor=2))
         == 2 * spark.sparkContext.defaultParallelism
     )
+
+
+def test_keyed_barrier_factors_stay_distinct_on_wide_input(spark):
+    """With the same key, adjacent barriers of different factors must
+    get DIFFERENT counts even when the input width dominates — same
+    key + same count lets EnsureRequirements drop the second exchange
+    and re-inline the expensive projection into every consumer."""
+    wide = spark.range(0, 1000).repartition(64)
+    c2 = num_partitions(keyed_barrier(wide, "id", factor=2))
+    c3 = num_partitions(keyed_barrier(keyed_barrier(wide, "id", factor=2), "id", factor=3))
+    assert c2 != c3 and c3 > c2 >= 64
+
+
+def test_minhash_wide_input_keeps_both_barriers(spark, wide_docs):
+    """End-to-end: on a wide scan, the shingle barrier and the
+    signature barrier must BOTH survive in the physical plan (distinct
+    counts), so the signature fold is computed once and reused by both
+    self-join sides."""
+    sh = dd.shingle_table(wide_docs, "text", "doc_id", hashed=True)
+    pairs = dd.minhash_lsh_pairs(wide_docs, "text", "doc_id", shingles=sh)
+    pairs.collect()  # ReusedExchange only appears in the FINAL adaptive plan
+    plan = _plan(pairs).split("+- == Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") >= 2 or plan.count("ShuffleQueryStage") >= 2
+    assert "ReusedExchange" in plan
+
+
+def test_num_partitions_does_not_execute_shuffles(spark):
+    """num_partitions on an exchange-bearing plan must not run jobs
+    (df.rdd under AQE executes every intermediate stage): it reports
+    the session shuffle width from the static plan instead."""
+    before = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    agg = spark.range(0, 10000).groupBy((F.col("id") % 7).alias("k")).count()
+    width = num_partitions(agg)
+    after = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    assert width == int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert len(after) == len(before), "num_partitions launched a job"
 
 
 def test_cosine_topk_no_exchange_above_wide_scan(spark, wide_emb):

@@ -81,3 +81,41 @@ def test_64bit_pairs_subset_of_32bit(spark, docs):
     assert p64 and p64 <= p32
     # same-token-set clones in the fixture stay hamming-0 at full width
     assert any(r["hamming"] == 0 for r in rows64)
+
+
+def test_parity_on_messy_whitespace_and_nulls(spark):
+    """The exact cases where a naive Python tokenizer diverges from the
+    JVM path: trailing newlines (Spark trim strips only spaces; split
+    keeps trailing empty strings), Unicode whitespace (Java \\s is
+    ASCII-only), and NULL text (must yield NULL signature, not 0)."""
+    rows = [
+        (0, "hello world\n"),          # trailing ASCII whitespace
+        (1, "hello world"),       # NBSP: not a Java \s split point
+        (2, "  padded with spaces  "),
+        (3, None),                     # null text
+        (4, "tabs\tand\nnewlines\r"),
+        (5, "line sep"),          # unicode line separator
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s32 = {
+        r["doc_id"]: r["sh"]
+        for r in dd.simhash_signatures(df, "text", "doc_id", bits=32).collect()
+    }
+    s64 = {
+        r["doc_id"]: r["sh"]
+        for r in dd.simhash_signatures(df, "text", "doc_id", bits=64).collect()
+    }
+    assert s32[3] is None and s64[3] is None  # null -> null, both widths
+    for doc_id in (0, 1, 2, 4, 5):
+        assert (s64[doc_id] % (1 << 64)) >> 32 == s32[doc_id], doc_id
+
+
+def test_null_text_produces_no_pairs(spark):
+    """Two null-text rows must NOT pair as hamming-0 duplicates in
+    either width (the JVM path's NULL band values never join; the UDF
+    path must match)."""
+    rows = [(0, None), (1, None), (2, "real text content here"), (3, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for bits in (32, 64):
+        got = dd.simhash_pairs(df, "text", "doc_id", bits=bits).collect()
+        assert got == [], f"bits={bits} produced pairs from null text"
