@@ -210,11 +210,19 @@ def hashed_shingles(sh: Column) -> Column:
     return F.array_distinct(F.transform(sh, lambda s: portable_hash(s)))
 
 
+#: Above this many stop shingles the literal ``array_except`` filter
+#: switches to a broadcast-variable pandas filter: a literal
+#: ``F.array(*N)`` builds an N-node expression tree that blows up plan
+#: serialization/codegen long before ``max_stop`` trips.
+STOP_SHINGLE_LITERAL_MAX = 1_000
+
+
 def remove_stop_shingles(
     shingles: DataFrame,
     *,
     max_doc_frac: float = 0.5,
     max_stop: int = 100_000,
+    literal_max: int = STOP_SHINGLE_LITERAL_MAX,
 ) -> DataFrame:
     """Drop boilerplate shingles — those appearing in more than
     ``max_doc_frac`` of documents — from a hashed shingle table.
@@ -224,12 +232,24 @@ def remove_stop_shingles(
     MinHash signatures together, flooding the band join with false
     candidates (the in-bucket analog of SQL stop words). Document
     frequency is computed in one explode + count-distinct-free
-    aggregation pass; the stop set is by construction tiny (each stop
+    aggregation pass; the stop set is by construction small (each stop
     shingle occupies ≥ ``max_doc_frac`` of the corpus, so there can be
-    at most ``distinct_shingles_per_doc / max_doc_frac`` of them) and
-    ships back as ONE literal array filter — no join against the
-    corpus. ``max_stop`` guards the driver against a mis-set threshold
+    at most ``distinct_shingles_per_doc / max_doc_frac`` of them).
+    ``max_stop`` guards the driver against a mis-set threshold
     (e.g. ``max_doc_frac`` so low that half the vocabulary qualifies).
+
+    The filter ships in one of two row-preserving, shuffle-free forms:
+
+    - ``len(stop) <= literal_max``: a literal ``array_except`` — the
+      common tiny case, pure codegen'd expression.
+    - larger: the stop set rides an ``sc.broadcast`` variable into an
+      Arrow-batched pandas UDF that set-filters each array. A literal
+      expression tree of 10k+ nodes chokes plan
+      serialization/codegen; a broadcast variable is shipped once per
+      executor out-of-band of the plan, and numpy ``isin`` does the
+      per-row work. (The explode → anti-join → re-collect alternative
+      costs a full corpus shuffle and silently drops rows whose every
+      shingle is stopped.)
 
     Apply between :func:`shingle_table` and the candidate/verify stages
     — both then see the SAME cleaned sets, keeping signature and
@@ -259,8 +279,45 @@ def remove_stop_shingles(
         )
     if not stop_rows:
         return shingles
-    stop = F.array(*[F.lit(r["h"]).cast("long") for r in stop_rows])
-    return shingles.withColumn("sh", F.array_except(F.col("sh"), stop))
+    if len(stop_rows) <= literal_max:
+        stop = F.array(*[F.lit(r["h"]).cast("long") for r in stop_rows])
+        return shingles.withColumn("sh", F.array_except(F.col("sh"), stop))
+    return shingles.withColumn(
+        "sh", _broadcast_array_except("sh", shingles, [r["h"] for r in stop_rows])
+    )
+
+
+def _broadcast_array_except(
+    col: str, df: DataFrame, stop_values: list[int]
+) -> Column:
+    """``array_except(col, stop_values)`` with the stop set shipped as a
+    Spark broadcast variable instead of a literal expression tree —
+    the scale form for large stop sets. Order/distinctness semantics
+    match ``array_except`` on the already-distinct hashed shingle
+    arrays: element order is preserved, NULL arrays stay NULL."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.array(sorted(set(stop_values)), dtype="int64")
+    )
+
+    @pandas_udf("array<long>")
+    def _filt(arrays: pd.Series) -> pd.Series:
+        import numpy as np
+
+        stop = bc.value
+        out = []
+        for arr in arrays:
+            if arr is None:
+                out.append(None)
+                continue
+            a = np.asarray(arr, dtype=np.int64)
+            # np.isin sorts internally -> O(n log m) membership per row
+            out.append(a[~np.isin(a, stop)].tolist())
+        return pd.Series(out)
+
+    return _filt(F.col(col))
 
 
 def _shingles_pre_hashed(shingles: DataFrame) -> bool:
@@ -414,6 +471,7 @@ def near_dup_clusters(
     max_iterations: int = 10,
     checkpoint_every: int = 3,
     accelerate: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over verified near-dup pairs → one cluster
     label per id (the minimum id in its component; singletons label
@@ -449,16 +507,36 @@ def near_dup_clusters(
     ``localCheckpoint`` only every ``checkpoint_every`` rounds (a cheap
     cache read); between checkpoints the persisted round outputs keep
     execution flat while plans grow by one join per round.
+
+    ``checkpoint_dir``: lineage truncation defaults to
+    ``localCheckpoint``, which stores blocks on EXECUTORS — fast, but
+    on a real cluster one executor loss mid-convergence makes the
+    truncated lineage unrecoverable and kills the job. Pass a reliable
+    path (HDFS/S3/shared FS) to switch every truncation to
+    ``checkpoint()`` against that directory: rounds then survive
+    executor loss at the cost of a filesystem write per checkpoint.
+    Convergence semantics are identical either way (the convergence
+    probe rides a real ``count()`` on the persisted frame, never a
+    checkpoint materialization, so the Observation caveat above does
+    not change).
     """
     from pyspark.sql import Observation
 
-    edges = (
+    if checkpoint_dir is not None:
+        ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame, *, eager: bool) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=eager)
+        return df.checkpoint(eager=eager)
+
+    edges = _truncate(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
     )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
@@ -494,7 +572,7 @@ def near_dup_clusters(
         n_changed = obs.get["n_changed"]
         labels = cached
         if (i + 1) % checkpoint_every == 0:
-            labels = cached.localCheckpoint(eager=True)  # reads the cache
+            labels = _truncate(cached, eager=True)  # reads the cache
             cached.unpersist()
             cached = None
         if prev_cached is not None:
@@ -505,7 +583,7 @@ def near_dup_clusters(
                 # don't return a cache-pinned frame: CacheManager would
                 # hold the entry long after the caller dropped it. The
                 # checkpoint is one cheap cache-read job.
-                labels = cached.localCheckpoint(eager=True)
+                labels = _truncate(cached, eager=True)
                 cached.unpersist()
             return labels
     if prev_cached is not None:
@@ -528,6 +606,7 @@ def drop_near_duplicates(
     max_bucket_size: int | None = None,
     stop_shingle_frac: float | None = None,
     accelerate: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup: MinHash-LSH candidates → exact Jaccard
     verify at ``threshold`` → connected components → keep the minimum-id
@@ -540,7 +619,9 @@ def drop_near_duplicates(
     measure — :func:`remove_stop_shingles`); ``max_bucket_size`` caps
     band buckets before the self-join (:func:`minhash_lsh_pairs`);
     ``accelerate`` turns on pointer-jumping clustering for chain-shaped
-    pair graphs (:func:`near_dup_clusters`).
+    pair graphs (:func:`near_dup_clusters`); ``checkpoint_dir`` makes
+    the clustering's lineage truncation reliable (survives executor
+    loss) instead of executor-local (:func:`near_dup_clusters`).
     """
     sh = shingle_table(df, text_col, id_col, shingle_k=shingle_k, hashed=True)
     if stop_shingle_frac is not None:
@@ -557,6 +638,7 @@ def drop_near_duplicates(
         id_col,
         max_iterations=max_iterations,
         accelerate=accelerate,
+        checkpoint_dir=checkpoint_dir,
     )
     # The converged label IS the component's minimum id, so the keep
     # set is just the distinct labels — no extra min() aggregation.

@@ -236,3 +236,77 @@ def test_remove_stop_shingles(spark):
         remove_stop_shingles(raw)
     with pytest.raises(ValueError, match="threshold too low"):
         remove_stop_shingles(sh, max_doc_frac=0.0, max_stop=3)
+
+
+def test_remove_stop_shingles_broadcast_path_matches_literal(spark):
+    """Above literal_max the filter switches from a literal array_except
+    to a broadcast-variable pandas filter; both paths must produce the
+    identical cleaned table (forced here with literal_max=0)."""
+    from hrtech_etl_spark.functions.dedup import (
+        remove_stop_shingles,
+        shingle_table,
+    )
+
+    footer = "standard corporate footer all rights reserved"
+    docs = [(i, f"unique payload number {i} item {i * 7} " + footer) for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = shingle_table(df, "text", "doc_id", hashed=True)
+    literal = {r["doc_id"]: r["sh"] for r in remove_stop_shingles(sh, max_doc_frac=0.5).collect()}
+    bcast = {
+        r["doc_id"]: r["sh"]
+        for r in remove_stop_shingles(sh, max_doc_frac=0.5, literal_max=0).collect()
+    }
+    assert bcast == literal
+    assert any(len(v) > 0 for v in bcast.values())
+
+
+def test_broadcast_array_except_large_stop_set(spark):
+    """A 20k-entry stop set must not become a 20k-node expression tree:
+    the broadcast path completes quickly, removes exactly the stopped
+    values, preserves element order, rows, and NULLs."""
+    from hrtech_etl_spark.functions.dedup import _broadcast_array_except
+
+    stop_values = list(range(10, 20_010))  # 20k entries
+    rows = [
+        (1, [1, 15, 2, 19_999, 3]),  # 15 and 19_999 stopped
+        (2, [5, 6, 7]),  # untouched
+        (3, [10, 11, 12]),  # fully stopped -> empty, row SURVIVES
+        (4, None),  # NULL stays NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, sh array<long>")
+    out = df.withColumn("sh", _broadcast_array_except("sh", df, stop_values))
+    got = {r["doc_id"]: r["sh"] for r in out.collect()}
+    assert got == {1: [1, 2, 3], 2: [5, 6, 7], 3: [], 4: None}
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path, monkeypatch):
+    """checkpoint_dir switches EVERY lineage truncation from
+    executor-local localCheckpoint to reliable checkpoint() against the
+    given directory; labels are identical either way."""
+    DataFrame = type(spark.range(1))
+    calls = {"local": 0, "reliable": 0}
+    orig_local, orig_ckpt = DataFrame.localCheckpoint, DataFrame.checkpoint
+
+    def local_spy(self, eager=True):
+        calls["local"] += 1
+        return orig_local(self, eager=eager)
+
+    def ckpt_spy(self, eager=True):
+        calls["reliable"] += 1
+        return orig_ckpt(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", local_spy)
+    monkeypatch.setattr(DataFrame, "checkpoint", ckpt_spy)
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    got = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(
+            pairs, ids, "doc_id", checkpoint_dir=str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    assert calls["local"] == 0 and calls["reliable"] >= 2
+    # the reliable files really landed under the given directory
+    assert any(tmp_path.rglob("*"))
