@@ -133,12 +133,15 @@ def ep_schema(spark_factory, connector: str, resource: str, only_prefilterable: 
 
 def ep_auth_schema(connector: str) -> list[dict]:
     """Auth-field introspection for dynamic UI forms (reference
-    ``app/api.py:96-119`` via ``core/ui_schema.py:107-180``): resolve
-    the connector, export its auth class's field descriptors; a
-    connector without auth (table-backed, or none declared) returns
-    an empty list."""
-    from hrtech_etl_spark.sources.auth import export_auth_fields
+    ``app/api.py:96-119`` via ``core/ui_schema.py:107-180``): an auth
+    KIND name (``oauth1``, ``bearer``, ...) serves that kind's field
+    descriptors directly; otherwise resolve the connector and export
+    its auth class's fields; a connector without auth (table-backed,
+    or none declared) returns an empty list."""
+    from hrtech_etl_spark.sources.auth import AUTH_KINDS, export_auth_fields
 
+    if connector in AUTH_KINDS:
+        return export_auth_fields(AUTH_KINDS[connector])
     conn = _connector(connector)
     auth = getattr(conn, "auth", None)
     if auth is None:

@@ -6,6 +6,9 @@ the same kinds and header semantics:
 - ``api_key``  → ``{header_name: api_key}``            (auth.py:37-50)
 - ``token``    → ``Authorization: <scheme> <token>``    (auth.py:53-66)
 - ``bearer``   → ``Authorization: Bearer <token>``      (auth.py:69-80)
+- ``oauth1``   → RFC 5849 HMAC-SHA1 per-request signing; the
+  reference declares the same credential fields but stubs the header
+  (``auth.py:82-101``) — here the standard scheme is implemented
 - ``oauth2``   → client-credentials POST to token_url, cached
   ``Authorization: Bearer <access_token>``              (auth.py:104-140)
 - ``login``    → POST ``{base_url}/login`` with username/password,
@@ -128,6 +131,118 @@ class BearerAuth(TokenAuth):
         super().__init__(base_url, token, scheme="Bearer", extra_headers=extra_headers)
 
 
+class OAuth1Auth(BaseAuth):
+    """OAuth 1.0a request signing (RFC 5849, HMAC-SHA1).
+
+    The reference declares the same four credential fields
+    (``core/auth.py:82-101``) but leaves header construction as a
+    placeholder; here the standard scheme is implemented in full:
+    per-request signature base string (method & normalized URL &
+    sorted-encoded params), HMAC-SHA1 over
+    ``consumer_secret&token_secret``, and the ``OAuth ...`` header.
+
+    OAuth1 signatures cover the request method, URL, and parameters,
+    so a *static* header cannot exist: :meth:`as_headers` contributes
+    nothing, and the REST reader detects :meth:`sign` and calls it per
+    request with the final query params (``sources/rest.py``).
+    ``timestamp_nonce`` is an injectable ``() -> (timestamp, nonce)``
+    for deterministic tests, like ``transport`` on the token flows.
+    """
+
+    kind = "oauth1"
+
+    def __init__(
+        self,
+        base_url: str = "",
+        client_key: str = "",
+        client_secret: str = "",
+        resource_owner_key: str = "",
+        resource_owner_secret: str = "",
+        extra_headers: Optional[Dict[str, str]] = None,
+        timestamp_nonce: Optional[Callable[[], tuple]] = None,
+    ):
+        super().__init__(base_url, extra_headers)
+        self.client_key = client_key
+        self.client_secret = client_secret
+        self.resource_owner_key = resource_owner_key
+        self.resource_owner_secret = resource_owner_secret
+        self._timestamp_nonce = timestamp_nonce
+
+    def as_headers(self) -> Dict[str, str]:
+        # signatures are request-bound; the static header set is empty
+        # (extra_headers still merge via build_headers)
+        return {}
+
+    @staticmethod
+    def _pct(value: Any) -> str:
+        from urllib.parse import quote
+
+        return quote(str(value), safe="-._~")  # RFC 3986 unreserved only
+
+    def sign(
+        self,
+        method: str,
+        url: str,
+        params: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, str]:
+        """The ``Authorization: OAuth ...`` header for ONE request.
+
+        ``params`` are the query/body parameters the request will
+        actually send (list values expand to repeated keys, matching
+        urlencode-with-doseq transports like requests).
+        """
+        import base64
+        import hashlib
+        import hmac
+        import time
+        import uuid
+        from urllib.parse import parse_qsl, urlsplit, urlunsplit
+
+        if self._timestamp_nonce is not None:
+            ts, nonce = self._timestamp_nonce()
+        else:
+            ts, nonce = str(int(time.time())), uuid.uuid4().hex
+        oauth = {
+            "oauth_consumer_key": self.client_key,
+            "oauth_nonce": nonce,
+            "oauth_signature_method": "HMAC-SHA1",
+            "oauth_timestamp": ts,
+            "oauth_token": self.resource_owner_key,
+            "oauth_version": "1.0",
+        }
+        parts = urlsplit(url)
+        netloc = parts.netloc.lower()
+        # default ports are excluded from the signature base URL
+        if (parts.scheme.lower(), netloc.rpartition(":")[2]) in (
+            ("http", "80"),
+            ("https", "443"),
+        ):
+            netloc = netloc.rpartition(":")[0]
+        base_url = urlunsplit((parts.scheme.lower(), netloc, parts.path, "", ""))
+
+        pairs: list = list(parse_qsl(parts.query, keep_blank_values=True))
+        for k, v in (params or {}).items():
+            if isinstance(v, (list, tuple)):
+                pairs.extend((k, item) for item in v)
+            else:
+                pairs.append((k, v))
+        pairs.extend(oauth.items())
+        norm = "&".join(
+            f"{k}={v}"
+            for k, v in sorted((self._pct(k), self._pct(v)) for k, v in pairs)
+        )
+        base = "&".join([method.upper(), self._pct(base_url), self._pct(norm)])
+        key = f"{self._pct(self.client_secret)}&{self._pct(self.resource_owner_secret)}"
+        sig = base64.b64encode(
+            hmac.new(key.encode(), base.encode(), hashlib.sha1).digest()
+        ).decode()
+        oauth["oauth_signature"] = sig
+        header = "OAuth " + ", ".join(
+            f'{self._pct(k)}="{self._pct(v)}"' for k, v in sorted(oauth.items())
+        )
+        return {"Authorization": header}
+
+
 class OAuth2Auth(BaseAuth):
     """Client-credentials flow: POST grant to ``token_url``, cache the
     access token for the lifetime of this (per-worker) instance."""
@@ -205,7 +320,15 @@ class LoginAuth(BaseAuth):
 
 AUTH_KINDS: Dict[str, type[BaseAuth]] = {
     cls.kind: cls
-    for cls in (NoAuth, ApiKeyAuth, TokenAuth, BearerAuth, OAuth2Auth, LoginAuth)
+    for cls in (
+        NoAuth,
+        ApiKeyAuth,
+        TokenAuth,
+        BearerAuth,
+        OAuth1Auth,
+        OAuth2Auth,
+        LoginAuth,
+    )
 }
 
 
@@ -229,7 +352,7 @@ def export_auth_fields(auth_or_cls) -> list:
         return []
     fields = []
     for name, p in inspect.signature(cls.__init__).parameters.items():
-        if name in ("self", "transport") or p.kind in (
+        if name in ("self", "transport", "timestamp_nonce") or p.kind in (
             inspect.Parameter.VAR_POSITIONAL,
             inspect.Parameter.VAR_KEYWORD,
         ):

@@ -243,6 +243,9 @@ class RestDataSourceReader(DataSourceReader):
         cfg = self.cfg
         auth: BaseAuth = build_auth(cfg.auth_payload, base_url="")
         headers = auth.build_headers()
+        # request-bound schemes (OAuth1) sign method+URL+params: a
+        # static header can't exist, so re-sign per request instead
+        signer = getattr(auth, "sign", None)
         fields = self.schema_.fields
         convs = [(f.name, _converter(f.dataType)) for f in fields]
 
@@ -260,10 +263,14 @@ class RestDataSourceReader(DataSourceReader):
             import time
 
             attempt = 0
+            req_headers = headers
+            if signer is not None:
+                req_headers = dict(headers)
+                req_headers.update(signer("GET", cfg.url, params))
             while True:
                 try:
                     resp = session.get(
-                        cfg.url, params=params, headers=headers, timeout=60
+                        cfg.url, params=params, headers=req_headers, timeout=60
                     )
                     if resp.status_code >= 500:
                         resp.raise_for_status()

@@ -229,6 +229,55 @@ def test_auth_schema_endpoint(app, jobs_connector):
     assert status == 404
 
 
+def test_oauth1_schema_route_and_signature(app):
+    """GET /api/schema/auth/oauth1 serves the auth KIND's descriptors
+    directly (no connector registration needed), and OAuth1Auth.sign
+    reproduces the canonical public RFC 5849 HMAC-SHA1 example
+    signature bit-for-bit."""
+    status, fields = call(app, "GET", "/api/schema/auth/oauth1")
+    assert status == 200
+    by_name = {f["name"]: f for f in fields}
+    assert {
+        "base_url",
+        "client_key",
+        "client_secret",
+        "resource_owner_key",
+        "resource_owner_secret",
+    } <= set(by_name)
+    assert by_name["client_secret"]["required"] is True
+    # the test-injection hook is internal, never a form field
+    assert "timestamp_nonce" not in by_name
+
+    from hrtech_etl_spark.sources.auth import OAuth1Auth, build_auth
+
+    auth = OAuth1Auth(
+        client_key="xvz1evFS4wEEPTGEFPHBog",
+        client_secret="kAcSOqF21Fu85e7zjz7ZN2U4ZRhfV3WpwPAoE3Z7kBw",
+        resource_owner_key="370773112-GmHxMAgYyLbNEtIKZeRNFsMKPR9EyMZeS9weJAEb",
+        resource_owner_secret="LswwdoUaIvS8ltyTt5jkRh4J50vUPVVHtR2YPi5kE",
+        timestamp_nonce=lambda: (
+            "1318622958",
+            "kYjzVBB8Y0ZFabxSWbWovY3uYSQ2pTgmZeNu2VS4cg",
+        ),
+    )
+    hdr = auth.sign(
+        "POST",
+        "https://api.twitter.com/1.1/statuses/update.json",
+        {
+            "status": "Hello Ladies + Gentlemen, a signed OAuth request!",
+            "include_entities": "true",
+        },
+    )["Authorization"]
+    assert hdr.startswith("OAuth ")
+    assert 'oauth_signature="hCtSmYh%2BiHYCEqBWrE7C7hYmtUk%3D"' in hdr
+    assert 'oauth_consumer_key="xvz1evFS4wEEPTGEFPHBog"' in hdr
+    assert 'oauth_signature_method="HMAC-SHA1"' in hdr
+    # signing is request-bound -> the static header set stays empty,
+    # and the payload factory dispatches on the new kind
+    assert auth.as_headers() == {}
+    assert isinstance(build_auth({"auth_type": "oauth1"}), OAuth1Auth)
+
+
 def call_html(app, method, path, form=None):
     from urllib.parse import urlencode
 

@@ -33,6 +33,35 @@ JOBS = [
 REQUESTS: list[dict] = []  # one entry per GET: {"path", "params", "headers"}
 FLAKY_HITS: dict[str, int] = {}  # per-offset attempt counter for /jobs_flaky
 
+OAUTH1_CREDS = {
+    "client_key": "ck-1",
+    "client_secret": "cs-2",
+    "resource_owner_key": "rok-3",
+    "resource_owner_secret": "ros-4",
+}
+
+
+def _verify_oauth1(auth_header: str, method: str, url: str, params: dict) -> bool:
+    """Server-side RFC 5849 verification: re-derive the signature from
+    the request's own method/URL/params plus the header's timestamp and
+    nonce, using the shared secrets; accept only on exact match."""
+    import re
+    from urllib.parse import unquote
+
+    from hrtech_etl_spark.sources.auth import OAuth1Auth
+
+    if not auth_header.startswith("OAuth "):
+        return False
+    fields = {
+        unquote(k): unquote(v)
+        for k, v in re.findall(r'([a-z_]+)="([^"]*)"', auth_header)
+    }
+    signer = OAuth1Auth(
+        **OAUTH1_CREDS,
+        timestamp_nonce=lambda: (fields["oauth_timestamp"], fields["oauth_nonce"]),
+    )
+    return signer.sign(method, url, params)["Authorization"] == auth_header
+
 
 class Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # silence
@@ -72,6 +101,15 @@ class Handler(BaseHTTPRequestHandler):
         if parsed.path == "/jobs_login":
             if self.headers.get("Authorization") != "Bearer tok-123":
                 return self._send({"error": "forbidden"}, 403)
+        if parsed.path == "/jobs_oauth1":
+            ok = _verify_oauth1(
+                self.headers.get("Authorization", ""),
+                "GET",
+                f"http://{self.headers['Host']}/jobs_oauth1",
+                params,
+            )
+            if not ok:
+                return self._send({"error": "bad signature"}, 401)
 
         rows = JOBS
         if "status" in params:
@@ -275,6 +313,29 @@ def test_oauth2_client_credentials_flow(backend, spark):
     # if token_url were hit again with a broken URL)
     auth.token_url = "http://127.0.0.1:1/closed"
     assert auth.build_headers()["Authorization"] == "Bearer oat-456"
+
+
+def test_oauth1_per_request_signing(backend, spark):
+    """OAuth1 signatures are request-bound: every page request from
+    every executor partition must carry a signature covering ITS OWN
+    params (offset/limit differ per request), verified server-side by
+    re-deriving the RFC 5849 signature from the shared secrets. A
+    single static header would 401 on all but one request."""
+    REQUESTS.clear()
+    df = reader_for(
+        backend,
+        spark,
+        path="/jobs_oauth1",
+        auth=json.dumps({"auth_type": "oauth1", **OAUTH1_CREDS}),
+    ).load()
+    assert {r["job_id"] for r in df.collect()} == set(range(57))
+    sigs = {
+        r["headers"].get("Authorization")
+        for r in REQUESTS
+        if r["path"] == "/jobs_oauth1"
+    }
+    # several requests (3 partitions x pages), each a distinct signature
+    assert len(sigs) >= 3 and all(s and s.startswith("OAuth ") for s in sigs)
 
 
 def test_cursor_pagination_sequential(backend, spark):
