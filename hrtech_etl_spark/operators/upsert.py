@@ -21,7 +21,6 @@ rest are untouched.
 
 from __future__ import annotations
 
-import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -87,10 +86,10 @@ def merge_upsert(
     # it BEFORE the exists-check — otherwise this call would take the
     # bootstrap branch and silently orphan the full history.
     old = target_path.rstrip("/") + ".__old"
-    if not _dataset_exists(target_path) and _dataset_exists(old):
-        os.rename(old, target_path.rstrip("/"))
+    if not _dataset_exists(spark, target_path) and _dataset_exists(spark, old):
+        _rename(spark, old, target_path.rstrip("/"))
 
-    exists = _dataset_exists(target_path)
+    exists = _dataset_exists(spark, target_path)
     if not exists:
         w = source.write.mode("overwrite")
         if partition_col:
@@ -146,25 +145,52 @@ def merge_upsert(
     # Swap with directory renames (no second Spark job onto the live
     # target): a crash leaves either the live target or `.__old`
     # (restored by the recovery check above on the next call), never a
-    # half-written directory.
+    # half-written directory. All FS ops go through the Hadoop
+    # FileSystem API, so the swap works identically on file://, HDFS,
+    # or any other Hadoop-supported scheme — NOT just the driver's
+    # local disk. (Caveat: object stores without atomic directory
+    # rename, e.g. raw S3A, copy per object during rename — prefer a
+    # table format with a transactional commit there.)
     _rm(spark, old)
-    os.rename(target_path.rstrip("/"), old)
-    os.rename(tmp, target_path.rstrip("/"))
+    _rename(spark, target_path.rstrip("/"), old)
+    _rename(spark, tmp, target_path.rstrip("/"))
     _rm(spark, old)
 
 
-def _dataset_exists(path: str) -> bool:
-    if not os.path.exists(path):
+def _fs_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API —
+    resolves the scheme (file://, hdfs://, s3a://, ...) against the
+    session's Hadoop configuration, so every caller works on whatever
+    filesystem the cluster actually uses."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _dataset_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
         return False
-    try:
-        return any(
-            n.endswith(".parquet") or n == "_SUCCESS" for n in os.listdir(path)
-        ) or any(os.path.isdir(os.path.join(path, n)) for n in os.listdir(path))
-    except NotADirectoryError:
+    status = fs.getFileStatus(jpath)
+    if status.isFile():
         return True
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() or name.endswith(".parquet") or name == "_SUCCESS":
+            return True
+    return False
+
+
+def _rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, jsrc = _fs_path(spark, src)
+    _, jdst = _fs_path(spark, dst)
+    # Hadoop rename reports failure as False, not an exception
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"merge_upsert: rename failed: {src} -> {dst}")
 
 
 def _rm(spark: SparkSession, path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
+    fs, jpath = _fs_path(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)  # recursive
