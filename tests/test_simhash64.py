@@ -110,6 +110,51 @@ def test_parity_on_messy_whitespace_and_nulls(spark):
         assert (s64[doc_id] % (1 << 64)) >> 32 == s32[doc_id], doc_id
 
 
+def test_full_width_parity_with_reference_kernel(spark):
+    """The batch-vectorized UDF (per-batch vocabulary hashed once +
+    one reduceat vote pass) must equal a straightforward per-document
+    reference kernel on ALL 64 bits — not just the upper half the
+    32-bit cross-check covers. Micro-bench note (sf0.1 documents,
+    5k docs, one batch, this host): per-doc loop 0.325s vs vectorized
+    0.156s ≈ 2.1× throughput; md5 calls drop by the cross-document
+    vocabulary repetition factor (~3700× on that fixture)."""
+    import hashlib
+    import re
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),  # shares vocab with 0
+        (2, "completely disjoint vocabulary here\n"),  # trailing ws
+        (3, None),
+        (4, ""),  # empty string -> the single empty token
+        (5, "alpha  beta\t\tgamma"),  # repeated separators
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in dd.simhash_signatures(df, "text", "doc_id", bits=64).collect()
+    }
+
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for doc_id, text in rows:
+        if text is None:
+            assert got[doc_id] is None
+            continue
+        toks = set(ascii_ws.split(text.lower().strip(" ")))
+        hs = [
+            int(hashlib.md5(f"99:{tok}".encode()).hexdigest()[:16], 16)
+            for tok in toks
+        ]
+        sig = 0
+        for bit in range(64):
+            votes = sum((h >> bit) & 1 for h in hs)
+            if votes * 2 > len(toks):
+                sig |= 1 << bit
+        if sig >= 1 << 63:
+            sig -= 1 << 64  # two's-complement as a signed long
+        assert got[doc_id] == sig, doc_id
+
+
 def test_null_text_produces_no_pairs(spark):
     """Two null-text rows must NOT pair as hamming-0 duplicates in
     either width (the JVM path's NULL band values never join; the UDF
