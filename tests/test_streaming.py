@@ -86,6 +86,59 @@ def test_sliding_parity(spark, event_stream_dir, events_batch, tmp_path):
     assert _rows(got, "window_start") == _rows(want, "window_start")
 
 
+def test_declared_tumbling_query_streams(spark, sf_dir, tmp_path):
+    """The DECLARED stream_tumbling_window aggregation — not a
+    paraphrase of it — run as a real readStream over the actual events
+    parquet (nanos-normalized via _staged_event_stream) and drained
+    with availableNow in complete mode must equal the declared batch
+    query row-for-row."""
+    import uuid
+
+    from hrtech_etl_spark.workload.streaming import (
+        _staged_event_stream,
+        stream_tumbling_window,
+        tumbling_window_agg,
+    )
+
+    name = f"tumbling_declared_{uuid.uuid4().hex[:8]}"
+    with _staged_event_stream(spark, sf_dir) as stream:
+        run_available_now(
+            tumbling_window_agg(stream),
+            checkpoint=str(tmp_path / "ck"),
+            output_mode="complete",
+            memory_table=name,
+        )
+    got = spark.table(name)
+    want = stream_tumbling_window(spark, sf_dir)
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_declared_sliding_query_streams(spark, sf_dir, tmp_path):
+    """Same contract for stream_sliding_window: the declared sliding
+    aggregation drained as a real stream equals its batch result."""
+    import uuid
+
+    from hrtech_etl_spark.workload.streaming import (
+        _staged_event_stream,
+        sliding_window_agg,
+        stream_sliding_window,
+    )
+
+    name = f"sliding_declared_{uuid.uuid4().hex[:8]}"
+    with _staged_event_stream(spark, sf_dir) as stream:
+        run_available_now(
+            sliding_window_agg(stream),
+            checkpoint=str(tmp_path / "ck"),
+            output_mode="complete",
+            memory_table=name,
+        )
+    got = spark.table(name)
+    want = stream_sliding_window(spark, sf_dir)
+    assert _rows(got, "window_start") == _rows(want, "window_start")
+
+
 def test_session_parity(spark, event_stream_dir, events_batch, tmp_path):
     stream = _stream_events(spark, event_stream_dir, events_batch)
     run_available_now(
