@@ -149,12 +149,27 @@ def ep_auth_schema(connector: str) -> list[dict]:
     return export_auth_fields(auth)
 
 
-def ep_playground(spark_factory, method: str, form: dict) -> str:
+def ep_playground(
+    spark_factory,
+    method: str,
+    form: dict,
+    *,
+    csrf_token: str | None = None,
+    origin_ok: bool = True,
+) -> str:
     """The form-driven playground page (reference
     ``app/playground.py:316-521``): GET renders the blank form, POST
     parses it into the same body ``ep_run_pull``/``ep_run_push`` take,
     runs the operation, and re-renders the form with the result (or
-    error) and the submitted values preserved."""
+    error) and the submitted values preserved.
+
+    The POST executes REAL pull/push operations from a plain form, so
+    it is CSRF-guarded: the run only happens when the submitted
+    ``csrf_token`` matches the app instance's token (embedded in the
+    rendered form — unknowable to a cross-site page) AND the request's
+    Origin/Referer matched the Host (``origin_ok``, checked by the
+    WSGI layer). A rejected post re-renders the form with an error
+    instead of running."""
     from hrtech_etl_spark.app import playground as pg
     from hrtech_etl_spark.sources.auth import export_auth_fields
 
@@ -170,22 +185,29 @@ def ep_playground(spark_factory, method: str, form: dict) -> str:
 
     result = error = None
     if method == "POST" and (form.get("action") or [""])[-1] == "run":
-        body = pg.parse_body(form)
-        try:
-            if body["operation"] == "push":
-                result = ep_run_push(spark_factory, body)
-            else:
-                result = ep_run_pull(spark_factory, body)
-        except ApiError as exc:
-            error = exc.detail
-        except Exception as exc:  # noqa: BLE001 — page shows the failure
-            error = f"{type(exc).__name__}: {exc}"
+        submitted = (form.get("csrf_token") or [""])[-1]
+        if not origin_ok:
+            error = "cross-origin form post rejected"
+        elif csrf_token is not None and submitted != csrf_token:
+            error = "invalid or missing CSRF token — reload the form"
+        else:
+            body = pg.parse_body(form)
+            try:
+                if body["operation"] == "push":
+                    result = ep_run_push(spark_factory, body)
+                else:
+                    result = ep_run_pull(spark_factory, body)
+            except ApiError as exc:
+                error = exc.detail
+            except Exception as exc:  # noqa: BLE001 — page shows the failure
+                error = f"{type(exc).__name__}: {exc}"
     return pg.render(
         connectors,
         state=form if method == "POST" else None,
         result=result,
         error=error,
         auth_fields=auth_fields,
+        csrf_token=csrf_token,
     )
 
 
@@ -300,15 +322,36 @@ def ep_debug_connector_params(body: dict) -> dict:
 # WSGI plumbing
 # ---------------------------------------------------------------------------
 
+def _same_origin(environ: dict) -> bool:
+    """True when the request's Origin (or, failing that, Referer) host
+    matches the Host header — or when neither header is present (CLI
+    clients). Cross-site form posts from a browser always carry an
+    Origin, so a mismatch (or Origin: null) is rejected."""
+    from urllib.parse import urlsplit
+
+    host = environ.get("HTTP_HOST") or ""
+    for hdr in ("HTTP_ORIGIN", "HTTP_REFERER"):
+        v = environ.get(hdr)
+        if v:
+            return urlsplit(v).netloc == host
+    return True
+
+
 def create_app(spark_factory: Callable[[], Any] | None = None):
     """Build the WSGI application. ``spark_factory`` defaults to the
     shared session builder; inject a fake in tests."""
+    import secrets
+
     if spark_factory is None:
 
         def spark_factory():  # pragma: no cover - default wiring
             from hrtech_etl_spark.core.session import get_spark
 
             return get_spark(app_name="hrtech-etl-spark-api")
+
+    # per-app-instance CSRF token for the playground form (the only
+    # urlencoded-form surface — the JSON API is not form-postable)
+    csrf_token = secrets.token_hex(16)
 
     def app(environ, start_response):
         method = environ["REQUEST_METHOD"]
@@ -351,6 +394,7 @@ def create_app(spark_factory: Callable[[], Any] | None = None):
         try:
             if path == "/playground" and method in ("GET", "POST"):
                 form: dict = {}
+                origin_ok = True
                 if method == "POST":
                     try:
                         length = int(environ.get("CONTENT_LENGTH") or 0)
@@ -358,7 +402,16 @@ def create_app(spark_factory: Callable[[], Any] | None = None):
                         length = 0
                     raw = environ["wsgi.input"].read(length) if length else b""
                     form = parse_qs(raw.decode())
-                return respond_html(ep_playground(spark_factory, method, form))
+                    origin_ok = _same_origin(environ)
+                return respond_html(
+                    ep_playground(
+                        spark_factory,
+                        method,
+                        form,
+                        csrf_token=csrf_token,
+                        origin_ok=origin_ok,
+                    )
+                )
             if method == "GET" and path == "/api/health":
                 return respond(200, {"status": "ok"})
             if method == "GET" and path == "/api/connectors":

@@ -93,11 +93,16 @@ def render(
     result: dict | None = None,
     error: str | None = None,
     auth_fields: Mapping[str, list] | None = None,
+    csrf_token: str | None = None,
 ) -> str:
     """The full playground page. ``state`` re-fills the form after a
     POST; ``result``/``error`` render the outcome panel; ``auth_fields``
     maps connector name → auth descriptors (shown so a user knows what
-    credentials that connector's backend expects)."""
+    credentials that connector's backend expects). ``csrf_token`` (a
+    per-app-instance random value) is embedded as a hidden field and
+    verified on POST — a cross-site form post can't know it, so a
+    browser pointed at the locally-bound app can't be tricked into
+    running a pull/push."""
     state = state or {}
 
     def val(name: str, default: str = "") -> str:
@@ -151,6 +156,7 @@ fieldset {{ margin-bottom: 1em; }} .err {{ color: #a00; }}
 <h1>hrtech-etl-spark playground</h1>
 {outcome}
 <form method="post" action="/playground">
+{f'<input type="hidden" name="csrf_token" value="{_esc(csrf_token)}">' if csrf_token else ''}
 <fieldset><legend>Operation</legend>
   {_select('operation', ('pull', 'push'), (state.get('operation') or ['pull'])[-1])}
   resource {_select('resource', ('job', 'profile'), (state.get('resource') or ['job'])[-1])}

@@ -20,8 +20,40 @@ is per-row CPU, and it would serialize the heavy stages.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Matches a shuffle Exchange in a physical-plan string while ignoring
+#: BroadcastExchange: a broadcast does not set the plan's output width
+#: (the streamed side does), so it must not trigger the
+#: session-shuffle-width fallback estimate.
+_SHUFFLE_EXCHANGE = re.compile(r"(?<!Broadcast)Exchange")
+
+
+def _declared_repartition_count(plan) -> int | None:
+    """Walk the optimized logical plan downward through width-preserving
+    nodes (Project/Filter) to the nearest explicit repartition and
+    return its declared count. Chained-barrier plans look like
+    ``Project(Filter(RepartitionByExpression(...)))`` — only checking
+    the TOP node (the old behavior) missed the declared count whenever
+    a projection sat above the barrier, collapsing the estimate to the
+    session shuffle conf and re-enabling same-key same-count barrier
+    collisions. Any other node (join, aggregate, window) changes the
+    width, so the walk stops there."""
+    node = plan
+    while True:
+        name = node.getClass().getSimpleName()
+        if name in ("Repartition", "RepartitionByExpression"):
+            try:
+                return int(node.numPartitions())
+            except Exception:  # noqa: BLE001 — unpinned repartition(col)
+                return None
+        if name in ("Project", "Filter") and node.children().size() == 1:
+            node = node.children().apply(0)
+            continue
+        return None
 
 
 def num_partitions(df: DataFrame) -> int:
@@ -31,30 +63,40 @@ def num_partitions(df: DataFrame) -> int:
     ``df.rdd`` is only safe for exchange-free (scan-shaped) plans:
     under AQE — this engine's default — converting an exchange-bearing
     Dataset to an RDD materializes every intermediate query stage,
-    i.e. silently EXECUTES the upstream shuffles at plan-build time.
-    So: inspect the pre-adaptive physical plan (``sparkPlan``, a lazy
-    tree — no execution); if it contains an Exchange, report the
-    session's shuffle partition count (the post-shuffle width that
-    plan will produce) instead of touching ``.rdd``. AQE may later
-    coalesce below that estimate — acceptable: the CPU-heavy operators
-    place their own pinned barriers after this probe.
+    i.e. silently EXECUTES the upstream shuffles (and broadcasts) at
+    plan-build time. So: inspect the unexecuted physical plan string;
+    exchange-bearing plans are estimated from the plan instead of
+    touching ``.rdd``:
+
+    - nearest explicit repartition head (through Project/Filter):
+      its DECLARED count — exact, covers chained keyed barriers;
+    - otherwise: the session shuffle partition count (what a shuffle
+      will produce pre-AQE-coalesce). A BroadcastExchange alone does
+      NOT trigger this fallback (the broadcast side never sets output
+      width), but broadcast-bearing plans still avoid ``.rdd`` —
+      materializing the broadcast IS running a job.
+
+    AQE may later coalesce below these estimates — acceptable: the
+    CPU-heavy operators place their own pinned barriers after this
+    probe.
     """
     qe = df._jdf.queryExecution()
     # executedPlan is where EnsureRequirements has inserted exchanges
     # (sparkPlan is pre-preparation and never shows them); toString on
     # an unexecuted adaptive plan prints the initial plan without
     # running anything.
-    if "Exchange" not in qe.executedPlan().toString():
+    plan_str = qe.executedPlan().toString()
+    if "Exchange" not in plan_str:
         return df.rdd.getNumPartitions()  # scan-shaped: no stages to run
-    # exchange-bearing: an explicit repartition head declares its count
-    # in the optimized logical plan; anything else gets the session
-    # shuffle width (what the exchange will produce pre-AQE-coalesce).
-    top = qe.optimizedPlan()
-    if top.getClass().getSimpleName() in ("Repartition", "RepartitionByExpression"):
-        try:
-            return int(top.numPartitions())
-        except Exception:  # noqa: BLE001 — unpinned repartition(col)
-            pass
+    declared = _declared_repartition_count(qe.optimizedPlan())
+    if declared is not None:
+        return declared
+    if _SHUFFLE_EXCHANGE.search(plan_str):
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # broadcast-only: output width is the streamed side's (unknowable
+    # here without executing); the conf is a documented estimate and
+    # keyed_barrier's unconditional +factor keeps barriers distinct
+    # even when it is wrong.
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
@@ -92,13 +134,18 @@ def keyed_barrier(
     exists so adjacent barriers in one plan get distinct counts — with
     the same key AND the same count, EnsureRequirements drops the
     second exchange as redundant and re-inlines the expensive
-    projection into every consumer. The distinctness must survive WIDE
-    inputs too: when the width dominates, the count is
-    ``width + factor`` (a plain ``max(width, factor·base)`` would
-    collapse every factor to the same ``width``, and the barrier-drop
-    this guard exists for would reappear exactly at cluster scale).
+    projection into every consumer. The count is UNCONDITIONALLY
+    ``max(width, factor·base) + factor``: adding the factor on both
+    branches (not just the wide one) means two chained same-key
+    barriers can never collide regardless of which branch each takes —
+    if the widths agree the factors differ, and a later barrier over
+    an earlier one always sees the earlier DECLARED count as its width
+    (``num_partitions`` reads it through Project/Filter), making the
+    count strictly increase. A plain ``max(width, factor·base)``
+    would collapse every factor to the same ``width`` exactly at
+    cluster scale, where the barrier-drop hurts most.
     """
     base = n or df.sparkSession.sparkContext.defaultParallelism
     width = num_partitions(df)
-    count = factor * base if width < factor * base else width + factor
+    count = max(width, factor * base) + factor
     return df.repartition(count, *[F.col(c) for c in key_cols])

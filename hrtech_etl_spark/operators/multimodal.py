@@ -273,12 +273,21 @@ def real_resize(content: bytes, width: int, height: int) -> bytes:
 def split_ppm_stream(content: bytes) -> list[bytes]:
     """Split a concatenated-P6 raw video stream into frame payloads —
     the uncompressed analog of demuxing (container formats need
-    ffmpeg; inject a kernel for those)."""
+    ffmpeg; inject a kernel for those). A stream cut off mid-raster
+    fails HERE with a clear error instead of silently emitting a short
+    final frame that only blows up later inside a decode (or worse,
+    propagates as a corrupt frame if never decoded)."""
     frames = []
     i = 0
     while i < len(content):
         w, h, start = _parse_ppm_header(content, i)
         end = start + w * h * 3
+        if end > len(content):
+            raise ValueError(
+                f"truncated PPM stream: frame {len(frames)} declares "
+                f"{w}x{h} ({w * h * 3} raster bytes) but only "
+                f"{len(content) - start} remain"
+            )
         frames.append(content[i:end])
         i = end
     return frames

@@ -201,14 +201,18 @@ def streaming_dedup(
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 
-RUNNING_STATS_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
-        T.StructField("last_ts", T.TimestampType()),
-    ]
-)
+def _running_stats_schema(key_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+
+
+RUNNING_STATS_SCHEMA = _running_stats_schema("user_id")
 
 _RUNNING_STATE_SCHEMA = T.StructType(
     [
@@ -242,13 +246,17 @@ def user_running_stats(
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf[value_col].sum())
+            # pandas max() over an all-null column is NaT, not None: an
+            # unguarded `last_ts is None` check would store NaT, and
+            # every later `> NaT` comparison is False — the state would
+            # stick at NaT even after real timestamps arrive.
             batch_max = pdf[ts_col].max()
-            if last_ts is None or (batch_max is not None and batch_max > last_ts):
+            if pd.notna(batch_max) and (last_ts is None or batch_max > last_ts):
                 last_ts = batch_max
         state.update((n, total, last_ts))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                key_col: [key[0]],
                 "n_events": [n],
                 "total_value": [round(total, 2)],
                 "last_ts": [last_ts],
@@ -263,7 +271,7 @@ def user_running_stats(
         events.groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType=RUNNING_STATS_SCHEMA,
+            outputStructType=_running_stats_schema(key_col),
             stateStructType=_RUNNING_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -312,15 +320,14 @@ def user_running_stats_tws(
             for pdf in rows:
                 n += len(pdf)
                 total += float(pdf[value_col].sum())
+                # NaT guard — same rationale as user_running_stats
                 batch_max = pdf[ts_col].max()
-                if last_ts is None or (
-                    batch_max is not None and batch_max > last_ts
-                ):
+                if pd.notna(batch_max) and (last_ts is None or batch_max > last_ts):
                     last_ts = batch_max
             self._state.update((n, total, last_ts))
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    key_col: [key[0]],
                     "n_events": [n],
                     "total_value": [round(total, 2)],
                     "last_ts": [last_ts],
@@ -334,7 +341,7 @@ def user_running_stats_tws(
         events = ensure_watermarkable(events, ts_col).withWatermark(ts_col, watermark)
     return events.groupBy(key_col).transformWithStateInPandas(
         RunningStats(),
-        outputStructType=RUNNING_STATS_SCHEMA,
+        outputStructType=_running_stats_schema(key_col),
         outputMode="Update",
         timeMode="None",
     )

@@ -247,7 +247,6 @@ def etl_upsert_merge(spark, sf_dir):
     )
 
     # --- branch 2: out-of-order micro-batches into merge_upsert ---------
-    import hashlib
     import os
     import shutil
 
@@ -266,25 +265,33 @@ def etl_upsert_merge(spark, sf_dir):
     # shard no later batch hits would survive, making parity depend on
     # batch/shard coverage instead of the merge semantics under test.
     b0 = last_wins_dedup(b0, ["user_id"], order)
-    # Stable per-sf state dir, wiped up front: bounded temp usage
-    # across repeated driver runs instead of one leaked mkdtemp each.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    state_path = os.path.join(tempfile.gettempdir(), f"upsert_ooo_{tag}", "state")
-    shutil.rmtree(os.path.dirname(state_path), ignore_errors=True)
-    for batch in (b0, b2, b1):
-        merge_upsert(
-            spark,
-            state_path,
-            batch,
-            ["user_id"],
-            order_cols=order,
-            partition_col="shard",
+    # Run-scoped state dir (mkdtemp: unique + 0700), removed in the
+    # finally: two concurrent runs over the same sf_dir can no longer
+    # race on a shared predictable /tmp path (wipe/merge interleaving
+    # corrupted both), and nothing squattable or leaked remains. The
+    # OOO audit row is materialized BEFORE the cleanup — the returned
+    # frame must not lazily re-scan a deleted directory.
+    run_dir = tempfile.mkdtemp(prefix="upsert_ooo_")
+    try:
+        state_path = os.path.join(run_dir, "state")
+        for batch in (b0, b2, b1):
+            merge_upsert(
+                spark,
+                state_path,
+                batch,
+                ["user_id"],
+                order_cols=order,
+                partition_col="shard",
+            )
+        ooo = spark.read.parquet(state_path).agg(
+            F.count(F.lit(1)).alias("ooo_users"),
+            dsum("value").alias("ooo_total_value"),
+            F.sum("event_id").alias("ooo_id_sum"),
         )
-    ooo = spark.read.parquet(state_path).agg(
-        F.count(F.lit(1)).alias("ooo_users"),
-        dsum("value").alias("ooo_total_value"),
-        F.sum("event_id").alias("ooo_id_sum"),
-    )
+        ooo_row = ooo.collect()
+        ooo = spark.createDataFrame(ooo_row, ooo.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
     return classify.crossJoin(ooo)
 
 

@@ -278,7 +278,7 @@ def test_oauth1_schema_route_and_signature(app):
     assert isinstance(build_auth({"auth_type": "oauth1"}), OAuth1Auth)
 
 
-def call_html(app, method, path, form=None):
+def call_html(app, method, path, form=None, headers=None):
     from urllib.parse import urlencode
 
     raw = urlencode(form or {}).encode()
@@ -290,6 +290,8 @@ def call_html(app, method, path, form=None):
         "CONTENT_TYPE": "application/x-www-form-urlencoded",
         "wsgi.input": io.BytesIO(raw),
     }
+    for k, v in (headers or {}).items():
+        environ["HTTP_" + k.upper().replace("-", "_")] = v
     captured = {}
 
     def start_response(status, headers):
@@ -300,11 +302,23 @@ def call_html(app, method, path, form=None):
     return captured["status"], b"".join(chunks).decode()
 
 
+def _csrf_token(app):
+    """The playground embeds a per-app CSRF token as a hidden field;
+    fetch the form like a browser would and extract it."""
+    import re as _re
+
+    _, page = call_html(app, "GET", "/playground")
+    m = _re.search(r'name="csrf_token" value="([0-9a-f]+)"', page)
+    assert m, "playground form must embed a csrf token"
+    return m.group(1)
+
+
 def test_playground_form_renders(app, jobs_connector):
     status, page = call_html(app, "GET", "/playground")
     assert status == 200
     assert "<form" in page and jobs_connector in page
     assert "cursor_start" in page and "mapping_from_0" in page
+    assert 'name="csrf_token"' in page
 
 
 def test_playground_runs_dry_pull(app, jobs_connector):
@@ -325,6 +339,7 @@ def test_playground_runs_dry_pull(app, jobs_connector):
             "filter_op_0": "eq",
             "filter_value_0": "open",
             "dry_run": "on",
+            "csrf_token": _csrf_token(app),
         },
     )
     assert status == 200
@@ -338,6 +353,59 @@ def test_playground_shows_error_inline(app):
         app,
         "POST",
         "/playground",
-        {"action": "run", "operation": "pull", "resource": "job", "origin": "nope"},
+        {
+            "action": "run",
+            "operation": "pull",
+            "resource": "job",
+            "origin": "nope",
+            "csrf_token": _csrf_token(app),
+        },
     )
     assert status == 200 and "Error:" in page
+
+
+def test_playground_rejects_cross_site_posts(app, jobs_connector, monkeypatch):
+    """The playground POST runs real pull/push operations, so it must
+    not be cross-site-POSTable: a missing/wrong CSRF token or a
+    mismatched Origin re-renders the form with an error and does NOT
+    execute the operation."""
+    import hrtech_etl_spark.app.api as api_mod
+
+    ran = []
+    monkeypatch.setattr(
+        api_mod, "ep_run_pull", lambda *a, **k: ran.append("pull") or {}
+    )
+    body = {
+        "action": "run",
+        "operation": "pull",
+        "resource": "job",
+        "origin": jobs_connector,
+        "dry_run": "on",
+    }
+    # no token at all
+    status, page = call_html(app, "POST", "/playground", body)
+    assert status == 200 and "CSRF" in page and ran == []
+    # wrong token
+    status, page = call_html(
+        app, "POST", "/playground", {**body, "csrf_token": "deadbeef"}
+    )
+    assert status == 200 and "CSRF" in page and ran == []
+    # right token but cross-site Origin
+    token = _csrf_token(app)
+    status, page = call_html(
+        app,
+        "POST",
+        "/playground",
+        {**body, "csrf_token": token},
+        headers={"Host": "127.0.0.1:8000", "Origin": "http://evil.example"},
+    )
+    assert status == 200 and "cross-origin" in page and ran == []
+    # right token, same-origin -> runs
+    status, page = call_html(
+        app,
+        "POST",
+        "/playground",
+        {**body, "csrf_token": token},
+        headers={"Host": "127.0.0.1:8000", "Origin": "http://127.0.0.1:8000"},
+    )
+    assert status == 200 and ran == ["pull"]

@@ -9,6 +9,7 @@ import struct
 import wave
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -82,6 +83,10 @@ def test_ppm_stream_split_property(frames, every_n):
     payloads = [mm.encode_ppm(_random_img(*d, s)) for d, s in frames]
     assert mm.split_ppm_stream(b"".join(payloads)) == payloads
     assert mm.real_frame_sample(b"".join(payloads), every_n) == payloads[::every_n]
+    # a stream cut off mid-raster fails loudly at the split, not as a
+    # short final frame that corrupts a later decode
+    with pytest.raises(ValueError, match="truncated PPM stream"):
+        mm.split_ppm_stream(b"".join(payloads)[:-1])
 
 
 @settings(max_examples=40, deadline=None)

@@ -64,9 +64,11 @@ def test_keyed_barrier_never_narrows(spark):
     wide = spark.range(0, 1000).repartition(24)
     assert num_partitions(keyed_barrier(wide, "id")) >= 24
     narrow = spark.range(0, 1000).coalesce(1)
+    # max(width, factor*base) + factor: the +factor applies on BOTH
+    # branches so same-key barriers can't collide across branches
     assert (
         num_partitions(keyed_barrier(narrow, "id", factor=2))
-        == 2 * spark.sparkContext.defaultParallelism
+        == 2 * spark.sparkContext.defaultParallelism + 2
     )
 
 
@@ -92,6 +94,40 @@ def test_minhash_wide_input_keeps_both_barriers(spark, wide_docs):
     plan = _plan(pairs).split("+- == Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") >= 2 or plan.count("ShuffleQueryStage") >= 2
     assert "ReusedExchange" in plan
+
+
+def test_num_partitions_reads_declared_count_through_projections(spark):
+    """A chained barrier is Project(Filter(Repartition(...))) — the
+    width estimate must be the inner DECLARED count, not the session
+    shuffle conf (the old top-node-only check fell back to the conf,
+    which could collide two same-key barriers when conf = width - 1)."""
+    inner = spark.range(0, 1000).repartition(37, F.col("id"))
+    shaped = inner.where(F.col("id") > 2).select((F.col("id") * 2).alias("id"))
+    assert num_partitions(shaped) == 37
+    # the adjacent-barrier counts stay distinct and increasing even
+    # when the session conf equals width - 1 (the ADVICE collision)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "36")
+    try:
+        b2 = keyed_barrier(shaped, "id", factor=2)
+        b3 = keyed_barrier(b2.select("id"), "id", factor=3)
+        c2, c3 = num_partitions(b2), num_partitions(b3)
+        assert c2 != c3 and c3 > c2 >= 37
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_broadcast_exchange_does_not_flag_shuffle_width(spark, wide_emb):
+    """A broadcast-only plan must not be width-estimated via .rdd
+    (materializing the broadcast runs a job); it falls back to the
+    conf estimate WITHOUT launching anything."""
+    small = spark.range(0, 10).withColumnRenamed("id", "vec_id")
+    joined = wide_emb.join(F.broadcast(small), "vec_id")
+    before = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    width = num_partitions(joined)
+    after = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    assert width >= 1
+    assert len(after) == len(before), "num_partitions launched a job"
 
 
 def test_num_partitions_does_not_execute_shuffles(spark):

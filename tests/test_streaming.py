@@ -210,6 +210,52 @@ def test_user_running_stats_final_state(spark, event_stream_dir, events_batch, t
         assert g[uid]["last_ts"] == w[uid]["last_ts"]
 
 
+def test_running_stats_all_null_ts_batch_then_real(spark, tmp_path):
+    """A micro-batch whose ts column is ALL null must not poison the
+    state: pandas max() over all-nulls is NaT (not None), and an
+    unguarded assignment would store it — after which every later
+    `real_ts > NaT` comparison is False and last_ts sticks at NaT
+    forever. Also: key_col is a parameter, so a renamed key column
+    must flow through to the output schema."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("account_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    real_ts = pd.Timestamp("2024-03-01 12:00:00")
+    # file 0: all-null ts; file 1: a real timestamp — one file per
+    # micro-batch so the null batch is processed FIRST
+    spark.createDataFrame([(7, None, 1.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src + "/b=0")
+    spark.createDataFrame([(7, real_ts.to_pydatetime(), 2.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src + "/b=1")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    run_available_now(
+        user_running_stats(stream, key_col="account_id", watermark=None),
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="update",
+        memory_table="nat_out",
+    )
+    rows = spark.table("nat_out").orderBy("n_events").collect()
+    assert rows[-1]["account_id"] == 7
+    assert rows[-1]["n_events"] == 2
+    # the real timestamp must win over the earlier all-null batch
+    assert rows[-1]["last_ts"] == real_ts.to_pydatetime()
+    # and no emitted row carries NaT-as-a-value
+    assert all(r["last_ts"] is None or r["last_ts"] == real_ts for r in rows)
+
+
 def test_parse_event_stream_drops_malformed(spark, tmp_path):
     """Malformed JSON payloads are dropped (reference from_payload →
     None), unknown types normalize to 'upserted'."""
