@@ -134,18 +134,25 @@ def keyed_barrier(
     exists so adjacent barriers in one plan get distinct counts — with
     the same key AND the same count, EnsureRequirements drops the
     second exchange as redundant and re-inlines the expensive
-    projection into every consumer. The count is UNCONDITIONALLY
-    ``max(width, factor·base) + factor``: adding the factor on both
-    branches (not just the wide one) means two chained same-key
-    barriers can never collide regardless of which branch each takes —
-    if the widths agree the factors differ, and a later barrier over
-    an earlier one always sees the earlier DECLARED count as its width
-    (``num_partitions`` reads it through Project/Filter), making the
-    count strictly increase. A plain ``max(width, factor·base)``
-    would collapse every factor to the same ``width`` exactly at
-    cluster scale, where the barrier-drop hurts most.
+    projection into every consumer.
+
+    The narrow branch uses ``factor · base`` EXACTLY (an even multiple
+    of the core count → CPU-heavy stages run in full waves; measured
+    A/B in one session at sf0.1, +factor breaking wave alignment cost
+    the LSH pipeline ~25% wall-clock from a straggler wave of 2-3
+    tasks); the wide branch appends ``+ factor`` for distinctness.
+    Chained same-key barriers cannot collide across branches because
+    ``num_partitions`` reads the inner barrier's DECLARED count
+    through Project/Filter: barrier B over barrier A sees width
+    exactly ``count_A``, and both branches then yield
+    ``count_B > count_A`` (base branch: it is only taken when
+    ``count_A < factor_B · base``; wide branch: ``count_A + factor_B``).
+    The historical collision (raw ``W+2`` == conf ``S+3``) required the
+    width of A to be MISestimated via the session conf — possible now
+    only when a width-changing node (join/agg/window) sits between the
+    barriers, and such a node inserts its own exchange there anyway.
     """
     base = n or df.sparkSession.sparkContext.defaultParallelism
     width = num_partitions(df)
-    count = max(width, factor * base) + factor
+    count = factor * base if width < factor * base else width + factor
     return df.repartition(count, *[F.col(c) for c in key_cols])

@@ -64,11 +64,13 @@ def test_keyed_barrier_never_narrows(spark):
     wide = spark.range(0, 1000).repartition(24)
     assert num_partitions(keyed_barrier(wide, "id")) >= 24
     narrow = spark.range(0, 1000).coalesce(1)
-    # max(width, factor*base) + factor: the +factor applies on BOTH
-    # branches so same-key barriers can't collide across branches
+    # narrow branch = factor*base EXACTLY: an even multiple of the
+    # core count keeps CPU-heavy stages in full waves (an off-by-factor
+    # count costs a straggler wave; collision-freedom comes from
+    # num_partitions reading the inner barrier's declared count)
     assert (
         num_partitions(keyed_barrier(narrow, "id", factor=2))
-        == 2 * spark.sparkContext.defaultParallelism + 2
+        == 2 * spark.sparkContext.defaultParallelism
     )
 
 
