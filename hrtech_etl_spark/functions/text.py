@@ -94,6 +94,62 @@ def avg_token_length(col: Column) -> Column:
     return F.when(n > 0, chars / n).otherwise(F.lit(0.0))
 
 
+def tf_idf(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    carry_cols: tuple[str, ...] = (),
+    broadcast_idf: bool = True,
+):
+    """Per-(document, term) TF-IDF over whitespace tokens — the classic
+    corpus statistic (SURVEY §2.10 text-analysis row): ``tf`` = term
+    occurrences in the document, ``idf = ln(N / df_t)`` with ``N`` the
+    corpus document count and ``df_t`` the number of documents
+    containing the term, ``tf_idf = round(tf · idf, 4)``.
+
+    Plan shape (scale path): ONE explode pass → shuffle on
+    ``(id, term)`` for tf → the document-frequency aggregation reads
+    tf's exchange back (ReusedExchange) → idf joins in. The corpus
+    document count rides the plan as a broadcast 1-row aggregate (no
+    separate driver action). With ``broadcast_idf=True`` (default) the
+    vocabulary-sized idf table broadcasts — right while the vocabulary
+    fits executor memory (natural-language vocabularies are tiny next
+    to the corpus); set False for web-scale vocabularies (URLs, hashes
+    blowing up the term space) to use a shuffle join on ``term``.
+
+    ``carry_cols`` are document-LEVEL attributes (functionally
+    dependent on ``id_col``, e.g. a language label) carried through to
+    the output; a non-doc-level column would split tf rows and inflate
+    document frequencies.
+
+    Returns (id, *carry, term, tf, tf_idf).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    terms = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy(id_col, *carry_cols, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = dfreq.join(F.broadcast(total)).select(
+        "term", F.log(F.col("__n_docs") / F.col("__df")).alias("__idf")
+    )
+    joined = tf.join(F.broadcast(idf) if broadcast_idf else idf, "term")
+    return joined.select(
+        id_col,
+        *carry_cols,
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("__idf"), 4).alias("tf_idf"),
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: long enough, words not too
     short/long, some punctuation, some stopwords. A transparent,

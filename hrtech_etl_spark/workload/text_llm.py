@@ -112,25 +112,51 @@ def cosine_sql(a: str, b: str) -> str:
 @query(
     "text_token_stats",
     sql=f"""
-    SELECT lang,
+    WITH t AS (
+      SELECT doc_id, lang, unnest({TOKENS_SQL.format(t='text')}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, lang, term, count(*) AS tf FROM t GROUP BY 1, 2, 3
+    ),
+    idf AS (
+      SELECT term,
+             ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(*)) AS idf
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.lang, round(tf.tf * idf.idf, 4) AS tf_idf
+      FROM tf JOIN idf USING (term)
+    ),
+    tfidf_by_lang AS (
+      SELECT lang, max(tf_idf) AS max_tfidf FROM scored GROUP BY lang
+    )
+    SELECT d.lang,
            count(*) AS n_docs,
            round(CAST(sum(len({TOKENS_SQL.format(t='text')})) AS DOUBLE) / count(*), 4) AS avg_tokens,
            round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
-           CAST(max(len({TOKENS_SQL.format(t='text')})) AS BIGINT) AS max_tokens
-    FROM documents GROUP BY lang
+           CAST(max(len({TOKENS_SQL.format(t='text')})) AS BIGINT) AS max_tokens,
+           any_value(tl.max_tfidf) AS max_tfidf
+    FROM documents d JOIN tfidf_by_lang tl ON d.lang = tl.lang
+    GROUP BY d.lang
     """,
 )
 def text_token_stats(spark, sf_dir):
-    """Token counting over the corpus — pure codegen'd expressions, one
-    aggregation."""
+    """Token counting + TF-IDF over the corpus (functions/text.py::
+    tf_idf — explode → tf shuffle whose exchange the document-frequency
+    agg reuses → broadcast idf join): per language, the document/token
+    aggregates plus the corpus-wide maximum TF-IDF score."""
     d = spread(load_table(spark, "documents", sf_dir))
     n_tok = tx.token_count(F.col("text"))
-    return d.groupBy("lang").agg(
+    stats = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.sum(n_tok).cast("double") / F.count(F.lit(1)), 4).alias("avg_tokens"),
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
         F.max(n_tok).cast("bigint").alias("max_tokens"),
     )
+    scored = tx.tf_idf(d, "text", "doc_id", carry_cols=("lang",))
+    by_lang = scored.groupBy("lang").agg(F.max("tf_idf").alias("max_tfidf"))
+    return stats.join(F.broadcast(by_lang), "lang")
 
 
 _LANGID_SCORES = ", ".join(f"{lang_score_sql(lang)} AS s_{lang}" for lang in tx.LANG_MARKERS)
