@@ -647,6 +647,62 @@ def drop_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Test-set decontamination
+# ---------------------------------------------------------------------------
+
+def remove_contaminated(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 13,
+    min_overlap: int = 1,
+    test_text_col: str | None = None,
+) -> DataFrame:
+    """Drop training documents that share at least ``min_overlap``
+    word ``shingle_k``-grams with a held-out test corpus — the standard
+    benchmark-decontamination pass for training data (13-gram overlap
+    is the widely published convention).
+
+    Scale shape: the TEST side (benchmark suites — thousands of docs)
+    is tiny next to a 100 TB train corpus, so its distinct hashed
+    shingles become a broadcast build side. The train side does ONE
+    shingle explode → broadcast semi-join (only matching rows survive,
+    typically a sliver) → per-doc overlap count → the contaminated id
+    set — itself small — broadcasts into the final anti-join. The
+    train corpus is never shuffled in full.
+
+    Both sides shingle through :func:`word_shingles` +
+    :func:`hashed_shingles` (same tokenization as every dedup
+    operator); a train doc shorter than ``shingle_k`` tokens has no
+    shingles and is always kept.
+    """
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    tcol = test_text_col or text_col
+    test_sh = test.select(
+        F.explode(
+            hashed_shingles(word_shingles(F.col(tcol), k=shingle_k))
+        ).alias("h")
+    ).distinct()
+    train_sh = train.select(
+        F.col(id_col),
+        F.explode(
+            hashed_shingles(word_shingles(F.col(text_col), k=shingle_k))
+        ).alias("h"),
+    )
+    contaminated = (
+        train_sh.join(F.broadcast(test_sh), "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__overlap"))
+        .where(F.col("__overlap") >= min_overlap)
+        .select(id_col)
+    )
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

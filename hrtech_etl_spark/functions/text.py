@@ -12,7 +12,7 @@ ratios), document fingerprinting (see
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -92,6 +92,127 @@ def avg_token_length(col: Column) -> Column:
     n = F.size(F.split(squeezed, " "))
     chars = F.length(F.replace(squeezed, F.lit(" "), F.lit("")))
     return F.when(n > 0, chars / n).otherwise(F.lit(0.0))
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    """Fraction of a document's lines that repeat an earlier line —
+    the first of the classic repetition-quality signals from the
+    public Gopher corpus-filtering recipe (Rae et al. 2021, §A1.1):
+    templated/spammy pages repeat themselves. Pure expression:
+    ``1 - distinct_lines / lines`` (0.0 for empty text)."""
+    lines = F.split(col, r"\n")
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.round((n - F.size(F.array_distinct(lines))) / n, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram: int = 2,
+) -> "DataFrame":
+    """Per-document repetition-quality signals (the Gopher-style
+    repetition filters, computed distributed):
+
+    - ``dup_line_frac``: :func:`duplicate_line_fraction` (expression).
+    - ``top_ngram_char_frac``: characters covered by the most frequent
+      word ``ngram``-gram over total characters —
+      ``max(count · len(gram)) / n_chars`` (the max over the
+      count-times-length products is deterministic under ties, unlike
+      "pick the most frequent gram"; it upper-bounds every tie choice).
+
+    Plan: one explode of NON-distinct n-grams → count per (doc, gram)
+    → max per doc — two shuffles keyed on the doc id, no all-pairs
+    anything; rejoining the per-doc scalar is a same-key join. Docs
+    shorter than ``ngram`` tokens get 0.0.
+
+    Filter usage: drop docs with ``dup_line_frac > 0.3`` or
+    ``top_ngram_char_frac > 0.2`` (the published thresholds for 2-grams).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
+    )
+    t = tokens(F.col("__text"))
+    gram = t
+    for j in range(1, ngram):
+        size_expr = F.greatest(F.size(t) - j, F.lit(0))
+        gram = F.zip_with(
+            F.slice(gram, 1, size_expr),
+            F.slice(t, j + 1, size_expr),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams = base.select(
+        F.col(id_col), F.explode(gram).alias("gram")
+    )  # NON-distinct: frequency is the signal
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("cnt") * F.length("gram")).alias("__top_chars"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            F.when(
+                (F.length("__text") > 0) & F.col("__top_chars").isNotNull(),
+                F.round(F.col("__top_chars") / F.length("__text"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_ngram_char_frac"),
+        )
+    )
+
+
+#: PII patterns (Java regex, applied in this order — SSN before phone
+#: so the phone pattern cannot eat an SSN; email before IP so a
+#: user@host.1.2.3.4 style address redacts as one email).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"(?<![\d-])\+?\d[\d().\- ]{7,14}\d(?![\d-])", "[PHONE]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub common PII spans (SSN / email / IPv4 / phone) to typed
+    placeholders — the standard pre-training privacy pass, as chained
+    JVM-side ``regexp_replace`` (no UDF). Pattern order is load-bearing
+    (see :data:`PII_PATTERNS`). Regex redaction is a baseline, not a
+    guarantee: formats outside these shapes (spelled-out numbers,
+    obfuscated emails) need an NER-model kernel."""
+    out = col
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-type PII match counts (for corpus audits before
+    committing to redaction): counts each pattern on the text as seen
+    by that pattern's turn in the redaction chain, so the numbers equal
+    what :func:`redact_pii` replaces."""
+    fields = []
+    seen = col
+    for name, pattern, token in PII_PATTERNS:
+        replaced = F.regexp_replace(seen, pattern, token)
+        # count = occurrences of the placeholder added by THIS stage
+        before = F.length(seen) - F.length(F.replace(seen, F.lit(token)))
+        after = F.length(replaced) - F.length(F.replace(replaced, F.lit(token)))
+        fields.append(
+            ((after - before) / F.lit(len(token))).cast("long").alias(name)
+        )
+        seen = replaced
+    return F.struct(*fields)
 
 
 def tf_idf(

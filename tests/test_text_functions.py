@@ -51,3 +51,95 @@ def test_tf_idf_carry_cols_and_join_modes(spark, corpus):
     av = {(r["doc_id"], r["term"]): r["tf_idf"] for r in a.collect()}
     bv = {(r["doc_id"], r["term"]): r["tf_idf"] for r in b.collect()}
     assert av == bv
+
+
+def test_duplicate_line_fraction(spark):
+    rows = [
+        (1, "a\nb\nc\nd"),          # all distinct -> 0
+        (2, "spam\nspam\nspam\nspam"),  # 3 of 4 repeat -> 0.75
+        (3, "x\ny\nx\nz"),          # 1 of 4 repeats -> 0.25
+        (4, ""),                     # single empty line -> 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", tx.duplicate_line_fraction(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert got == {1: 0.0, 2: 0.75, 3: 0.25, 4: 0.0}
+
+
+def test_repetition_signals(spark):
+    rows = [
+        # "buy now" appears 3x among 5 bigrams; covers 3*7=21 chars of 34
+        (1, "buy now buy now buy now extra pad"),
+        (2, "every word here is completely different"),
+        (3, "short"),  # < 2 tokens -> no grams -> 0.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["top_ngram_char_frac"])
+        for r in tx.repetition_signals(df, "text", "doc_id").collect()
+    }
+    assert got[1][1] == round(3 * len("buy now") / len(rows[0][1]), 4)
+    assert got[2][1] < got[1][1]
+    assert got[3] == (0.0, 0.0)
+    # rows are preserved 1:1 (left join, no drops)
+    assert set(got) == {1, 2, 3}
+
+
+def test_redact_pii_and_counts(spark):
+    text = (
+        "mail a.user+tag@example.co.uk or call +1 (415) 555-0123; "
+        "ssn 123-45-6789 at host 192.168.1.250 end"
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = df.select(
+        tx.redact_pii(F.col("text")).alias("red"),
+        tx.pii_counts(F.col("text")).alias("c"),
+    ).collect()[0]
+    red = out["red"]
+    assert "[EMAIL]" in red and "a.user" not in red
+    assert "[SSN]" in red and "123-45-6789" not in red
+    assert "[IP]" in red and "192.168.1.250" not in red
+    assert "[PHONE]" in red and "555-0123" not in red
+    assert out["c"].asDict() == {"ssn": 1, "email": 1, "ipv4": 1, "phone": 1}
+    # clean text passes through untouched, zero counts
+    clean = spark.createDataFrame([(2, "no pii in this text at all")], ["doc_id", "text"])
+    row = clean.select(
+        tx.redact_pii(F.col("text")).alias("red"),
+        tx.pii_counts(F.col("text")).alias("c"),
+    ).collect()[0]
+    assert row["red"] == "no pii in this text at all"
+    assert row["c"].asDict() == {"ssn": 0, "email": 0, "ipv4": 0, "phone": 0}
+
+
+def test_remove_contaminated(spark):
+    from hrtech_etl_spark.functions.dedup import remove_contaminated
+
+    bench_q = "what is the capital of france and when was it founded exactly"
+    train_rows = [
+        (1, "clean document about cooking pasta with tomatoes and basil leaves today"),
+        (2, f"leaked copy: {bench_q} plus commentary"),
+        (3, "another clean doc covering gardening tips for small urban balconies"),
+        (4, "tiny"),  # shorter than k tokens -> always kept
+    ]
+    test_rows = [(100, bench_q)]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test = spark.createDataFrame(test_rows, ["qid", "text"])
+
+    kept = remove_contaminated(train, test, "text", "doc_id", shingle_k=5)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+    assert kept.columns == train.columns
+
+    # a high min_overlap spares docs with only incidental overlap
+    kept_loose = remove_contaminated(
+        train, test, "text", "doc_id", shingle_k=5, min_overlap=10
+    )
+    assert {r["doc_id"] for r in kept_loose.collect()} == {1, 2, 3, 4}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_overlap"):
+        remove_contaminated(train, test, "text", "doc_id", min_overlap=0)
