@@ -92,6 +92,52 @@ def cosine_topk(
 # discarded ~(2^bits−1)/2^bits of.
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for a BATCH of query vectors in one corpus
+    pass — the realistic retrieval shape (dedup against a probe set,
+    eval-set nearest neighbors) where running :func:`cosine_topk` per
+    query would rescan the corpus N times.
+
+    The query table broadcasts with hoisted norms; the corpus is
+    scanned ONCE, scoring all queries per row; per-query top-k is a
+    rank window over ``query_id``, which Spark executes as
+    WindowGroupLimit (partial per-partition top-k before the single
+    shuffle on query id — no full sort of the scored corpus). Ties
+    break on corpus id. Output: (query_id, id, score), k rows per
+    query. Broadcast bound: queries must fit executor memory
+    (thousands of probes, not millions — split larger probe sets into
+    batches)."""
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    scored = _spread(embeddings).crossJoin(q).select(
+        F.col("query_id"),
+        F.col(id_col),
+        cosine_vs(F.col(vec_col), F.col("__qvec"), F.col("__qn")).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def srp_bucket(vec: Column, *, bits: int = 4, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket id.
 

@@ -1,0 +1,145 @@
+"""Corpus-assembly operators for training-data pipelines: exact
+stratified sampling and greedy sequence packing.
+
+Both are the last-mile steps between a filtered/deduped corpus and a
+training run: sampling fixes the language/domain mixture, packing
+fills fixed-size context windows with minimal padding. Reference
+analog: none (the reference moves records; it never assembles training
+batches) — these belong to the SURVEY §2.10 LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.functions.hashing import portable_hash
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    *,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only when the
+    stratum is smaller), deterministically.
+
+    ``df.sampleBy`` draws Bernoulli samples — counts fluctuate and rows
+    change across partitionings. Here rows are ranked inside each
+    stratum by a portable seeded hash of the id (stable under ANY
+    partitioning, replicable in SQL engines) and the first n kept: the
+    same (seed, corpus) always yields the same sample, and mixture
+    ratios are exact — what a training-mixture spec actually requires.
+
+    One shuffle (the rank window on the strata key); the per-stratum
+    top-n runs as WindowGroupLimit, so no stratum is fully sorted.
+    Hot strata at 100 TB: the group-limit partial pass bounds what
+    reaches the final per-stratum task by k per upstream partition.
+    """
+    rank_key = portable_hash(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        rank_key.asc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    max_len: int,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit-decreasing sequence packing: assign each
+    document to a pack (context-window bin) such that each pack's
+    total token length stays ≤ ``max_len`` — the padding-minimizing
+    step before writing fixed-length training examples.
+
+    Exact global FFD is inherently sequential, so the distributed form
+    is partition-local FFD (the standard practice): documents hash
+    into ``num_partitions`` groups, each group packs independently in
+    an Arrow-batched ``applyInPandas`` pass, and pack ids are made
+    globally unique by the group key. Inside a group, FFD runs over
+    CHUNKS of ``chunk_size`` docs — plain FFD is O(docs · open-bins),
+    quadratic on a group with millions of docs; chunking bounds the
+    bin scan so the kernel stays linear, at the cost of the open bins
+    left at each chunk boundary (≤ a few per chunk of thousands —
+    sub-percent utilization loss, amortized away as chunks grow).
+
+    Documents LONGER than ``max_len`` get a singleton pack and
+    ``oversize = true`` — the caller decides whether to split or drop
+    them (packing must not silently truncate).
+
+    Output: (id, length, pack_id, oversize) — pack_id is a string
+    ``"<group>:<local>"``, deterministic for a fixed corpus, seedless
+    (the group assignment is a portable hash of the id).
+    """
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    chunk_size = 4096
+
+    out_schema = (
+        f"{id_col} long, {length_col} long, pack_id string, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        group = int(pdf["__grp"].iloc[0])
+        # first-fit-DECREASING: longest docs first fill bins tightest
+        pdf = pdf.sort_values(
+            [length_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        assign: list[int] = []
+        oversize: list[bool] = []
+        next_bin = 0
+        lengths = pdf[length_col].astype("int64").tolist()
+        for start in range(0, len(lengths), chunk_size):
+            bins: list[tuple[int, int]] = []  # (remaining cap, bin id)
+            for ln in lengths[start : start + chunk_size]:
+                if ln > max_len:
+                    assign.append(next_bin)
+                    next_bin += 1
+                    oversize.append(True)
+                    continue
+                for i, (cap, bid) in enumerate(bins):
+                    if cap >= ln:
+                        bins[i] = (cap - ln, bid)
+                        assign.append(bid)
+                        break
+                else:
+                    assign.append(next_bin)
+                    bins.append((max_len - ln, next_bin))
+                    next_bin += 1
+                oversize.append(False)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                length_col: pdf[length_col].astype("int64"),
+                "pack_id": [f"{group}:{a}" for a in assign],
+                "oversize": oversize,
+            }
+        )
+
+    grouped = df.select(
+        F.col(id_col),
+        F.col(length_col),
+        F.pmod(portable_hash(F.col(id_col).cast("string")), F.lit(n)).alias(
+            "__grp"
+        ),
+    )
+    return grouped.groupBy("__grp").applyInPandas(pack, out_schema)

@@ -1,0 +1,111 @@
+"""Corpus-assembly operators: exact stratified sampling, greedy
+sequence packing, and batched cosine top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.operators.corpus import (
+    pack_sequences,
+    stratified_sample_exact,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    s1 = stratified_sample_exact(df, ["lang"], 20, id_col="doc_id", seed=42)
+    got = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {"en": 20, "fr": 20, "de": 20}
+    # deterministic: same seed -> same rows, regardless of partitioning
+    a = {r["doc_id"] for r in s1.collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample_exact(
+            df.repartition(7), ["lang"], 20, id_col="doc_id", seed=42
+        ).collect()
+    }
+    assert a == b
+    # a different seed draws a different sample
+    c = {
+        r["doc_id"]
+        for r in stratified_sample_exact(
+            df, ["lang"], 20, id_col="doc_id", seed=43
+        ).collect()
+    }
+    assert a != c
+    # small stratum: returns the whole stratum, never errors
+    tiny = spark.createDataFrame([(1, "zh"), (2, "zh")], ["doc_id", "lang"])
+    assert stratified_sample_exact(tiny, ["lang"], 20, id_col="doc_id").count() == 2
+
+
+def test_pack_sequences_respects_capacity(spark):
+    rows = [(i, 100 + (i * 37) % 900) for i in range(500)]  # lengths 100..999
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_sequences(df, "doc_id", "n_tokens", max_len=2048)
+    out = packed.collect()
+    # every row preserved exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(500))
+    assert not any(r["oversize"] for r in out)
+    # no pack exceeds the context window
+    sums = {}
+    for r in out:
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
+    assert max(sums.values()) <= 2048
+    # FFD actually packs: mean utilization well above half-full
+    total = sum(r["n_tokens"] for r in out)
+    assert total / (len(sums) * 2048) > 0.7
+
+
+def test_pack_sequences_oversize_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000), (3, 120)], ["doc_id", "n_tokens"]
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", "n_tokens", max_len=1024).collect()}
+    assert out[2]["oversize"] is True
+    # the oversize doc sits alone in its pack
+    packs = [r["pack_id"] for r in out.values()]
+    assert packs.count(out[2]["pack_id"]) == 1
+    assert out[1]["oversize"] is False and out[3]["oversize"] is False
+    with pytest.raises(ValueError, match="max_len"):
+        pack_sequences(df, "doc_id", "n_tokens", max_len=0)
+
+
+def test_cosine_topk_batch_matches_single_query(spark):
+    from hrtech_etl_spark.functions.similarity import cosine_topk, cosine_topk_batch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe_ids = [0, 1, 2]
+    queries = emb.where(F.col("vec_id").isin(probe_ids))
+    batched = cosine_topk_batch(emb, queries, k=5)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    assert set(got) == set(probe_ids)
+    for qid in probe_ids:
+        single = [
+            (r["vec_id"], r["score"])
+            for r in cosine_topk(
+                emb, emb.where(F.col("vec_id") == qid), k=5
+            ).collect()
+        ]
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == single
+
+
+def test_cosine_topk_batch_uses_window_group_limit(spark):
+    """The per-query top-k must run as WindowGroupLimit (partial
+    per-partition top-k), not a full sort of the scored corpus."""
+    from hrtech_etl_spark.functions.similarity import cosine_topk_batch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    plan = (
+        cosine_topk_batch(emb, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
