@@ -74,6 +74,42 @@ def test_pack_sequences_oversize_and_validation(spark):
         pack_sequences(df, "doc_id", "n_tokens", max_len=0)
 
 
+def test_pack_sequences_property(spark):
+    """Randomized invariants: every row appears exactly once, no
+    non-oversize pack exceeds max_len, every oversize doc is a
+    singleton, and pack count is within 2x of the LP lower bound
+    (ceil(total/max_len)) on packable docs."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        max_len = rng.choice([512, 1024, 4096])
+        rows = [
+            (i, rng.randint(1, int(max_len * 1.3)))
+            for i in range(rng.randint(50, 400))
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        out = pack_sequences(df, "doc_id", "n_tokens", max_len=max_len).collect()
+        assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+        sums: dict = {}
+        members: dict = {}
+        for r in out:
+            sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
+            members.setdefault(r["pack_id"], []).append(r)
+        for pid, rs in members.items():
+            if any(r["oversize"] for r in rs):
+                assert len(rs) == 1, f"oversize pack {pid} not a singleton"
+            else:
+                assert sums[pid] <= max_len, f"pack {pid} overflows"
+        packable = [ln for _, ln in rows if ln <= max_len]
+        n_packs = sum(1 for rs in members.values() if not rs[0]["oversize"])
+        import math
+
+        if packable:
+            assert n_packs <= 2 * math.ceil(sum(packable) / max_len) + \
+                df.sparkSession.sparkContext.defaultParallelism
+
+
 def test_cosine_topk_batch_matches_single_query(spark):
     from hrtech_etl_spark.functions.similarity import cosine_topk, cosine_topk_batch
 
