@@ -133,16 +133,22 @@ def ep_schema(spark_factory, connector: str, resource: str, only_prefilterable: 
 
 def ep_auth_schema(connector: str) -> list[dict]:
     """Auth-field introspection for dynamic UI forms (reference
-    ``app/api.py:96-119`` via ``core/ui_schema.py:107-180``): an auth
-    KIND name (``oauth1``, ``bearer``, ...) serves that kind's field
-    descriptors directly; otherwise resolve the connector and export
-    its auth class's fields; a connector without auth (table-backed,
-    or none declared) returns an empty list."""
+    ``app/api.py:96-119`` via ``core/ui_schema.py:107-180``): resolve
+    the connector and export its auth class's fields (a connector
+    without auth — table-backed, or none declared — returns an empty
+    list); a name that matches no connector but IS an auth kind
+    (``oauth1``, ``bearer``, ...) serves that kind's descriptors
+    directly. Connector resolution comes FIRST so a connector that
+    happens to be named like a kind (e.g. 'token') still introspects
+    its own auth, not the generic kind."""
     from hrtech_etl_spark.sources.auth import AUTH_KINDS, export_auth_fields
 
-    if connector in AUTH_KINDS:
-        return export_auth_fields(AUTH_KINDS[connector])
-    conn = _connector(connector)
+    try:
+        conn = _connector(connector)
+    except ApiError:
+        if connector in AUTH_KINDS:
+            return export_auth_fields(AUTH_KINDS[connector])
+        raise
     auth = getattr(conn, "auth", None)
     if auth is None:
         return []
@@ -185,10 +191,14 @@ def ep_playground(
 
     result = error = None
     if method == "POST" and (form.get("action") or [""])[-1] == "run":
+        import secrets as _secrets
+
         submitted = (form.get("csrf_token") or [""])[-1]
         if not origin_ok:
             error = "cross-origin form post rejected"
-        elif csrf_token is not None and submitted != csrf_token:
+        elif csrf_token is not None and not _secrets.compare_digest(
+            submitted, csrf_token
+        ):
             error = "invalid or missing CSRF token — reload the form"
         else:
             body = pg.parse_body(form)
@@ -349,8 +359,11 @@ def create_app(spark_factory: Callable[[], Any] | None = None):
 
             return get_spark(app_name="hrtech-etl-spark-api")
 
-    # per-app-instance CSRF token for the playground form (the only
-    # urlencoded-form surface — the JSON API is not form-postable)
+    # per-app-instance CSRF token for the playground form. The JSON
+    # routes are origin-checked too: a cross-site page can smuggle a
+    # JSON body through an <form enctype="text/plain"> post (read_body
+    # never looks at Content-Type), so "it takes JSON" is NOT
+    # cross-site protection by itself.
     csrf_token = secrets.token_hex(16)
 
     def app(environ, start_response):
@@ -412,6 +425,11 @@ def create_app(spark_factory: Callable[[], Any] | None = None):
                         origin_ok=origin_ok,
                     )
                 )
+            if method == "POST" and not _same_origin(environ):
+                # browsers always attach Origin to cross-site POSTs;
+                # CLI/script clients send neither Origin nor Referer
+                # and pass — same policy as the playground form.
+                return respond(403, {"detail": "cross-origin POST rejected"})
             if method == "GET" and path == "/api/health":
                 return respond(200, {"status": "ok"})
             if method == "GET" and path == "/api/connectors":

@@ -20,16 +20,8 @@ is per-row CPU, and it would serialize the heavy stages.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-#: Matches a shuffle Exchange in a physical-plan string while ignoring
-#: BroadcastExchange: a broadcast does not set the plan's output width
-#: (the streamed side does), so it must not trigger the
-#: session-shuffle-width fallback estimate.
-_SHUFFLE_EXCHANGE = re.compile(r"(?<!Broadcast)Exchange")
 
 
 def _declared_repartition_count(plan) -> int | None:
@@ -71,10 +63,9 @@ def num_partitions(df: DataFrame) -> int:
     - nearest explicit repartition head (through Project/Filter):
       its DECLARED count — exact, covers chained keyed barriers;
     - otherwise: the session shuffle partition count (what a shuffle
-      will produce pre-AQE-coalesce). A BroadcastExchange alone does
-      NOT trigger this fallback (the broadcast side never sets output
-      width), but broadcast-bearing plans still avoid ``.rdd`` —
-      materializing the broadcast IS running a job.
+      will produce pre-AQE-coalesce; for broadcast-ONLY plans a
+      documented estimate — the true width is the streamed side's,
+      and materializing the broadcast to learn it IS running a job).
 
     AQE may later coalesce below these estimates — acceptable: the
     CPU-heavy operators place their own pinned barriers after this
@@ -91,12 +82,13 @@ def num_partitions(df: DataFrame) -> int:
     declared = _declared_repartition_count(qe.optimizedPlan())
     if declared is not None:
         return declared
-    if _SHUFFLE_EXCHANGE.search(plan_str):
-        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # broadcast-only: output width is the streamed side's (unknowable
-    # here without executing); the conf is a documented estimate and
-    # keyed_barrier's unconditional +factor keeps barriers distinct
-    # even when it is wrong.
+    # shuffle-bearing: the session conf is what the exchange produces
+    # pre-AQE-coalesce. Broadcast-ONLY plans get the same conf value —
+    # their true width is the streamed side's, unknowable here without
+    # executing the broadcast — so the conf is a documented estimate
+    # there, and the spread/barrier callers tolerate overestimates
+    # (worst case: one redundant repartition of a broadcast-join
+    # output).
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 

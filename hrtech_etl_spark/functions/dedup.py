@@ -522,77 +522,96 @@ def near_dup_clusters(
     """
     from pyspark.sql import Observation
 
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = ids.sparkSession.sparkContext
+        # save/restore: setCheckpointDir is session-global, and an
+        # application may have pointed it at a curated location with
+        # retention rules — one operator call must not repoint every
+        # later checkpoint() in the session. (All of THIS function's
+        # checkpoints materialize before it returns — the lazy edges
+        # checkpoint runs inside round 1's count — so restoring in the
+        # finally below is safe.) When nothing was set before, there
+        # is no Spark API to unset; the directory then remains ours,
+        # documented here.
+        prev_ckpt_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame, *, eager: bool) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=eager)
         return df.checkpoint(eager=eager)
 
-    edges = _truncate(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .distinct(),
-        eager=False,
-    )
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
-    )
-    prev_cached: DataFrame | None = None
-    for i in range(max_iterations):
-        neigh = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("cluster").alias("neigh_min"))
-        )
-        obs = Observation(f"near_dup_clusters_round_{i}")
-        candidates = [F.col("cluster"), F.coalesce("neigh_min", F.col("cluster"))]
-        joined = labels.join(neigh, labels["id"] == neigh["src"], "left")
-        if accelerate:
-            jump = labels.select(
-                F.col("id").alias("__jid"), F.col("cluster").alias("__jcluster")
+    def _run() -> DataFrame:
+        edges = _truncate(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
             )
-            joined = joined.join(jump, F.col("cluster") == F.col("__jid"), "left")
-            candidates.append(F.coalesce("__jcluster", F.col("cluster")))
-        cached = (
-            joined.select(
-                "id",
-                F.least(*candidates).alias("__new"),
-                (F.least(*candidates) < F.col("cluster")).alias("__changed"),
-            )
-            .withColumnRenamed("__new", "cluster")
-            .observe(obs, F.count_if(F.col("__changed")).alias("n_changed"))
-            .drop("__changed")
-            .persist()
+            .distinct(),
+            eager=False,
         )
-        cached.count()  # the round's ONE job: materialize + fire the probe
-        n_changed = obs.get["n_changed"]
-        labels = cached
-        if (i + 1) % checkpoint_every == 0:
-            labels = _truncate(cached, eager=True)  # reads the cache
-            cached.unpersist()
-            cached = None
+        labels = ids.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+        )
+        prev_cached: DataFrame | None = None
+        for i in range(max_iterations):
+            neigh = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("cluster").alias("neigh_min"))
+            )
+            obs = Observation(f"near_dup_clusters_round_{i}")
+            candidates = [F.col("cluster"), F.coalesce("neigh_min", F.col("cluster"))]
+            joined = labels.join(neigh, labels["id"] == neigh["src"], "left")
+            if accelerate:
+                jump = labels.select(
+                    F.col("id").alias("__jid"), F.col("cluster").alias("__jcluster")
+                )
+                joined = joined.join(jump, F.col("cluster") == F.col("__jid"), "left")
+                candidates.append(F.coalesce("__jcluster", F.col("cluster")))
+            cached = (
+                joined.select(
+                    "id",
+                    F.least(*candidates).alias("__new"),
+                    (F.least(*candidates) < F.col("cluster")).alias("__changed"),
+                )
+                .withColumnRenamed("__new", "cluster")
+                .observe(obs, F.count_if(F.col("__changed")).alias("n_changed"))
+                .drop("__changed")
+                .persist()
+            )
+            cached.count()  # the round's ONE job: materialize + fire the probe
+            n_changed = obs.get["n_changed"]
+            labels = cached
+            if (i + 1) % checkpoint_every == 0:
+                labels = _truncate(cached, eager=True)  # reads the cache
+                cached.unpersist()
+                cached = None
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = cached
+            if n_changed == 0:
+                if cached is not None:
+                    # don't return a cache-pinned frame: CacheManager would
+                    # hold the entry long after the caller dropped it. The
+                    # checkpoint is one cheap cache-read job.
+                    labels = _truncate(cached, eager=True)
+                    cached.unpersist()
+                return labels
         if prev_cached is not None:
             prev_cached.unpersist()
-        prev_cached = cached
-        if n_changed == 0:
-            if cached is not None:
-                # don't return a cache-pinned frame: CacheManager would
-                # hold the entry long after the caller dropped it. The
-                # checkpoint is one cheap cache-read job.
-                labels = _truncate(cached, eager=True)
-                cached.unpersist()
-            return labels
-    if prev_cached is not None:
-        prev_cached.unpersist()
-    raise RuntimeError(
-        f"near_dup_clusters did not converge in {max_iterations} rounds; "
-        "component diameter exceeds the bound — rerun with accelerate=True "
-        "(pointer-jumping, O(log diameter) rounds) or raise max_iterations"
-    )
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} rounds; "
+            "component diameter exceeds the bound — rerun with accelerate=True "
+            "(pointer-jumping, O(log diameter) rounds) or raise max_iterations"
+        )
+
+    try:
+        return _run()
+    finally:
+        if prev_ckpt_dir is not None and checkpoint_dir is not None:
+            ids.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
 def drop_near_duplicates(

@@ -91,11 +91,24 @@ def pack_sequences(
     """
     if max_len <= 0:
         raise ValueError(f"max_len must be positive, got {max_len}")
+    from pyspark.sql import types as T
+
+    length_type = df.schema[length_col].dataType
+    if not isinstance(
+        length_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"pack_sequences requires an integral {length_col!r} column, "
+            f"got {length_type.simpleString()} — token counts are whole "
+            "numbers; round explicitly if yours are not"
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     chunk_size = 4096
 
     out_schema = (
-        f"{id_col} long, {length_col} long, pack_id string, oversize boolean"
+        f"{id_col} {id_type}, {length_col} {length_type.simpleString()}, "
+        "pack_id string, oversize boolean"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -107,7 +120,7 @@ def pack_sequences(
         assign: list[int] = []
         oversize: list[bool] = []
         next_bin = 0
-        lengths = pdf[length_col].astype("int64").tolist()
+        lengths = [int(x) for x in pdf[length_col]]
         for start in range(0, len(lengths), chunk_size):
             bins: list[tuple[int, int]] = []  # (remaining cap, bin id)
             for ln in lengths[start : start + chunk_size]:
@@ -128,8 +141,8 @@ def pack_sequences(
                 oversize.append(False)
         return pd.DataFrame(
             {
-                id_col: pdf[id_col].astype("int64"),
-                length_col: pdf[length_col].astype("int64"),
+                id_col: pdf[id_col],
+                length_col: pdf[length_col],
                 "pack_id": [f"{group}:{a}" for a in assign],
                 "oversize": oversize,
             }

@@ -263,11 +263,14 @@ class RestDataSourceReader(DataSourceReader):
             import time
 
             attempt = 0
-            req_headers = headers
-            if signer is not None:
-                req_headers = dict(headers)
-                req_headers.update(signer("GET", cfg.url, params))
             while True:
+                req_headers = headers
+                if signer is not None:
+                    # re-sign EVERY attempt: OAuth1 servers enforce
+                    # nonce uniqueness, so replaying the previous
+                    # attempt's nonce/timestamp on a retry would 401
+                    req_headers = dict(headers)
+                    req_headers.update(signer("GET", cfg.url, params))
                 try:
                     resp = session.get(
                         cfg.url, params=params, headers=req_headers, timeout=60

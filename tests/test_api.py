@@ -229,6 +229,71 @@ def test_auth_schema_endpoint(app, jobs_connector):
     assert status == 404
 
 
+def test_json_routes_reject_cross_origin_posts(app, jobs_connector):
+    """The JSON run endpoints execute real operations and must not be
+    cross-site-POSTable either: an <form enctype=text/plain> can
+    smuggle a JSON body (read_body never checks Content-Type), so the
+    Origin check covers every POST route, not just the playground.
+    Requests without Origin/Referer (CLI clients) still pass."""
+    body = {"connector": "nope"}
+    # no Origin header (curl/scripts): passes the guard, fails on content
+    status, _ = call(app, "POST", "/api/debug/connector_params", body)
+    assert status == 404 or status == 400
+    # cross-site Origin: rejected before any handler runs
+    raw = json.dumps(body).encode()
+    environ = {
+        "REQUEST_METHOD": "POST",
+        "PATH_INFO": "/api/run/pull",
+        "QUERY_STRING": "",
+        "CONTENT_LENGTH": str(len(raw)),
+        "wsgi.input": io.BytesIO(raw),
+        "HTTP_HOST": "127.0.0.1:8000",
+        "HTTP_ORIGIN": "http://evil.example",
+    }
+    captured = {}
+
+    def start_response(status_line, headers):
+        captured["status"] = int(status_line.split()[0])
+
+    out = b"".join(app(environ, start_response)).decode()
+    assert captured["status"] == 403 and "cross-origin" in out
+
+
+def test_auth_schema_connector_shadowing_a_kind_name(app, spark):
+    """A connector registered under a name that collides with an auth
+    KIND ('token') must still serve ITS OWN auth descriptors — the
+    kind fallback applies only to names that resolve to no connector."""
+    register_connector(
+        ConnectorMeta(
+            name="token",
+            factory=lambda: RestConnector(
+                options={
+                    "job": {
+                        "url": "http://backend.test/jobs",
+                        "auth": json.dumps(
+                            {
+                                "auth_type": "api_key",
+                                "header_name": "X-Custom-Key",
+                                "api_key": "k",
+                            }
+                        ),
+                    }
+                }
+            ),
+        )
+    )
+    try:
+        status, fields = call(app, "GET", "/api/schema/auth/token")
+        assert status == 200
+        names = {f["name"] for f in fields}
+        # ApiKeyAuth fields (the connector's), NOT TokenAuth's scheme/token
+        assert "header_name" in names and "scheme" not in names
+    finally:
+        from hrtech_etl_spark.connectors import _CONNECTORS
+
+        _CONNECTORS.pop("token", None)
+
+
 def test_oauth1_schema_route_and_signature(app):
     """GET /api/schema/auth/oauth1 serves the auth KIND's descriptors
     directly (no connector registration needed), and OAuth1Auth.sign

@@ -72,6 +72,26 @@ def test_pack_sequences_oversize_and_validation(spark):
     assert out[1]["oversize"] is False and out[3]["oversize"] is False
     with pytest.raises(ValueError, match="max_len"):
         pack_sequences(df, "doc_id", "n_tokens", max_len=0)
+    # non-integral token counts are rejected up front, not silently
+    # truncated inside the executor kernel
+    floats = spark.createDataFrame([(1, 100.7)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="integral"):
+        pack_sequences(floats, "doc_id", "n_tokens", max_len=1024)
+
+
+def test_pack_sequences_string_ids(spark):
+    """Doc ids need not be numeric: the output schema mirrors the
+    input id type."""
+    df = spark.createDataFrame(
+        [("doc-a", 300), ("doc-b", 400), ("doc-c", 900)],
+        ["doc_id", "n_tokens"],
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", max_len=1024).collect()
+    assert sorted(r["doc_id"] for r in out) == ["doc-a", "doc-b", "doc-c"]
+    sums: dict = {}
+    for r in out:
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
+    assert max(sums.values()) <= 1024
 
 
 def test_pack_sequences_property(spark):

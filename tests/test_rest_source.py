@@ -101,11 +101,16 @@ class Handler(BaseHTTPRequestHandler):
         if parsed.path == "/jobs_login":
             if self.headers.get("Authorization") != "Bearer tok-123":
                 return self._send({"error": "forbidden"}, 403)
-        if parsed.path == "/jobs_oauth1":
+        if parsed.path in ("/jobs_oauth1", "/jobs_oauth1_flaky"):
+            if parsed.path == "/jobs_oauth1_flaky":
+                key = "oauth1_" + params.get("offset", "0")
+                FLAKY_HITS[key] = FLAKY_HITS.get(key, 0) + 1
+                if FLAKY_HITS[key] <= 2:
+                    return self._send({"error": "transient"}, 503)
             ok = _verify_oauth1(
                 self.headers.get("Authorization", ""),
                 "GET",
-                f"http://{self.headers['Host']}/jobs_oauth1",
+                f"http://{self.headers['Host']}{parsed.path}",
                 params,
             )
             if not ok:
@@ -336,6 +341,32 @@ def test_oauth1_per_request_signing(backend, spark):
     }
     # several requests (3 partitions x pages), each a distinct signature
     assert len(sigs) >= 3 and all(s and s.startswith("OAuth ") for s in sigs)
+
+
+def test_oauth1_retry_resigns_fresh_nonce(backend, spark):
+    """Retries must NOT replay the previous attempt's OAuth1 header:
+    nonce-enforcing servers would 401 the replay. Each attempt at the
+    flaky endpoint (503 twice per offset, then OK) must carry a
+    distinct signature, and the third, freshly-signed attempt passes
+    server-side verification."""
+    REQUESTS.clear()
+    df = reader_for(
+        backend,
+        spark,
+        path="/jobs_oauth1_flaky",
+        auth=json.dumps({"auth_type": "oauth1", **OAUTH1_CREDS}),
+        num_partitions="1",
+        page_size="100",
+        retry_backoff_s="0.01",
+    ).load()
+    assert df.count() == 57
+    auths = [
+        r["headers"].get("Authorization")
+        for r in REQUESTS
+        if r["path"] == "/jobs_oauth1_flaky" and r["params"].get("offset", "0") == "0"
+    ]
+    assert len(auths) >= 3, "flaky endpoint should have forced retries"
+    assert len(set(auths)) == len(auths), "retries replayed an OAuth1 nonce"
 
 
 def test_cursor_pagination_sequential(backend, spark):
