@@ -229,15 +229,23 @@ def tf_idf(
     corpus document count and ``df_t`` the number of documents
     containing the term, ``tf_idf = round(tf · idf, 4)``.
 
-    Plan shape (scale path): ONE explode pass → shuffle on
-    ``(id, term)`` for tf → the document-frequency aggregation reads
-    tf's exchange back (ReusedExchange) → idf joins in. The corpus
-    document count rides the plan as a broadcast 1-row aggregate (no
-    separate driver action). With ``broadcast_idf=True`` (default) the
-    vocabulary-sized idf table broadcasts — right while the vocabulary
-    fits executor memory (natural-language vocabularies are tiny next
-    to the corpus); set False for web-scale vocabularies (URLs, hashes
-    blowing up the term space) to use a shuffle join on ``term``.
+    Plan shape (scale path): ONE explode pass → map-side-combined
+    shuffle on ``(id, term)`` for tf → the tf table is materialized
+    behind a term-keyed barrier that BOTH consumers (the idf build
+    via the document-frequency aggregation, and the probe side of the
+    final join) read back as a ReusedExchange — without the barrier
+    Catalyst inlines the tf subtree into each consumer and the corpus
+    is tokenized and shuffled TWICE (observed, plan-tested). The
+    doc-frequency aggregation adds no further shuffle: the barrier's
+    hash partitioning on ``term`` already satisfies its distribution.
+    The corpus document count rides the plan as a broadcast 1-row
+    aggregate (no separate driver action). With ``broadcast_idf=True``
+    (default) the vocabulary-sized idf table broadcasts — right while
+    the vocabulary fits executor memory (natural-language vocabularies
+    are tiny next to the corpus); set False for web-scale vocabularies
+    (URLs, hashes blowing up the term space) to use a shuffle join on
+    ``term``, which the barrier partitioning again makes exchange-free
+    on the tf side.
 
     ``carry_cols`` are document-LEVEL attributes (functionally
     dependent on ``id_col``, e.g. a language label) carried through to
@@ -257,7 +265,21 @@ def tf_idf(
     tf = terms.groupBy(id_col, *carry_cols, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    # count_if(tf > 0), not count(1): the counts are equal (tf >= 1 by
+    # construction), but count(1) lets column pruning strip `tf` from
+    # THIS consumer's copy of the aggregation subtree, the two copies
+    # then canonicalize differently, and the tf shuffle is NOT reused —
+    # observed as the corpus being tokenized and shuffled TWICE. The
+    # optimizer cannot prove tf > 0 (no range analysis on aggregate
+    # outputs), so the column survives, both subtrees stay identical,
+    # and AQE reuses the single (id, term) exchange (plan-tested).
+    # NOTE a term-keyed repartition barrier would also share the pass
+    # but concentrates hot terms ("the" ≈ every doc) into one
+    # partition; this shape keeps the doc-frequency aggregation
+    # map-side-combined and skew-safe.
+    dfreq = tf.groupBy("term").agg(
+        F.count_if(F.col("tf") > 0).alias("__df")
+    )
     idf = dfreq.join(F.broadcast(total)).select(
         "term", F.log(F.col("__n_docs") / F.col("__df")).alias("__idf")
     )

@@ -114,14 +114,14 @@ def cosine_sql(a: str, b: str) -> str:
     sql=f"""
     WITH t AS (
       SELECT doc_id, lang, unnest({TOKENS_SQL.format(t='text')}) AS term
-      FROM documents
+      FROM documents WHERE lang IS NOT NULL
     ),
     tf AS (
       SELECT doc_id, lang, term, count(*) AS tf FROM t GROUP BY 1, 2, 3
     ),
     idf AS (
       SELECT term,
-             ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(*)) AS idf
+             ln(CAST((SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS DOUBLE) / count(*)) AS idf
       FROM tf GROUP BY term
     ),
     scored AS (
@@ -143,9 +143,20 @@ def cosine_sql(a: str, b: str) -> str:
 )
 def text_token_stats(spark, sf_dir):
     """Token counting + TF-IDF over the corpus (functions/text.py::
-    tf_idf — explode → tf shuffle whose exchange the document-frequency
-    agg reuses → broadcast idf join): per language, the document/token
-    aggregates plus the corpus-wide maximum TF-IDF score."""
+    tf_idf — ONE explode pass; the tf exchange is read back by both
+    the probe and the idf build as a ReusedExchange): per language,
+    the document/token aggregates plus the corpus-wide maximum TF-IDF
+    score.
+
+    The ``lang IS NOT NULL`` pre-filter (a no-op on this corpus, and
+    implied by the inner join anyway) is load-bearing for the PLAN:
+    the outer join on lang pushes an isnotnull(lang) predicate into
+    tf_idf's PROBE subtree but not its idf subtree; the two copies
+    then canonicalize differently and the corpus is tokenized twice.
+    Pre-filtering puts the predicate in the shared input, keeps both
+    subtrees identical, and restores the single-pass plan
+    (plan-tested in tests/test_partitioning.py). Mirrored in the
+    oracle rendering so both engines compute the identical N."""
     d = spread(load_table(spark, "documents", sf_dir))
     n_tok = tx.token_count(F.col("text"))
     stats = d.groupBy("lang").agg(
@@ -154,7 +165,8 @@ def text_token_stats(spark, sf_dir):
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
         F.max(n_tok).cast("bigint").alias("max_tokens"),
     )
-    scored = tx.tf_idf(d, "text", "doc_id", carry_cols=("lang",))
+    d_nn = d.where(F.col("lang").isNotNull())
+    scored = tx.tf_idf(d_nn, "text", "doc_id", carry_cols=("lang",))
     by_lang = scored.groupBy("lang").agg(F.max("tf_idf").alias("max_tfidf"))
     return stats.join(F.broadcast(by_lang), "lang")
 

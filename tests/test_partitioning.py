@@ -183,6 +183,34 @@ def test_shingle_table_skips_raw_exchange_on_wide_scan(spark, wide_docs):
     assert _hashparts(raw) == 0 and _roundrobins(raw) == 0
 
 
+def test_tfidf_single_corpus_pass(spark, wide_docs):
+    """tf_idf must tokenize the corpus ONCE: the tf aggregation's
+    exchange is read by both the probe side and the idf build
+    (ReusedExchange). Regression-locks the count_if pruning guard —
+    with count(1) the idf copy's subtree gets column-pruned, the
+    copies canonicalize differently, and the explode runs twice."""
+    from hrtech_etl_spark.functions import text as tx
+
+    scored = tx.tf_idf(wide_docs, "text", "doc_id", carry_cols=("lang",))
+    agg = scored.groupBy("lang").agg(F.max("tf_idf").alias("m"))
+    agg.collect()  # ReusedExchange only appears in the FINAL adaptive plan
+    plan = _plan(agg).split("+- == Initial Plan ==")[0]
+    assert plan.count("Generate explode") == 1
+    assert "ReusedExchange" in plan
+
+
+def test_declared_tfidf_query_single_pass(spark):
+    """The declared text_token_stats query keeps the single-pass plan
+    even under its outer lang join (the isnotnull pre-filter guard)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["text_token_stats"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("Generate explode") == 1
+    assert "ReusedExchange" in plan
+
+
 def test_wide_and_narrow_agree(spark, wide_emb):
     """Partitioning must never change results: top-k over the wide
     corpus equals top-k over the narrow single-file corpus."""
