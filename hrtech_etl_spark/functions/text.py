@@ -124,22 +124,21 @@ def repetition_signals(
       count-times-length products is deterministic under ties, unlike
       "pick the most frequent gram"; it upper-bounds every tie choice).
 
-    Plan: one explode of NON-distinct n-grams → count per (doc, gram)
-    → max per doc — two shuffles keyed on the doc id, no all-pairs
-    anything; rejoining the per-doc scalar is a same-key join. Docs
-    shorter than ``ngram`` tokens get 0.0.
+    Plan: ONE corpus scan. The doc-level scalars (dup-line fraction,
+    text length) ride the ``explode_outer`` of NON-distinct n-grams as
+    grouping keys — functionally dependent on the id, so they add no
+    groups — through two map-side-combined shuffles keyed on the doc
+    id: (doc, gram) counts, then the per-doc max. ``explode_outer``
+    (not ``explode``) keeps gram-less docs (shorter than ``ngram``
+    tokens, scoring 0.0) in the SAME pass — a plain explode drops them
+    and recovering them costs a second corpus scan + join.
 
     Filter usage: drop docs with ``dup_line_frac > 0.3`` or
     ``top_ngram_char_frac > 0.2`` (the published thresholds for 2-grams).
     """
     from pyspark.sql import functions as F  # noqa: F811 — local alias
 
-    base = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__text"),
-        duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
-    )
-    t = tokens(F.col("__text"))
+    t = tokens(F.col(text_col))
     gram = t
     for j in range(1, ngram):
         size_expr = F.greatest(F.size(t) - j, F.lit(0))
@@ -148,27 +147,33 @@ def repetition_signals(
             F.slice(t, j + 1, size_expr),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    grams = base.select(
-        F.col(id_col), F.explode(gram).alias("gram")
-    )  # NON-distinct: frequency is the signal
-    top = (
-        grams.groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col)
-        .agg(F.max(F.col("cnt") * F.length("gram")).alias("__top_chars"))
+    gram = F.when(F.size(t) >= ngram, gram).otherwise(
+        F.array().cast("array<string>")
     )
-    return (
-        base.join(top, id_col, "left")
-        .select(
-            id_col,
-            "dup_line_frac",
+    exploded = df.select(
+        F.col(id_col),
+        duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
+        F.length(text_col).alias("__chars"),
+        F.explode_outer(gram).alias("gram"),  # NON-distinct: frequency IS the signal
+    )
+    counts = exploded.groupBy(id_col, "dup_line_frac", "__chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy(id_col, "dup_line_frac", "__chars").agg(
+        F.max(
             F.when(
-                (F.length("__text") > 0) & F.col("__top_chars").isNotNull(),
-                F.round(F.col("__top_chars") / F.length("__text"), 4),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("top_ngram_char_frac"),
+                F.col("gram").isNotNull(), F.col("cnt") * F.length("gram")
+            ).otherwise(F.lit(0))
+        ).alias("__top_chars")
+    ).select(
+        id_col,
+        "dup_line_frac",
+        F.when(
+            F.col("__chars") > 0,
+            F.round(F.col("__top_chars") / F.col("__chars"), 4),
         )
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_char_frac"),
     )
 
 

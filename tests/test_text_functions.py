@@ -85,8 +85,21 @@ def test_repetition_signals(spark):
     assert got[1][1] == round(3 * len("buy now") / len(rows[0][1]), 4)
     assert got[2][1] < got[1][1]
     assert got[3] == (0.0, 0.0)
-    # rows are preserved 1:1 (left join, no drops)
+    # rows are preserved 1:1 (explode_outer keeps gram-less docs)
     assert set(got) == {1, 2, 3}
+
+
+def test_repetition_signals_single_scan(spark, tmp_path):
+    """The operator must read the corpus ONCE: doc-level scalars ride
+    the explode as grouping keys instead of a second scan + join."""
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"text number {i} repeated text") for i in range(50)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    out = tx.repetition_signals(spark.read.parquet(p), "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_redact_pii_and_counts(spark):
