@@ -51,6 +51,7 @@ DEFAULT = [
     "agg_multidim_grouping",
     "window_frame_suite",
     "setop_suite",
+    "text_token_stats",
 ]
 
 
