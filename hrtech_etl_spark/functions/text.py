@@ -177,6 +177,42 @@ def repetition_signals(
     )
 
 
+def ngram_counts(
+    df,
+    text_col: str,
+    *,
+    n: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide word n-gram counts above ``min_count`` — the
+    count-based LM / boilerplate-analysis primitive (which phrases
+    dominate the corpus; which n-grams to treat as stop shingles).
+
+    One explode of NON-distinct n-grams → one map-side-combined
+    shuffle on the gram → count filter. The ``HAVING count >= k``
+    filter runs after the final aggregation (it cannot be pushed — a
+    gram's total is unknown until merged), but the partial aggregation
+    bounds what shuffles to ~one row per gram per map partition.
+    Output: (gram, count), descending by count is the caller's sort.
+    """
+    t = tokens(F.col(text_col))
+    gram = t
+    for j in range(1, n):
+        size_expr = F.greatest(F.size(t) - j, F.lit(0))
+        gram = F.zip_with(
+            F.slice(gram, 1, size_expr),
+            F.slice(t, j + 1, size_expr),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    gram = F.when(F.size(t) >= n, gram).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(gram).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+
+
 #: PII patterns (Java regex, applied in this order — SSN before phone
 #: so the phone pattern cannot eat an SSN; email before IP so a
 #: user@host.1.2.3.4 style address redacts as one email).

@@ -57,6 +57,50 @@ def stratified_sample_exact(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    counts: dict,
+    *,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Draw a training MIXTURE: exactly ``counts[stratum]`` rows per
+    stratum (e.g. ``{"en": 500_000, "fr": 300_000}``), deterministically
+    — the data-mixing step that turns a filtered corpus into a recipe-
+    proportioned training set. Strata absent from ``counts`` are
+    dropped; a stratum smaller than its requested count contributes
+    all its rows (callers wanting hard guarantees should check counts
+    beforehand — silently over-sampling other strata would corrupt the
+    recipe, so no redistribution happens here).
+
+    Same machinery and determinism contract as
+    :func:`stratified_sample_exact` (portable seeded-hash ranking,
+    one shuffle, WindowGroupLimit pruning with the max requested
+    count); the same seed yields nested samples — raising a stratum's
+    count keeps every previously-drawn row of that stratum.
+    """
+    if not counts:
+        raise ValueError("mixture_sample: counts must be non-empty")
+    from pyspark.sql import Window as W
+
+    rank_key = portable_hash(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    limit_expr = F.lit(0)
+    for stratum, n in counts.items():
+        limit_expr = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(n))
+        ).otherwise(limit_expr)
+    w = W.partitionBy(strata_col).orderBy(rank_key.asc(), F.col(id_col))
+    return (
+        df.where(F.col(strata_col).isin(list(counts.keys())))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= limit_expr)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

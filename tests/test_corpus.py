@@ -42,6 +42,51 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert stratified_sample_exact(tiny, ["lang"], 20, id_col="doc_id").count() == 2
 
 
+def test_mixture_sample(spark):
+    from hrtech_etl_spark.operators.corpus import mixture_sample
+
+    rows = [(i, ["en", "fr", "de", "zh"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = mixture_sample(
+        df, "lang", {"en": 50, "fr": 30, "de": 5}, id_col="doc_id", seed=9
+    )
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # exact recipe; zh (absent from counts) contributes nothing
+    assert counts == {"en": 50, "fr": 30, "de": 5}
+    # nested-sample property: raising a stratum's count keeps every
+    # previously drawn row (same seed => same ranking)
+    en_small = {r["doc_id"] for r in mixture_sample(df, "lang", {"en": 20}, id_col="doc_id", seed=9).collect()}
+    en_big = {
+        r["doc_id"]
+        for r in got.where(F.col("lang") == "en").collect()
+    }
+    assert en_small <= en_big
+    # undersized stratum: contributes all its rows, no redistribution
+    tiny = mixture_sample(df, "lang", {"en": 100, "fr": 10_000}, id_col="doc_id", seed=9)
+    c2 = {r["lang"]: r["n"] for r in tiny.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert c2 == {"en": 100, "fr": 100}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, "lang", {}, id_col="doc_id")
+
+
+def test_ngram_counts(spark):
+    from hrtech_etl_spark.functions.text import ngram_counts
+
+    rows = [
+        (1, "to be or not to be"),
+        (2, "to be is to do"),
+        (3, "x"),  # shorter than n -> contributes nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["gram"]: r["count"] for r in ngram_counts(df, "text", n=2, min_count=2).collect()}
+    # "to be" appears 3x (twice in doc1, once in doc2); everything else < 2
+    assert got == {"to be": 3}
+    all_grams = {r["gram"]: r["count"] for r in ngram_counts(df, "text", n=2, min_count=1).collect()}
+    assert all_grams["be or"] == 1 and all_grams["not to"] == 1
+
+
 def test_pack_sequences_respects_capacity(spark):
     rows = [(i, 100 + (i * 37) % 900) for i in range(500)]  # lengths 100..999
     df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
