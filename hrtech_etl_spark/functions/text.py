@@ -214,8 +214,10 @@ def ngram_counts(
 
 
 #: PII patterns (Java regex, applied in this order — SSN before phone
-#: so the phone pattern cannot eat an SSN; email before IP so a
-#: user@host.1.2.3.4 style address redacts as one email).
+#: so the phone pattern cannot eat an SSN; email before IP so an
+#: address with a dotted-quad-looking domain (x@1.2.3.4.example.com)
+#: redacts as ONE email instead of the IP pattern punching a hole in
+#: the middle and leaving the "x@" local part behind).
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),

@@ -118,6 +118,13 @@ def test_redact_pii_and_counts(spark):
     assert "[IP]" in red and "192.168.1.250" not in red
     assert "[PHONE]" in red and "555-0123" not in red
     assert out["c"].asDict() == {"ssn": 1, "email": 1, "ipv4": 1, "phone": 1}
+    # pattern ORDER: an email with a dotted-quad-looking domain must
+    # redact as one email — IP-first would leave "x@" + "[IP]" shrapnel
+    tricky = spark.createDataFrame(
+        [(9, "mail x@1.2.3.4.example.com ok")], ["doc_id", "text"]
+    )
+    red9 = tricky.select(tx.redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
+    assert red9 == "mail [EMAIL] ok"
     # clean text passes through untouched, zero counts
     clean = spark.createDataFrame([(2, "no pii in this text at all")], ["doc_id", "text"])
     row = clean.select(
