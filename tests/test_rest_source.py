@@ -343,6 +343,32 @@ def test_oauth1_per_request_signing(backend, spark):
     assert len(sigs) >= 3 and all(s and s.startswith("OAuth ") for s in sigs)
 
 
+def test_oauth1_sign_url_query_and_list_params():
+    """RFC 5849 parameter normalization edges: query params embedded
+    in the URL join the signature base; list values expand to repeated
+    keys; default ports drop from the base URL; the signature is
+    invariant to where a parameter travels (URL vs params dict)."""
+    from hrtech_etl_spark.sources.auth import OAuth1Auth
+
+    auth = OAuth1Auth(
+        **OAUTH1_CREDS,
+        timestamp_nonce=lambda: ("1500000000", "fixednonce"),
+    )
+    # same request expressed two ways -> identical signature
+    a = auth.sign("GET", "https://api.example.com:443/r?b=2&a=1", {"c": "3"})
+    b = auth.sign("GET", "https://API.example.com/r", {"b": "2", "a": "1", "c": "3"})
+    assert a == b
+    # list values expand like urlencode(doseq): order-insensitive
+    # after sorting, so ["x","y"] == two separate pairs
+    c = auth.sign("GET", "https://api.example.com/r", {"k": ["y", "x"], "z": "1"})
+    d = auth.sign("GET", "https://api.example.com/r?k=x&k=y", {"z": "1"})
+    assert c == d
+    # non-default port stays in the base URL -> different signature
+    e = auth.sign("GET", "https://api.example.com:8443/r", {"a": "1"})
+    f = auth.sign("GET", "https://api.example.com/r", {"a": "1"})
+    assert e != f
+
+
 def test_oauth1_retry_resigns_fresh_nonce(backend, spark):
     """Retries must NOT replay the previous attempt's OAuth1 header:
     nonce-enforcing servers would 401 the replay. Each attempt at the

@@ -53,6 +53,45 @@ def test_tf_idf_carry_cols_and_join_modes(spark, corpus):
     assert av == bv
 
 
+def test_tf_idf_property_random_corpora(spark):
+    """Randomized cross-check against an independent pure-Python
+    TF-IDF on small random corpora (seeded, 8 trials): every (doc,
+    term) row must match tf and round(tf * ln(N/df), 4) exactly, and
+    no rows may appear beyond the expected set."""
+    import math
+    import random
+    import re
+
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rng = random.Random(123)
+    for trial in range(8):
+        n_docs = rng.randint(1, 12)
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 15))))
+            for i in range(n_docs)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["doc_id"], r["term"]): (r["tf"], r["tf_idf"])
+            for r in tx.tf_idf(df, "text", "doc_id").collect()
+        }
+        # independent reference computation
+        tfs: dict = {}
+        dfreq: dict = {}
+        for i, text in rows:
+            toks = ascii_ws.split(text.lower().strip(" "))
+            for t in set(toks):
+                dfreq[t] = dfreq.get(t, 0) + 1
+            for t in toks:
+                tfs[(i, t)] = tfs.get((i, t), 0) + 1
+        want = {
+            (i, t): (c, round(c * math.log(n_docs / dfreq[t]), 4))
+            for (i, t), c in tfs.items()
+        }
+        assert got == want, f"trial {trial} mismatch"
+
+
 def test_duplicate_line_fraction(spark):
     rows = [
         (1, "a\nb\nc\nd"),          # all distinct -> 0
@@ -163,3 +202,10 @@ def test_remove_contaminated(spark):
 
     with _pytest.raises(ValueError, match="min_overlap"):
         remove_contaminated(train, test, "text", "doc_id", min_overlap=0)
+
+    # the test corpus may name its text column differently
+    test_renamed = test.withColumnRenamed("text", "question")
+    kept2 = remove_contaminated(
+        train, test_renamed, "text", "doc_id", shingle_k=5, test_text_col="question"
+    )
+    assert {r["doc_id"] for r in kept2.collect()} == {1, 3, 4}
