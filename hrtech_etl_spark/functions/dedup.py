@@ -65,29 +65,23 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 def word_shingles(col: Column, k: int = 2) -> Column:
-    """Distinct word k-grams of lowercased text (the MinHash item set).
+    """Distinct word k-grams of lowercased text (the MinHash item set)
+    — ``array_distinct`` over the shared non-distinct construction
+    (:func:`hrtech_etl_spark.functions.text.word_ngrams`, the
+    zip_with-over-shifted-slices shape; see its docstring for why
+    element_at-in-transform is O(tokens²)). Texts shorter than k
+    tokens get no shingles.
 
-    Built with zip_with over shifted slices — NOT element_at inside a
-    transform lambda: an expression like ``element_at(split(..), i)``
-    re-tokenizes the document for every index, turning shingling into
-    O(tokens²) per doc (observed as the dominant cost of the whole LSH
-    pipeline). slice/zip_with evaluate the token array a constant
-    number of times.
+    ``k=1`` keeps its historical semantics (distinct raw tokens,
+    INCLUDING the empty token an empty text produces) — the oracle SQL
+    renderings mirror exactly this, so it must not silently change.
     """
+    from hrtech_etl_spark.functions.text import word_ngrams
+
     t = tokens(col)
     if k == 1:
         return F.array_distinct(t)
-    gram = t
-    for j in range(1, k):
-        gram = F.zip_with(
-            F.slice(gram, 1, F.greatest(F.size(t) - j, F.lit(0))),
-            F.slice(t, j + 1, F.greatest(F.size(t) - j, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    # guard: texts shorter than k tokens get no shingles
-    return F.when(F.size(t) >= k, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(word_ngrams(col, k))
 
 
 def minhash_signature(

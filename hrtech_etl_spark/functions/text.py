@@ -21,6 +21,38 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """NON-distinct word ``n``-gram array of lowercased text — THE one
+    n-gram construction (repetition signals, corpus n-gram counts, and
+    — distinct'd — the dedup shingles all build on it, so the
+    zip_with-over-shifted-slices shape and its edge cases live in one
+    place).
+
+    Built with zip_with over shifted slices — NOT element_at inside a
+    transform lambda, which re-tokenizes the document per index and
+    turns the construction O(tokens²). Docs shorter than ``n`` tokens
+    yield an empty array. For ``n == 1`` the empty token that
+    ``split(trim(''))`` produces on empty/whitespace-only text is
+    dropped — a bogus "" unigram would otherwise count once per empty
+    document. (:func:`hrtech_etl_spark.functions.dedup.word_shingles`
+    keeps its historical k=1 behavior for oracle parity.)
+    """
+    t = tokens(col)
+    if n == 1:
+        return F.filter(t, lambda x: x != "")
+    gram = t
+    for j in range(1, n):
+        size_expr = F.greatest(F.size(t) - j, F.lit(0))
+        gram = F.zip_with(
+            F.slice(gram, 1, size_expr),
+            F.slice(t, j + 1, size_expr),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(t) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -138,18 +170,7 @@ def repetition_signals(
     """
     from pyspark.sql import functions as F  # noqa: F811 — local alias
 
-    t = tokens(F.col(text_col))
-    gram = t
-    for j in range(1, ngram):
-        size_expr = F.greatest(F.size(t) - j, F.lit(0))
-        gram = F.zip_with(
-            F.slice(gram, 1, size_expr),
-            F.slice(t, j + 1, size_expr),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    gram = F.when(F.size(t) >= ngram, gram).otherwise(
-        F.array().cast("array<string>")
-    )
+    gram = word_ngrams(F.col(text_col), ngram)
     exploded = df.select(
         F.col(id_col),
         duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
@@ -188,25 +209,16 @@ def ngram_counts(
     count-based LM / boilerplate-analysis primitive (which phrases
     dominate the corpus; which n-grams to treat as stop shingles).
 
-    One explode of NON-distinct n-grams → one map-side-combined
-    shuffle on the gram → count filter. The ``HAVING count >= k``
-    filter runs after the final aggregation (it cannot be pushed — a
-    gram's total is unknown until merged), but the partial aggregation
-    bounds what shuffles to ~one row per gram per map partition.
-    Output: (gram, count), descending by count is the caller's sort.
+    One explode of NON-distinct n-grams (:func:`word_ngrams`) → one
+    map-side-combined shuffle on the gram → count filter. The
+    ``HAVING count >= k`` filter runs after the final aggregation (it
+    cannot be pushed — a gram's total is unknown until merged), but
+    the partial aggregation bounds what shuffles to ~one row per gram
+    per map partition. Output: (gram, count), descending by count is
+    the caller's sort.
     """
-    t = tokens(F.col(text_col))
-    gram = t
-    for j in range(1, n):
-        size_expr = F.greatest(F.size(t) - j, F.lit(0))
-        gram = F.zip_with(
-            F.slice(gram, 1, size_expr),
-            F.slice(t, j + 1, size_expr),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    gram = F.when(F.size(t) >= n, gram).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(gram).alias("gram"))
+        df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") >= min_count)
@@ -272,23 +284,22 @@ def tf_idf(
     corpus document count and ``df_t`` the number of documents
     containing the term, ``tf_idf = round(tf · idf, 4)``.
 
-    Plan shape (scale path): ONE explode pass → map-side-combined
-    shuffle on ``(id, term)`` for tf → the tf table is materialized
-    behind a term-keyed barrier that BOTH consumers (the idf build
-    via the document-frequency aggregation, and the probe side of the
-    final join) read back as a ReusedExchange — without the barrier
-    Catalyst inlines the tf subtree into each consumer and the corpus
-    is tokenized and shuffled TWICE (observed, plan-tested). The
-    doc-frequency aggregation adds no further shuffle: the barrier's
-    hash partitioning on ``term`` already satisfies its distribution.
-    The corpus document count rides the plan as a broadcast 1-row
-    aggregate (no separate driver action). With ``broadcast_idf=True``
-    (default) the vocabulary-sized idf table broadcasts — right while
-    the vocabulary fits executor memory (natural-language vocabularies
-    are tiny next to the corpus); set False for web-scale vocabularies
-    (URLs, hashes blowing up the term space) to use a shuffle join on
-    ``term``, which the barrier partitioning again makes exchange-free
-    on the tf side.
+    Plan shape (scale path, plan-tested): ONE explode pass → ONE
+    map-side-combined shuffle on ``(id, term)`` producing tf, whose
+    exchange BOTH consumers — the probe side of the final join and
+    the idf build — read back as a ReusedExchange; the idf build then
+    adds one more (tiny, partial-aggregated) shuffle of per-partition
+    term counts. Without care Catalyst inlines the tf subtree into
+    each consumer and the corpus is tokenized and shuffled TWICE —
+    the ``count_if`` guard below is what keeps the two consumer
+    copies canonically identical. The corpus document count rides the
+    plan as a broadcast 1-row aggregate (no separate driver action).
+    With ``broadcast_idf=True`` (default) the vocabulary-sized idf
+    table broadcasts — right while the vocabulary fits executor
+    memory (natural-language vocabularies are tiny next to the
+    corpus); set False for web-scale vocabularies (URLs, hashes
+    blowing up the term space) to use a shuffle join on ``term``
+    instead.
 
     ``carry_cols`` are document-LEVEL attributes (functionally
     dependent on ``id_col``, e.g. a language label) carried through to

@@ -19,6 +19,26 @@ from pyspark.sql import functions as F
 from hrtech_etl_spark.functions.hashing import portable_hash
 
 
+def _stratum_rank(
+    df: DataFrame, strata_cols: Sequence[str], id_col: str, seed: int
+) -> DataFrame:
+    """``__rn`` = deterministic rank of each row inside its stratum,
+    ordered by a portable seeded hash of the id (stable under ANY
+    partitioning, replicable in SQL engines; ties broken on the id).
+    THE shared machinery of both samplers — their determinism and
+    nested-sample contracts depend on this expression staying
+    byte-identical between them."""
+    from pyspark.sql import Window as W
+
+    rank_key = portable_hash(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        rank_key.asc(), F.col(id_col)
+    )
+    return df.withColumn("__rn", F.row_number().over(w))
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: Sequence[str],
@@ -42,16 +62,8 @@ def stratified_sample_exact(
     Hot strata at 100 TB: the group-limit partial pass bounds what
     reaches the final per-stratum task by k per upstream partition.
     """
-    rank_key = portable_hash(
-        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
-        rank_key.asc(), F.col(id_col)
-    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        _stratum_rank(df, strata_cols, id_col, seed)
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
@@ -75,28 +87,35 @@ def mixture_sample(
     recipe, so no redistribution happens here).
 
     Same machinery and determinism contract as
-    :func:`stratified_sample_exact` (portable seeded-hash ranking,
-    one shuffle, WindowGroupLimit pruning with the max requested
-    count); the same seed yields nested samples — raising a stratum's
-    count keeps every previously-drawn row of that stratum.
+    :func:`stratified_sample_exact` (the shared :func:`_stratum_rank`
+    seeded-hash ranking, one shuffle); the same seed yields nested
+    samples — raising a stratum's count keeps every previously-drawn
+    row of that stratum.
+
+    WindowGroupLimit note: Spark's InferWindowGroupLimit only extracts
+    INTEGER-LITERAL rank limits — a bare ``__rn <= CASE stratum ...``
+    filter would fully sort every retained stratum through the window.
+    The redundant literal conjunct ``__rn <= max(counts)`` (implied by
+    the per-stratum filter) restores the partial top-k pruning, so at
+    most max(counts) rows per stratum per upstream partition reach the
+    final window task (plan-tested).
     """
     if not counts:
         raise ValueError("mixture_sample: counts must be non-empty")
-    from pyspark.sql import Window as W
-
-    rank_key = portable_hash(
-        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
-    )
     limit_expr = F.lit(0)
     for stratum, n in counts.items():
         limit_expr = F.when(
             F.col(strata_col) == F.lit(stratum), F.lit(int(n))
         ).otherwise(limit_expr)
-    w = W.partitionBy(strata_col).orderBy(rank_key.asc(), F.col(id_col))
+    max_n = max(int(n) for n in counts.values())
     return (
-        df.where(F.col(strata_col).isin(list(counts.keys())))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= limit_expr)
+        _stratum_rank(
+            df.where(F.col(strata_col).isin(list(counts.keys()))),
+            [strata_col],
+            id_col,
+            seed,
+        )
+        .where((F.col("__rn") <= F.lit(max_n)) & (F.col("__rn") <= limit_expr))
         .drop("__rn")
     )
 

@@ -87,6 +87,35 @@ def test_ngram_counts(spark):
     assert all_grams["be or"] == 1 and all_grams["not to"] == 1
 
 
+def test_ngram_counts_unigrams_skip_empty_docs(spark):
+    """n=1 over empty/whitespace-only docs must NOT report a bogus ''
+    unigram (split of trimmed empty text yields ['']); real tokens
+    still count."""
+    from hrtech_etl_spark.functions.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word word"), (4, "\t\n")],
+        ["doc_id", "text"],
+    )
+    got = {r["gram"]: r["count"] for r in ngram_counts(df, "text", n=1, min_count=1).collect()}
+    assert got == {"word": 2}
+
+
+def test_mixture_sample_uses_window_group_limit(spark):
+    """The redundant literal max(counts) conjunct is load-bearing:
+    InferWindowGroupLimit only fires on integer-literal limits, and
+    without it every retained stratum gets fully sorted through the
+    window at corpus scale."""
+    from hrtech_etl_spark.operators.corpus import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2]) for i in range(100)], ["doc_id", "lang"]
+    )
+    out = mixture_sample(df, "lang", {"en": 5, "fr": 3}, id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_pack_sequences_respects_capacity(spark):
     rows = [(i, 100 + (i * 37) % 900) for i in range(500)]  # lengths 100..999
     df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
