@@ -120,6 +120,59 @@ def mixture_sample(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_chars: int = 2000,
+    overlap: int = 200,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the standard long-document treatment before embedding or packing
+    (:func:`pack_sequences` flags oversize docs; this is what you do
+    with them). Pure JVM expressions: chunk offsets are a
+    ``sequence(0, …, step)`` array posexploded per document, each
+    chunk a ``substring`` — no UDF, no shuffle at all (the explode is
+    a per-row Generate; downstream ops shuffle as they need).
+
+    Offsets step by ``max_chars - overlap``; a final offset is only
+    emitted while more than ``overlap`` characters remain, so no chunk
+    is a pure suffix of its predecessor. Every document yields ≥ 1
+    chunk (an empty text yields one empty chunk — dropping rows here
+    would silently shrink the corpus). Reconstruction invariant
+    (tested): concatenating each chunk minus its leading ``overlap``
+    characters (chunk 0 kept whole) rebuilds the document exactly.
+
+    Output: (id, chunk_idx, chunk_text).
+    """
+    if max_chars <= 0:
+        raise ValueError(f"max_chars must be positive, got {max_chars}")
+    if not 0 <= overlap < max_chars:
+        raise ValueError(
+            f"overlap must be in [0, max_chars), got {overlap} for "
+            f"max_chars={max_chars}"
+        )
+    step = max_chars - overlap
+    length = F.length(F.col(text_col))
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(length - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(offsets).alias("chunk_idx", "__off"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.substring(F.col(text_col), F.col("__off") + 1, max_chars).alias(
+            "chunk_text"
+        ),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -204,6 +204,52 @@ def test_pack_sequences_property(spark):
                 df.sparkSession.sparkContext.defaultParallelism
 
 
+def test_chunk_documents_reconstruction_property(spark):
+    """Randomized: chunks rebuild the document exactly (chunk 0 whole,
+    later chunks minus their leading overlap), every chunk fits
+    max_chars, no chunk is a pure suffix of its predecessor, and
+    empty docs keep one (empty) chunk."""
+    import random
+
+    from hrtech_etl_spark.operators.corpus import chunk_documents
+
+    rng = random.Random(31)
+    alphabet = "abcdef "
+    rows = [(i, "".join(rng.choices(alphabet, k=rng.randint(0, 700)))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, "text", "doc_id", max_chars=100, overlap=20)
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    texts = dict(rows)
+    assert set(by_doc) == set(texts)  # every doc chunked, none dropped
+    for doc_id, chunks in by_doc.items():
+        chunks.sort()
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        assert all(len(c) <= 100 for _, c in chunks)
+        rebuilt = chunks[0][1] + "".join(c[20:] for _, c in chunks[1:])
+        assert rebuilt == texts[doc_id], doc_id
+        # overlap really overlaps: chunk i+1 starts with chunk i's tail
+        for (_, a), (_, b) in zip(chunks, chunks[1:]):
+            assert a.endswith(b[:20])
+
+
+def test_chunk_documents_validation(spark):
+    from hrtech_etl_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_chars"):
+        chunk_documents(df, "text", "doc_id", max_chars=0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", max_chars=100, overlap=100)
+    # boundary: len == max_chars -> exactly one chunk
+    one = spark.createDataFrame([(1, "x" * 100)], ["doc_id", "text"])
+    got = chunk_documents(one, "text", "doc_id", max_chars=100, overlap=20).collect()
+    assert len(got) == 1 and got[0]["chunk_text"] == "x" * 100
+
+
 def test_cosine_topk_batch_matches_single_query(spark):
     from hrtech_etl_spark.functions.similarity import cosine_topk, cosine_topk_batch
 
