@@ -233,25 +233,48 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+_BIGRAMS_NODISTINCT = (
+    f"(CASE WHEN len({TOKENS_SQL.format(t='text')}) >= 2 THEN "
+    f"list_transform(range(1, len({TOKENS_SQL.format(t='text')})), "
+    f"i -> {TOKENS_SQL.format(t='text')}[i] || ' ' || {TOKENS_SQL.format(t='text')}[i+1]) "
+    f"ELSE [] END)"
+)
+
 @query(
     "text_fingerprint",
     sql=f"""
+    WITH bg AS (
+      SELECT gram, count(*) AS n FROM (
+        SELECT unnest({_BIGRAMS_NODISTINCT}) AS gram FROM documents
+      ) GROUP BY gram
+    )
     SELECT count(*) AS n_docs,
            count(DISTINCT {FINGERPRINT_SQL.format(expr='text')}) AS n_unique,
-           min({FINGERPRINT_SQL.format(expr='text')}) AS first_fp
+           min({FINGERPRINT_SQL.format(expr='text')}) AS first_fp,
+           (SELECT max(n) FROM bg) AS top_bigram_n,
+           (SELECT count(*) FROM bg WHERE n >= 2) AS n_repeated_bigrams
     FROM documents
     """,
 )
 def text_fingerprint(spark, sf_dir):
     """Canonical-form document fingerprinting (md5 over normalized
-    text)."""
+    text) + corpus bigram-frequency stats through the REAL
+    :func:`hrtech_etl_spark.functions.text.ngram_counts` operator
+    (NON-distinct n-grams — frequency, not presence — one explode, one
+    map-side-combined shuffle), putting the n-gram counting path under
+    the oracle gate."""
     d = spread(load_table(spark, "documents", sf_dir))
     fp = fingerprint(F.col("text"))
+    bigrams = tx.ngram_counts(d, "text", n=2, min_count=1)
+    bg_stats = bigrams.agg(
+        F.max("count").alias("top_bigram_n"),
+        F.count_if(F.col("count") >= 2).alias("n_repeated_bigrams"),
+    )
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(fp).alias("n_unique"),
         F.min(fp).alias("first_fp"),
-    )
+    ).crossJoin(F.broadcast(bg_stats))
 
 
 # ---------------------------------------------------------------------------
