@@ -61,6 +61,18 @@ _DNULL = "CAST(NULL AS DOUBLE)"
              CAST(len(list_distinct(str_split(trim(text), ' '))) AS INT) AS n_distinct_tokens
       FROM documents
     ) GROUP BY n_tokens
+    UNION ALL
+    SELECT 'chunk' AS family, CAST(off // 100 AS VARCHAR) AS grp, count(*) AS n,
+           CAST(min(length(chunk_text)) AS DOUBLE) AS v1,
+           CAST(max(length(chunk_text)) AS DOUBLE) AS v2,
+           CAST(sum(length(chunk_text)) AS DOUBLE) AS v3,
+           min(chunk_text) AS s1
+    FROM (
+      SELECT off, substr(text, CAST(off AS INT) + 1, 120) AS chunk_text FROM (
+        SELECT unnest(range(0, greatest(length(text) - 21, 0) + 1, 100)) AS off, text
+        FROM documents
+      )
+    ) GROUP BY 2
     """,
 )
 def scalar_string_json_array(spark, sf_dir):
@@ -68,9 +80,12 @@ def scalar_string_json_array(spark, sf_dir):
     codegen'd), JSON family (get_json_object extraction + schema
     introspection of the open payload map, the reference's
     payload: Dict[str,Any] carried as a JSON string column, SURVEY.md
-    §1.2), and array family (split/size/array_contains/array_distinct
+    §1.2), array family (split/size/array_contains/array_distinct
     over the documents corpus; single-space tokenization matches the
-    oracle's str_split exactly)."""
+    oracle's str_split exactly), and chunk family (the real
+    ``operators.corpus.chunk_documents`` overlapping-window operator,
+    per-chunk-index length/count/text aggregates — its offset
+    stopping rule and substring windows value-verified in DuckDB)."""
     # -- string branch (part) --
     p = load_table(spark, "part", sf_dir)
     derived = p.where(F.substring("p_name", 1, 1).between("a", "z")).select(
@@ -120,7 +135,23 @@ def scalar_string_json_array(spark, sf_dir):
         F.lit("array").alias("family"), "grp", "n", "v1", "v2", "v3",
         F.lit(None).cast("string").alias("s1"),
     )
-    return string_b.unionByName(json_b).unionByName(array_b)
+    # -- chunk branch (documents through the REAL chunk_documents
+    # operator: posexplode(sequence)+substring windows, max 120 chars
+    # with 20 overlap -> offsets step 100, so chunk_idx == off // 100
+    # in the oracle) --
+    from hrtech_etl_spark.operators.corpus import chunk_documents
+
+    chunks = chunk_documents(d, "text", "doc_id", max_chars=120, overlap=20)
+    chunk_b = chunks.groupBy(
+        F.col("chunk_idx").cast("string").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.length("chunk_text")).cast("double").alias("v1"),
+        F.max(F.length("chunk_text")).cast("double").alias("v2"),
+        F.sum(F.length("chunk_text")).cast("double").alias("v3"),
+        F.min("chunk_text").alias("s1"),
+    ).select(F.lit("chunk").alias("family"), "grp", "n", "v1", "v2", "v3", "s1")
+    return string_b.unionByName(json_b).unionByName(array_b).unionByName(chunk_b)
 
 
 @query(
