@@ -672,25 +672,50 @@ def window_frame_suite(spark, sf_dir):
 @query(
     "sort_topk_global",
     sql="""
-    SELECT o_orderkey AS orderkey, CAST(o_totalprice AS DOUBLE) AS price, o_orderdate AS order_date
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 100
+    SELECT 'topk' AS family, o_orderkey AS orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price, o_orderdate AS order_date
+    FROM (
+      SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    )
+    UNION ALL
+    SELECT 'sample' AS family, o_orderkey AS orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price, o_orderdate AS order_date
+    FROM (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY (('0x' || substr(md5('0:' || ('42:' || CAST(o_orderkey AS VARCHAR))), 1, 8))::BIGINT),
+                        o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 20
     """,
 )
 def sort_topk_global(spark, sf_dir):
-    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
-    per-partition heaps + driver merge, never a full sort."""
+    """Global top-k (orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge, never a full sort) UNION a
+    deterministic exact stratified sample through the REAL
+    ``operators.corpus.stratified_sample_exact`` (portable seeded-hash
+    ranking, 20 rows per order status) — the sampler's ranking and
+    exactness are value-verified against the identical md5 ranking in
+    DuckDB."""
+    from hrtech_etl_spark.operators.corpus import stratified_sample_exact
+
     o = load_table(spark, "orders", sf_dir)
-    return (
+    cols = [
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderdate").alias("order_date"),
+    ]
+    topk = (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
-        .select(
-            F.col("o_orderkey").alias("orderkey"),
-            F.col("o_totalprice").cast("double").alias("price"),
-            F.col("o_orderdate").alias("order_date"),
-        )
+        .select(F.lit("topk").alias("family"), *cols)
     )
+    sample = stratified_sample_exact(
+        o, ["o_orderstatus"], 20, id_col="o_orderkey", seed=42
+    ).select(F.lit("sample").alias("family"), *cols)
+    return topk.unionByName(sample)
 
 
 @query(
