@@ -1,0 +1,94 @@
+"""Single-pass table profiling: per-column stats for data-quality
+monitoring of ingest batches.
+
+The reference exposes no profiling surface; large-scale pipelines need
+one (row counts, null rates, cardinality and value ranges are the
+standard pre-training-corpus health checks). Spark-first shape: ALL
+columns' aggregates ride ONE ``df.agg(...)`` pass — a single scan, a
+single partial/final HashAggregate pair — and the wide 1-row result is
+unpivoted driver-side-free with ``stack`` into the long
+``(col_name, stat...)`` form.
+
+Scale note: ``exact=True`` computes exact distinct counts per column.
+Spark plans k simultaneous COUNT(DISTINCT) via an Expand node that
+replicates every input row k times before the partial aggregate — a
+k× map-side blowup that is fine at audit scale but is the wrong
+default for a 100 TB scan, so ``exact=False`` (the default) uses
+``approx_count_distinct`` (HLL++, one pass, no Expand, mergeable
+sketches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of :func:`profile_table` (stack() emits this order).
+PROFILE_COLUMNS = (
+    "col_name",
+    "n_nonnull",
+    "n_null",
+    "n_distinct",
+    "min_val",
+    "max_val",
+)
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, *, exact: bool = False
+) -> DataFrame:
+    """One row of profile stats per requested column, in ONE scan.
+
+    ``min_val`` / ``max_val`` are computed on the native type (so
+    numeric columns order numerically, not lexically) and cast to
+    string afterwards, giving the long output a uniform schema across
+    heterogeneous column types.
+    """
+    cols = cols or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    distinct_of: Column | None = None  # silence linters; rebuilt per col
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        distinct_of = (
+            F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"__cnt_{c}"),
+            distinct_of.alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+
+    # Unpivot the 1-row wide result with stack(): stays a projection
+    # over the aggregate, no second action, no driver round-trip.
+    groups = ", ".join(
+        f"'{c}', __cnt_{c}, __total - __cnt_{c}, __nd_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    stacked = wide.select(
+        F.expr(
+            f"stack({len(cols)}, {groups}) AS "
+            f"({', '.join(PROFILE_COLUMNS)})"
+        )
+    )
+    return stacked
+
+
+def profile_sql(table: str, cols: list[str]) -> str:
+    """DuckDB oracle rendering of :func:`profile_table(exact=True)` —
+    one UNION ALL branch per column over the same single logical
+    aggregation (DuckDB shares the scan across branches)."""
+    branches = []
+    for c in cols:
+        branches.append(
+            f"SELECT '{c}' AS col_name, count({c}) AS n_nonnull, "
+            f"count(*) - count({c}) AS n_null, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_val, "
+            f"CAST(max({c}) AS VARCHAR) AS max_val FROM {table}"
+        )
+    return " UNION ALL ".join(branches)
