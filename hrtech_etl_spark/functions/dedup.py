@@ -660,6 +660,147 @@ def drop_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a precomputed corpus index
+# ---------------------------------------------------------------------------
+
+def lsh_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """The persistable per-document LSH index: one row per doc with its
+    hashed shingle set and band buckets —
+    ``(id, sh array<long>, bands array<struct<band_idx,bucket>>)``.
+
+    This is what makes dedup INCREMENTAL at 100 TB: the corpus is
+    shingled/signed ONCE, the index is written next to the data, and
+    every future ingest batch joins against it without re-reading (let
+    alone re-shuffling) corpus text. Docs with no shingles carry a
+    NULL ``bands`` (they can never near-dup match, mirroring the NULL
+    signature rule in :func:`minhash_lsh_pairs`).
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_k=shingle_k, hashed=True)
+    sig = sh.select(
+        F.col(id_col),
+        F.col("sh"),
+        minhash_signature(F.col("sh"), num_hashes, pre_hashed=True).alias("sig"),
+    )
+    sig = keyed_barrier(sig, id_col, factor=3)
+    bands = F.when(
+        F.col("sig").isNotNull(),
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("band_idx"), b.alias("bucket"))
+                for i, b in enumerate(
+                    lsh_bands("sig", num_hashes, rows_per_band)
+                )
+            ]
+        ),
+    )
+    return sig.select(F.col(id_col), F.col("sh"), bands.alias("bands"))
+
+
+def incremental_verified_pairs(
+    batch_index: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified (corpus_id, batch_id, jaccard) near-dup pairs between a
+    small batch index and a large corpus index.
+
+    ONE streaming pass over the corpus index, zero corpus shuffle: the
+    exploded batch bands are broadcast, the band join filters corpus
+    rows map-side, and each surviving row already carries its shingle
+    set so the exact-Jaccard verify is a projection — no second join
+    back to corpus text. Candidate pair dedup (a pair can share
+    several bands) shuffles only the candidate set, which is
+    batch-bounded. Jaccard semantics (hashed sets, round-4, >=
+    threshold) are identical to :func:`jaccard_verify`.
+    """
+    cb = corpus_index.select(
+        F.col(id_col).alias("__cid"),
+        F.col("sh").alias("sh_c"),
+        F.explode("bands").alias("b"),
+    ).select("__cid", "sh_c", "b.band_idx", "b.bucket")
+    bb = batch_index.select(
+        F.col(id_col).alias("__bid"),
+        F.col("sh").alias("sh_b"),
+        F.explode("bands").alias("b"),
+    ).select("__bid", "sh_b", "b.band_idx", "b.bucket")
+    return (
+        cb.join(F.broadcast(bb), ["band_idx", "bucket"])
+        .dropDuplicates(["__cid", "__bid"])
+        .withColumn("inter", F.size(F.array_intersect("sh_c", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_c", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(0.0),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("__cid", "__bid", "jaccard")
+    )
+
+
+def drop_near_duplicates_incremental(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 2,
+    dedup_within_batch: bool = True,
+) -> DataFrame:
+    """Dedup an ingest batch against an existing corpus: drop batch
+    docs near-duplicating any indexed corpus doc, then (by default)
+    near-dedup the survivors among themselves via
+    :func:`drop_near_duplicates`.
+
+    The corpus side is only ever touched through ``corpus_index``
+    (:func:`lsh_index`, typically read back from parquet) — the
+    append-only ingestion loop is: index corpus once; per batch, clean
+    against the index; append the cleaned batch AND its
+    :func:`lsh_index` rows to the corpus tables.
+
+    ``batch`` and the corpus must not share ids (ids are the pair
+    identity; overlapping ids would self-match).
+    """
+    bi = lsh_index(
+        batch,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        shingle_k=shingle_k,
+    )
+    hit = incremental_verified_pairs(
+        bi, corpus_index, id_col, threshold=threshold
+    )
+    contaminated = hit.select(F.col("__bid").alias(id_col)).distinct()
+    survivors = batch.join(F.broadcast(contaminated), id_col, "left_anti")
+    if dedup_within_batch:
+        survivors = drop_near_duplicates(
+            survivors,
+            text_col,
+            id_col,
+            threshold=threshold,
+            shingle_k=shingle_k,
+        )
+    return survivors
+
+
+# ---------------------------------------------------------------------------
 # Test-set decontamination
 # ---------------------------------------------------------------------------
 
