@@ -408,6 +408,227 @@ def ivf_cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-bound ANN at billions of vectors
+# ---------------------------------------------------------------------------
+
+def pq_codebook(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """One-row broadcastable PQ codebook: ``__cb`` is
+    ``array<array<array<double>>>`` of shape m × ksub × (dim/m).
+
+    Seed-vector construction (subspace s's centroids are the s-th
+    subvectors of the ``ksub`` lowest-id corpus vectors) — same
+    determinism contract as :func:`ivf_cosine_topk`'s coarse
+    quantizer, so the oracle can replicate encoding exactly. At
+    production scale swap in per-subspace k-means centroids (train on
+    a sample, same shape) — every plan below is unchanged.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = embeddings.where(F.col(id_col) < ksub).select(
+        F.col(id_col).alias("j"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    row = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("j", "v"))).alias("__seeds")
+    )
+    cb = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.col("__seeds"),
+            lambda r: F.slice(r.getField("v"), s * dsub + 1, dsub),
+        ),
+    )
+    return F.broadcast(row.select(cb.alias("__cb")))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 between two double arrays, sequential left fold (the
+    summation order the oracle unrolls term by term)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as ``__codes array<int>`` (m codes, one per
+    subspace): code s = argmin over the subspace's centroids of
+    round-6 squared L2, ties to the lowest centroid id.
+
+    This is THE compression step: at nbits=4/m=8 a 64-float vector
+    (256 B) becomes 8 codes (4 B packed) — the reason PQ scans fit in
+    memory at billions of vectors. Pure projection: the codebook is a
+    broadcast 1-row side, assignment is an argmin fold per subspace,
+    zero shuffle. Keeps all input columns and adds ``__codes``.
+    """
+    dsub = dim // m
+
+    def subspace_code(s: int) -> Column:
+        sub = F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub)
+
+        def cand(j: Column) -> Column:
+            return F.struct(
+                F.round(
+                    -_l2sq(
+                        sub,
+                        F.element_at(F.element_at(F.col("__cb"), s + 1), j + 1),
+                    ),
+                    6,
+                ).alias("nd"),
+                (-j).alias("nj"),
+            )
+
+        cands = F.transform(F.sequence(F.lit(0), F.lit(ksub - 1)), cand)
+        return (-F.array_max(cands).getField("nj")).cast("int")
+
+    code_cols = [subspace_code(s) for s in range(m)]
+    return (
+        embeddings.crossJoin(codebook)
+        .withColumn("__codes", F.array(*code_cols))
+        .drop("__cb")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    each corpus vector is its reconstruction cb[s][codes[s]] — distance
+    is the classic ADC sum of per-subspace squared L2s. Returns the k
+    smallest ``(id, dist2)``, ties on id.
+
+    The scan reads ONLY ``__codes`` (+id): the raw vector column is
+    untouched, which at scale means scanning m bytes instead of 4·dim
+    per row. Codebook and query are 1-row broadcast sides; scoring is
+    a projection; top-k is TakeOrderedAndProject — no shuffle beyond
+    the final k-row gather.
+    """
+    dsub = dim // m
+    q = F.broadcast(
+        query.select(F.col(vec_col).cast("array<double>").alias("__qv"))
+    )
+    dist = F.lit(0.0)
+    for s in range(m):
+        qsub = F.slice(F.col("__qv"), s * dsub + 1, dsub)
+        centroid = F.element_at(
+            F.element_at(F.col("__cb"), s + 1),
+            F.element_at(F.col("__codes"), s + 1) + 1,
+        )
+        dist = dist + _l2sq(qsub, centroid)
+    return (
+        encoded.select(id_col, "__codes")
+        .crossJoin(codebook)
+        .crossJoin(q)
+        .select(F.col(id_col), F.round(dist, 6).alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_codebook_trained(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-subspace k-means PQ codebook — the production quantizer
+    (lower reconstruction error than the deterministic seed-vector
+    codebook, hence better shortlist recall). Same ``__cb`` shape as
+    :func:`pq_codebook`, so every downstream plan is unchanged. Trains
+    m independent KMeans fits on the subvectors (at 100 TB: on a
+    sample — PQ codebooks saturate at ~100k training points)."""
+    from pyspark.ml.clustering import KMeans  # import-gated: ML optional
+    from pyspark.ml.functions import array_to_vector
+
+    dsub = dim // m
+    spark = embeddings.sparkSession
+    cb = []
+    for s in range(m):
+        feats = embeddings.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub)
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + s, maxIter=max_iter).fit(feats)
+        cb.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return F.broadcast(
+        spark.createDataFrame([(cb,)], "`__cb` ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+    )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """The standard PQ deployment: ADC over the compressed codes makes
+    a ``shortlist`` of candidates (the cheap full scan — m bytes per
+    row), then ONLY those rows' raw vectors are fetched for an exact
+    squared-L2 re-rank to top-k. The expensive exact distance touches
+    shortlist/n of the corpus; the broadcast shortlist join is a
+    point-lookup pattern (partition-pruned when the corpus is stored
+    sorted/bucketed by id). Returns exact ``(id, dist2)``."""
+    short_ids = pq_adc_topk(
+        encoded, codebook, query, vec_col=vec_col, id_col=id_col,
+        k=shortlist, m=m, dim=dim,
+    ).select(id_col)
+    q = F.broadcast(
+        query.select(F.col(vec_col).cast("array<double>").alias("__qv"))
+    )
+    return (
+        embeddings.join(F.broadcast(short_ids), id_col, "left_semi")
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(
+                _l2sq(F.col(vec_col).cast("array<double>"), F.col("__qv")), 6
+            ).alias("dist2"),
+        )
+        .orderBy(F.col("dist2").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     *,

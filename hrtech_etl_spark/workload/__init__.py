@@ -24,6 +24,6 @@ from hrtech_etl_spark.workload import python_udfs  # noqa: E402,F401
 from hrtech_etl_spark.workload import etl  # noqa: E402,F401
 from hrtech_etl_spark.workload import relational  # noqa: E402,F401
 from hrtech_etl_spark.workload import scalars  # noqa: E402,F401
-from hrtech_etl_spark.workload import profiling  # noqa: E402,F401
+from hrtech_etl_spark.workload import extensions  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QueryDef", "query"]

@@ -1,5 +1,5 @@
-"""Declared queries: table profiling, z-order layout keys, and
-incremental corpus dedup.
+"""Declared queries: engine extensions — table profiling, z-order
+layout keys, incremental corpus dedup, stream-stream interval join.
 
 Registered AFTER the long-stable families — these extend the declared
 surface without reordering the existing gate entries.
@@ -142,3 +142,137 @@ def dedup_incremental(spark, sf_dir):
         "n_removed",
         (F.col("n_batch") - F.col("n_removed")).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (real two-stream run under the oracle gate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_interval_join",
+    sql="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS micros_before
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """REAL stream-stream join under the oracle gate: purchases joined
+    to same-user clicks from the preceding hour, as TWO independent
+    readStreams (separate sources — no streaming self-join aliasing
+    hazards) inner-joined on key + event-time range with symmetric
+    watermarks, drained availableNow into a memory sink.
+
+    Inner interval joins emit on match (the watermark only bounds
+    JOIN STATE retention: each side can discard buffered rows once
+    they fall a full interval behind the other side's watermark —
+    that's what makes this runnable forever at scale), so the one-batch
+    drain equals the batch interval join the oracle computes."""
+    import tempfile
+    import uuid
+
+    from hrtech_etl_spark.streaming.pipelines import run_available_now
+    from hrtech_etl_spark.workload.streaming import _staged_event_stream
+
+    name = f"interval_join_{uuid.uuid4().hex[:8]}"
+    with _staged_event_stream(spark, sf_dir) as s1, _staged_event_stream(
+        spark, sf_dir
+    ) as s2:
+        p = (
+            s1.where(F.col("event_type") == "purchase")
+            .withWatermark("ts", "2 hours")
+            .alias("p")
+        )
+        c = (
+            s2.where(F.col("event_type") == "click")
+            .withWatermark("ts", "2 hours")
+            .alias("c")
+        )
+        joined = p.join(
+            c,
+            F.expr(
+                "p.user_id = c.user_id "
+                "AND c.ts >= p.ts - interval 1 hour AND c.ts < p.ts"
+            ),
+        ).select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.user_id").alias("user_id"),
+            (F.unix_micros("p.ts") - F.unix_micros("c.ts")).alias("micros_before"),
+        )
+        run_available_now(
+            joined,
+            checkpoint=tempfile.mkdtemp(prefix="ck_interval_join_"),
+            output_mode="append",
+            memory_table=name,
+        )
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (oracle-exact: seed codebooks, unrolled sums)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 8, 8, 16
+
+
+def _pq_l2_sql(a: str, b: str, s: int) -> str:
+    """Unrolled squared-L2 over subspace s — a left-associated chain of
+    squared diffs, term-for-term the order of the Spark-side fold."""
+    return " + ".join(
+        f"(({a}[{s * _PQ_DSUB + i}] - {b}[{s * _PQ_DSUB + i}]) * "
+        f"({a}[{s * _PQ_DSUB + i}] - {b}[{s * _PQ_DSUB + i}]))"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+
+
+_PQ_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_PQ_CANDS = ", ".join(
+    f"round({_pq_l2_sql('e.v', 'seeds.v', s)}, 6) AS d{s}" for s in range(_PQ_M)
+)
+_PQ_CODES = ", ".join(
+    "min({'d': d%d, 'j': j})['j'] AS code%d" % (s, s) for s in range(_PQ_M)
+)
+_PQ_JOINS = " ".join(
+    f"JOIN seeds s{s} ON s{s}.j = c.code{s}" for s in range(_PQ_M)
+)
+_PQ_DIST = " + ".join(
+    f"({_pq_l2_sql('q.v', f's{s}.v', s)})" for s in range(_PQ_M)
+)
+
+
+@query(
+    "sim_pq_topk",
+    sql=f"""
+    WITH e AS (SELECT vec_id, {_PQ_VD} AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS j, v FROM e WHERE vec_id < {_PQ_KSUB}),
+    cands AS (
+      SELECT e.vec_id, seeds.j, {_PQ_CANDS}
+      FROM e CROSS JOIN seeds
+    ),
+    codes AS (SELECT vec_id, {_PQ_CODES} FROM cands GROUP BY vec_id),
+    q AS (SELECT v FROM e WHERE vec_id = 0)
+    SELECT c.vec_id, round({_PQ_DIST}, 6) AS dist2
+    FROM codes c {_PQ_JOINS} CROSS JOIN q
+    ORDER BY dist2, c.vec_id
+    LIMIT 10
+    """,
+)
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 64-dim vectors compressed to 8
+    codes (16 centroids per subspace, seed-vector codebook for
+    oracle determinism), asymmetric-distance top-10 for query
+    vec_id=0. The ADC scan reads ONLY the code column — the 16×
+    memory compression that makes billion-vector ANN memory-bound
+    feasible (see functions/similarity.py::pq_encode/pq_adc_topk;
+    swap in per-subspace k-means codebooks at scale, same plans)."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = sim.pq_codebook(e, m=_PQ_M, ksub=_PQ_KSUB)
+    enc = sim.pq_encode(e, cb, m=_PQ_M, ksub=_PQ_KSUB)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.pq_adc_topk(enc, cb, q, k=10, m=_PQ_M)

@@ -52,6 +52,9 @@ DEFAULT = [
     "window_frame_suite",
     "setop_suite",
     "text_token_stats",
+    "profile_documents",
+    "layout_zorder_key",
+    "dedup_incremental",
 ]
 
 
