@@ -714,28 +714,48 @@ def incremental_verified_pairs(
     """Verified (corpus_id, batch_id, jaccard) near-dup pairs between a
     small batch index and a large corpus index.
 
-    ONE streaming pass over the corpus index, zero corpus shuffle: the
-    exploded batch bands are broadcast, the band join filters corpus
-    rows map-side, and each surviving row already carries its shingle
-    set so the exact-Jaccard verify is a projection — no second join
-    back to corpus text. Candidate pair dedup (a pair can share
-    several bands) shuffles only the candidate set, which is
-    batch-bounded. Jaccard semantics (hashed sets, round-4, >=
-    threshold) are identical to :func:`jaccard_verify`.
+    Zero corpus shuffle, and the corpus index is touched by two
+    COLUMN-PRUNED streamed passes (for a parquet-backed index, each
+    pass reads only the columns it names):
+
+    1. band pass — reads ``(id, bands)`` only (the shingle column is
+       never scanned here), joins the broadcast batch bands map-side,
+       and the resulting candidate pairs deduplicate through the ONE
+       shuffle in the operator, carrying two ids per row and nothing
+       else (a pair can share several bands);
+    2. fetch pass — reads ``(id, sh)`` and inner-joins the BROADCAST
+       candidate pair list (batch-bounded bare int pairs), which
+       filters to candidate rows map-side; the batch's shingle table
+       broadcasts too, so candidate shingle sets stream straight into
+       the Jaccard projection without ever being exchanged.
+
+    Jaccard semantics (hashed sets, round-4, >= threshold) are
+    identical to :func:`jaccard_verify`.
     """
     cb = corpus_index.select(
-        F.col(id_col).alias("__cid"),
-        F.col("sh").alias("sh_c"),
-        F.explode("bands").alias("b"),
-    ).select("__cid", "sh_c", "b.band_idx", "b.bucket")
+        F.col(id_col).alias("__cid"), F.explode("bands").alias("b")
+    ).select("__cid", "b.band_idx", "b.bucket")
     bb = batch_index.select(
-        F.col(id_col).alias("__bid"),
-        F.col("sh").alias("sh_b"),
-        F.explode("bands").alias("b"),
-    ).select("__bid", "sh_b", "b.band_idx", "b.bucket")
-    return (
+        F.col(id_col).alias("__bid"), F.explode("bands").alias("b")
+    ).select("__bid", "b.band_idx", "b.bucket")
+    pairs = (
         cb.join(F.broadcast(bb), ["band_idx", "bucket"])
-        .dropDuplicates(["__cid", "__bid"])
+        .select("__cid", "__bid")
+        .dropDuplicates()
+    )
+    csh = corpus_index.select(
+        F.col(id_col).alias("__cid"), F.col("sh").alias("sh_c")
+    )
+    bsh = batch_index.select(
+        F.col(id_col).alias("__bid"), F.col("sh").alias("sh_b")
+    )
+    # The inner join against the broadcast pair list IS the candidate
+    # filter for the fetch pass (one plan occurrence of the band join —
+    # a separate semi-join pre-filter would broadcast-evaluate the
+    # band-join subtree a second time).
+    return (
+        csh.join(F.broadcast(pairs), "__cid")
+        .join(F.broadcast(bsh), "__bid")
         .withColumn("inter", F.size(F.array_intersect("sh_c", "sh_b")))
         .withColumn("uni", F.size(F.array_union("sh_c", "sh_b")))
         .withColumn(
