@@ -1,0 +1,174 @@
+"""SCD Type-2 (slowly-changing dimension) operators.
+
+The reference's sink is a last-wins MERGE (operators/upsert.py — its
+semantics mirror /root/reference/src/hrtech_etl/core/pipeline.py's
+PUT-then-POST upsert loop); SCD2 is the warehouse-standard extension
+that KEEPS history: each attribute change closes the current version
+row (``valid_to`` = change time) and opens a new one. Two operators:
+
+- :func:`scd2_from_changes` — rebuild the full version history from an
+  event log in one pass (change-point detection via lag over the key
+  window; one shuffle on the key).
+- :func:`scd2_merge` — apply ONE batch of updates to an existing SCD2
+  table set-based (a single key-join, no per-row loop): close changed
+  current rows, insert new versions, pass history and unchanged rows
+  through untouched.
+
+Equivalence contract (tested): folding an event log batch-by-batch
+through ``scd2_merge`` produces exactly ``scd2_from_changes`` of the
+whole log. At scale, pair ``scd2_merge`` with
+``operators/upsert.py::merge_upsert``'s partition-scoped rewrite: a
+day's updates rewrite only the partitions holding those keys' current
+rows (history partitions are append-only and never touched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _attrs_differ(attr_cols: list[str], a: str, b: str) -> Column:
+    """NULL-safe 'any tracked attribute changed' predicate."""
+    cond = F.lit(False)
+    for c in attr_cols:
+        cond = cond | ~F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+    return cond
+
+
+def scd2_from_changes(
+    events: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Reconstruct the SCD2 version table from an event log: one row
+    per (key, run of identical tracked attributes), ``valid_from`` =
+    first event of the run, ``valid_to`` = start of the next run (NULL
+    while current), ``is_current`` flagging the open version.
+
+    Single key-partitioned window (ordered by ``ts_col`` then
+    ``tiebreak_col`` for total order): lag detects change points, lead
+    over the kept rows closes intervals. One shuffle total.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = W.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    marked = events.withColumn(
+        "__chg", F.when(F.lag(ts_col).over(w).isNull(), F.lit(True)).otherwise(changed)
+    )
+    runs = marked.where(F.col("__chg")).drop("__chg")
+    w2 = W.partitionBy(key_col).orderBy(*order)
+    return (
+        runs.select(
+            key_col,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Apply one update batch to an SCD2 table, set-based.
+
+    ``updates`` rows carry (key, attrs, ``ts_col``). Per key only the
+    LATEST update in the batch decides the new current version —
+    intermediate flip-flops within one batch are folded through
+    :func:`scd2_from_changes` on the batch so within-batch history is
+    kept too (each run of identical attrs becomes a version).
+
+    Rules per key:
+    - no existing current row → all batch versions insert;
+    - batch's first change vs the current row's attrs → current row
+      closes at that change's timestamp, batch versions insert;
+    - batch equals current attrs (no change) → rows pass untouched
+      (leading no-change runs are dropped from the batch);
+    - late updates (at or before the current row's ``valid_from``) are
+      dropped — out-of-order feeds belong upstream in the event-time
+      normalization, not silently rewriting closed history.
+
+    One shuffle on the key for the batch window + one broadcast-or-
+    shuffle key-join against the (small, current-only) head of the
+    dimension; history rows stream through a union untouched.
+    """
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+
+    # Fold the batch itself into SCD2 runs (handles multi-change
+    # batches), then drop runs not after the key's current valid_from.
+    batch = scd2_from_changes(
+        updates, key_col, attr_cols, ts_col, tiebreak_col=tiebreak_col
+    )
+    cur_k = cur.select(
+        F.col(key_col),
+        F.col("valid_from").alias("__cur_from"),
+        *[F.col(c).alias(f"__cur_{c}") for c in attr_cols],
+    )
+    b = batch.join(cur_k, key_col, "left")
+    b = b.where(
+        F.col("__cur_from").isNull() | (F.col("valid_from") > F.col("__cur_from"))
+    )
+    # Drop the leading no-change run: its attrs equal the current row's.
+    first_w = W.partitionBy(key_col).orderBy("valid_from")
+    same_as_cur = F.lit(True)
+    for c in attr_cols:
+        same_as_cur = same_as_cur & F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+    b = (
+        b.withColumn("__rn", F.row_number().over(first_w))
+        .where(
+            ~(
+                (F.col("__rn") == 1)
+                & F.col("__cur_from").isNotNull()
+                & same_as_cur
+            )
+        )
+        .drop("__rn", "__cur_from", *[f"__cur_{c}" for c in attr_cols])
+    )
+    # Re-close the batch's intervals after the drop (the dropped
+    # leading run's close time belongs to the run that replaced it).
+    w2 = W.partitionBy(key_col).orderBy("valid_from")
+    inserts = b.select(
+        key_col,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+    # Close current rows whose key received at least one insert.
+    first_new = inserts.groupBy(key_col).agg(
+        F.min("valid_from").alias("__close_at")
+    )
+    closed_or_kept = (
+        cur.join(F.broadcast(first_new), key_col, "left")
+        .withColumn(
+            "valid_to",
+            F.when(F.col("__close_at").isNotNull(), F.col("__close_at")).otherwise(
+                F.col("valid_to")
+            ),
+        )
+        .withColumn("is_current", F.col("__close_at").isNull())
+        .drop("__close_at")
+    )
+    cols = [key_col, *attr_cols, "valid_from", "valid_to", "is_current"]
+    return (
+        hist.select(*cols)
+        .unionByName(closed_or_kept.select(*cols))
+        .unionByName(inserts.select(*cols))
+    )

@@ -276,3 +276,41 @@ def sim_pq_topk(spark, sf_dir):
     enc = sim.pq_encode(e, cb, m=_PQ_M, ksub=_PQ_KSUB)
     q = e.where(F.col("vec_id") == 0)
     return sim.pq_adc_topk(enc, cb, q, k=10, m=_PQ_M)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history reconstruction (change-point version table from events)
+# ---------------------------------------------------------------------------
+
+@query(
+    "etl_scd2_history",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN TRUE
+                  WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN TRUE
+                  ELSE FALSE END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (SELECT user_id, event_type, ts, event_id FROM marked WHERE chg)
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def etl_scd2_history(spark, sf_dir):
+    """SCD Type-2 version history reconstructed from the event log:
+    per user, each run of identical event_type becomes a version row
+    with [valid_from, valid_to) validity and an is_current flag — ONE
+    key-window shuffle (see operators/scd.py; scd2_merge applies
+    incremental batches to this table and is equivalence-tested
+    against this full rebuild)."""
+    from hrtech_etl_spark.operators.scd import scd2_from_changes
+
+    e = load_table(spark, "events", sf_dir)
+    return scd2_from_changes(
+        e, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
+    )

@@ -1,0 +1,113 @@
+"""SCD2: batch-fold equivalence with the full rebuild, and merge edge
+cases (new key, no-change batch, within-batch flip-flop, late update)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.operators.scd import scd2_from_changes, scd2_merge
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+SCHEMA = "k long, attr string, ts timestamp, eid long"
+
+
+def _sorted_rows(df):
+    return sorted(
+        (
+            r["k"],
+            r["attr"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_from_changes_runs(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "a", _ts(1), 1),
+            (1, "a", _ts(2), 2),   # no change — same run
+            (1, "b", _ts(3), 3),   # change
+            (1, "a", _ts(4), 4),   # change back — NEW version
+            (2, "x", _ts(5), 5),
+        ],
+        SCHEMA,
+    )
+    out = _sorted_rows(
+        scd2_from_changes(events, "k", ["attr"], "ts", tiebreak_col="eid")
+    )
+    assert out == [
+        (1, "a", _ts(1), _ts(3), False),
+        (1, "a", _ts(4), None, True),
+        (1, "b", _ts(3), _ts(4), False),
+        (2, "x", _ts(5), None, True),
+    ]
+
+
+def test_merge_equals_full_rebuild(spark, sf_dir):
+    """Folding the event log through scd2_merge in two batches must
+    equal scd2_from_changes over the whole log."""
+    from hrtech_etl_spark.sources.testdata import load_table
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("attr"),
+        "ts",
+        F.col("event_id").alias("eid"),
+    )
+    cutoff = e.approxQuantile("eid", [0.5], 0.0)[0]
+    first, second = e.where(F.col("eid") <= cutoff), e.where(F.col("eid") > cutoff)
+
+    full = scd2_from_changes(e, "k", ["attr"], "ts", tiebreak_col="eid")
+    dim0 = scd2_from_changes(first, "k", ["attr"], "ts", tiebreak_col="eid")
+    merged = scd2_merge(dim0, second, "k", ["attr"], "ts", tiebreak_col="eid")
+    assert _sorted_rows(merged) == _sorted_rows(full)
+
+
+@pytest.fixture()
+def dim(spark):
+    events = spark.createDataFrame(
+        [(1, "a", _ts(1), 1), (2, "x", _ts(1), 2)], SCHEMA
+    )
+    return scd2_from_changes(events, "k", ["attr"], "ts", tiebreak_col="eid")
+
+
+def test_merge_new_key(spark, dim):
+    upd = spark.createDataFrame([(3, "z", _ts(5), 9)], SCHEMA)
+    out = _sorted_rows(scd2_merge(dim, upd, "k", ["attr"], "ts", tiebreak_col="eid"))
+    assert (3, "z", _ts(5), None, True) in out
+    assert (1, "a", _ts(1), None, True) in out  # untouched
+
+
+def test_merge_no_change_batch(spark, dim):
+    upd = spark.createDataFrame([(1, "a", _ts(6), 9)], SCHEMA)
+    out = _sorted_rows(scd2_merge(dim, upd, "k", ["attr"], "ts", tiebreak_col="eid"))
+    # same attr → no new version, current row stays open at the OLD ts
+    assert out == _sorted_rows(dim)
+
+
+def test_merge_flip_flop_batch(spark, dim):
+    """Within-batch a→b→a keeps BOTH intermediate versions."""
+    upd = spark.createDataFrame(
+        [(1, "b", _ts(6), 9), (1, "a", _ts(7), 10)], SCHEMA
+    )
+    out = _sorted_rows(scd2_merge(dim, upd, "k", ["attr"], "ts", tiebreak_col="eid"))
+    assert (1, "a", _ts(1), _ts(6), False) in out
+    assert (1, "b", _ts(6), _ts(7), False) in out
+    assert (1, "a", _ts(7), None, True) in out
+
+
+def test_merge_drops_late_updates(spark, dim):
+    """An update at or before the current row's valid_from is dropped."""
+    upd = spark.createDataFrame([(1, "z", _ts(0), 9)], SCHEMA)
+    out = _sorted_rows(scd2_merge(dim, upd, "k", ["attr"], "ts", tiebreak_col="eid"))
+    assert out == _sorted_rows(dim)
