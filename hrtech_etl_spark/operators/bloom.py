@@ -1,0 +1,168 @@
+"""Bloom-filter prefilters: approximate key membership that is cheap
+to build, tiny to ship, and reusable across jobs.
+
+Where Spark's own runtime row-level bloom filtering
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects filters
+WITHIN one query, this operator covers what the optimizer cannot:
+
+- **cross-job reuse** — build the filter over today's corpus once,
+  persist the (m-bit) bitmap next to the data, and prefilter every
+  future ingest batch ("seen this content hash before?") without
+  touching the corpus again. The approximate twin of
+  ``functions/dedup.py::lsh_index`` for EXACT-duplicate screening.
+- **pre-shuffle reduction** — when the filter side is too big to
+  broadcast as rows but its key set fits a few MB of bits, prefilter
+  the probe side BEFORE its shuffle: only possible-matches (+ the
+  bounded false-positive sliver) pay the exchange; an exact join
+  afterwards removes the false positives.
+
+Hashing runs entirely JVM-side (``xxhash64`` with k seeds, the same
+function both at build and probe time — no Python/JVM hash-parity
+hazard); Python's only job is the vectorized bitmap probe of
+precomputed positions via a broadcast numpy array.
+
+No false negatives, ever: a key present at build time always passes
+the prefilter. False-positive rate follows the standard
+``(1 - e^(-k·n/m))^k``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hard cap on filter size: 64 MiB of bits. A bloom that wants more
+#: belongs partitioned (one filter per key range), not on one driver.
+MAX_M_BITS = 1 << 29
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable built filter: the bitmap plus its parameters. The
+    bitmap is plain bytes — persist it anywhere (a parquet binary
+    cell, an object-store blob) and reconstruct with ``BloomFilter(
+    bits=..., m_bits=..., k=...)``."""
+
+    bits: bytes
+    m_bits: int
+    k: int
+
+    @staticmethod
+    def size_for(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+        """Textbook (m, k) for a target false-positive rate:
+        m = -n·ln(p)/ln(2)², k = (m/n)·ln(2)."""
+        import math
+
+        m = int(-n_keys * math.log(fpp) / (math.log(2) ** 2)) + 1
+        k = max(1, round(m / max(n_keys, 1) * math.log(2)))
+        return min(m, MAX_M_BITS), k
+
+
+def _positions(key: Column, m_bits: int, k: int) -> Column:
+    """The k bit positions of a key: pmod(xxhash64(seed, key), m) per
+    seed — all JVM expressions, identical at build and probe."""
+    return F.array(
+        *[F.pmod(F.xxhash64(F.lit(s), key), F.lit(m_bits)) for s in range(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_keys: int | None = None,
+    fpp: float = 0.01,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> BloomFilter:
+    """Build a bloom filter over ``df[key_col]`` in one distributed
+    pass: positions are computed and DEDUPLICATED on the cluster (the
+    driver receives at most ``min(k·n, m)`` distinct integers, bounded
+    by the bitmap size itself), then packed into the bitmap.
+
+    Size either explicitly (``m_bits``/``k``) or by target ``fpp``
+    with ``n_keys`` (defaults to a ``count()`` pass when omitted).
+    """
+    if m_bits is None or k is None:
+        n = n_keys if n_keys is not None else df.select(key_col).count()
+        m_bits, k = BloomFilter.size_for(n, fpp)
+    if m_bits > MAX_M_BITS:
+        raise ValueError(f"m_bits {m_bits} exceeds cap {MAX_M_BITS}")
+    pos_rows = (
+        df.select(
+            F.explode(_positions(F.col(key_col), m_bits, k)).alias("p")
+        )
+        .where(F.col("p").isNotNull())
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return BloomFilter(bits=bits.tobytes(), m_bits=m_bits, k=k)
+
+
+def bloom_might_contain(
+    df: DataFrame, bloom: BloomFilter, key_col: str
+) -> Column:
+    """Boolean probe column: True when every one of the key's k bits is
+    set. Positions come from the same JVM xxhash64 expressions as the
+    build; the broadcast numpy bitmap answers them in one vectorized
+    pandas batch. NULL keys probe False (a NULL never matched a key)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.frombuffer(bloom.bits, dtype=np.uint8)
+    )
+
+    @pandas_udf("boolean")
+    def _probe(positions: pd.Series) -> pd.Series:
+        bits = bc.value
+        out = np.zeros(len(positions), dtype=bool)
+        for i, ps in enumerate(positions):
+            if ps is None:
+                continue
+            p = np.asarray(ps, dtype=np.int64)
+            out[i] = bool(np.all(bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)))
+        return pd.Series(out)
+
+    return _probe(_positions(F.col(key_col), bloom.m_bits, bloom.k))
+
+
+def bloom_prefilter(
+    df: DataFrame, bloom: BloomFilter, key_col: str
+) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the filter (exact matches
+    always survive; a bounded false-positive sliver rides along)."""
+    return df.where(bloom_might_contain(df, bloom, key_col))
+
+
+def bloom_anti_prefilter(
+    df: DataFrame, bloom: BloomFilter, key_col: str
+) -> DataFrame:
+    """Keep only rows whose key is DEFINITELY NOT in the filter — the
+    dedup-screening direction (definitely-new rows skip the exact
+    check entirely; no false negatives means nothing new is lost)."""
+    return df.where(~bloom_might_contain(df, bloom, key_col))
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    *,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact semi-join with a bloom prefilter on the probe side: the
+    big side sheds non-matches BEFORE its shuffle, then the exact join
+    removes the false positives. Same result as
+    ``big.join(small, key, 'left_semi')`` — cheaper exchange when the
+    match fraction is small and ``small`` is too big to broadcast."""
+    bloom = bloom_build(small, key_col, fpp=fpp)
+    return bloom_prefilter(big, bloom, key_col).join(
+        small.select(key_col).distinct(), key_col, "left_semi"
+    )

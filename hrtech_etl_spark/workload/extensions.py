@@ -314,3 +314,38 @@ def etl_scd2_history(spark, sf_dir):
     return scd2_from_changes(
         e, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (exact result — the bloom only sheds rows
+# before the shuffle, the exact join removes false positives)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_bloom_semi",
+    sql="""
+    SELECT count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def join_bloom_semi(spark, sf_dir):
+    """Semi-join with a bloom prefilter on the probe side
+    (operators/bloom.py): lineitem sheds non-matching orderkeys BEFORE
+    its exchange via the broadcast bitmap, the exact semi-join removes
+    the false-positive sliver — result identical to the plain
+    semi-join the oracle states. The same filter serializes to plain
+    bytes for cross-job reuse (the 'seen this key before' ingest
+    screen)."""
+    from hrtech_etl_spark.operators.bloom import bloom_semi_join
+    from hrtech_etl_spark.workload.registry import dsum
+
+    li = load_table(spark, "lineitem", sf_dir)
+    big_keys = load_table(spark, "orders", sf_dir).where(
+        F.col("o_totalprice") > 150000
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return bloom_semi_join(li, big_keys, "l_orderkey", fpp=0.01).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
