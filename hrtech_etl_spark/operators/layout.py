@@ -84,6 +84,97 @@ def zorder_key_sql(spec: ZSpec, *, bits: int = DEFAULT_BITS) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+def parquet_footer_stats(
+    spark,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Per-file min/max index from parquet FOOTERS only — no data pages
+    are read. Output: ``(file, n_rows, col_name, min_val, max_val)``
+    (values stringified like :mod:`.profiling`).
+
+    The file listing goes through the JVM Hadoop ``FileSystem`` (works
+    for file:// and HDFS alike, same route as ``operators/upsert.py``),
+    and footer reads are DISTRIBUTED: the file list round-robins across
+    the cluster and each task opens only its files' footers via
+    pyarrow. At 100 TB this is an O(n_files) metadata pass — the tool
+    for (a) auditing clustering quality after :func:`write_zordered`
+    and (b) estimating scan pruning for a predicate
+    (:func:`pruning_fraction`) without touching data.
+    """
+    from hrtech_etl_spark.operators.upsert import _fs_path
+
+    fs, jpath = _fs_path(spark, path)
+    listing = fs.listStatus(jpath)
+    files = [
+        str(st.getPath().toUri().getPath())
+        for st in listing
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"parquet_footer_stats: no parquet files under {path}")
+    n = min(len(files), spark.sparkContext.defaultParallelism)
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(n)
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                md = pq.read_metadata(f)
+                names = md.schema.names
+                wanted = columns or names
+                for c in wanted:
+                    idx = names.index(c)
+                    mins, maxs, nrows = [], [], 0
+                    for i in range(md.num_row_groups):
+                        col = md.row_group(i).column(idx)
+                        nrows = md.num_rows
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    out.append(
+                        (
+                            f,
+                            nrows,
+                            c,
+                            str(min(mins)) if mins else None,
+                            str(max(maxs)) if maxs else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["file", "n_rows", "col_name", "min_val", "max_val"]
+            )
+
+    return fdf.mapInPandas(
+        read_footers,
+        "file string, n_rows long, col_name string, min_val string, max_val string",
+    )
+
+
+def pruning_fraction(
+    stats: DataFrame, col: str, lo: float, hi: float
+) -> float:
+    """Fraction of files a numeric range predicate ``col BETWEEN lo AND
+    hi`` can SKIP by footer min/max alone (the measurable payoff of
+    :func:`write_zordered`). Files lacking stats count as unprunable."""
+    s = stats.where(F.col("col_name") == col)
+    total = s.count()
+    if total == 0:
+        raise ValueError(f"pruning_fraction: no stats for column {col}")
+    prunable = s.where(
+        F.col("min_val").isNotNull()
+        & (
+            (F.col("max_val").cast("double") < lo)
+            | (F.col("min_val").cast("double") > hi)
+        )
+    ).count()
+    return prunable / total
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -105,3 +105,54 @@ def test_zorder_write_localizes_both_dims(spark, sf_medium, tmp_path):
     # decisively there (relative claim: robust to the data's own
     # value/user correlation narrowing the baseline a bit).
     assert mean_span(zpath, "v_int", 491) <= 0.75 * mean_span(spath, "v_int", 491)
+
+
+def test_footer_stats_and_pruning(spark, sf_medium, tmp_path):
+    """parquet_footer_stats reads ONLY footers but must agree with the
+    actual per-file extremes; pruning_fraction then quantifies the
+    z-order payoff: a narrow v_int range prunes most z-ordered files
+    and almost none of the user_id-sorted layout's."""
+    import os
+
+    from hrtech_etl_spark.operators.layout import (
+        parquet_footer_stats,
+        pruning_fraction,
+    )
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_medium, "events.parquet"))
+        .select(
+            "event_id",
+            "user_id",
+            F.floor("value").cast("long").alias("v_int"),
+        )
+    )
+    spec = [("user_id", 0, 149), ("v_int", 0, 490)]
+    zpath = str(tmp_path / "zstats")
+    write_zordered(ev, zpath, spec, bits=8, num_files=8)
+    spath = str(tmp_path / "sstats")
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(spath)
+
+    stats = parquet_footer_stats(spark, zpath, columns=["user_id", "v_int"])
+    rows = stats.collect()
+    # one row per (file, col); verify a file's stats against the data
+    some = next(r for r in rows if r["col_name"] == "v_int")
+    actual = (
+        spark.read.parquet(some["file"])
+        .agg(F.min("v_int"), F.max("v_int"))
+        .collect()[0]
+    )
+    assert int(some["min_val"]) == actual[0]
+    assert int(some["max_val"]) == actual[1]
+
+    sstats = parquet_footer_stats(spark, spath, columns=["v_int"])
+    # value is heavily right-skewed (median ~35 of 490), so the
+    # quantile-ranged z-files pile into the low-v tiles: probe the
+    # SPARSE tail, where clustering actually isolates rows into few
+    # files. The user_id-sorted baseline leaves v_int wide everywhere.
+    z_prune = pruning_fraction(stats, "v_int", 300, 490)
+    s_prune = pruning_fraction(sstats, "v_int", 300, 490)
+    assert z_prune >= 0.4          # z-order: most files skippable
+    assert z_prune > s_prune       # and strictly better than the sort
