@@ -80,9 +80,11 @@ def bloom_build(
     k: int | None = None,
 ) -> BloomFilter:
     """Build a bloom filter over ``df[key_col]`` in one distributed
-    pass: positions are computed and DEDUPLICATED on the cluster (the
-    driver receives at most ``min(k·n, m)`` distinct integers, bounded
-    by the bitmap size itself), then packed into the bitmap.
+    pass: bit positions fold into 64-bit WORDS on the cluster
+    (``groupBy(word) agg(bit_or)`` — map-side partial aggregation does
+    most of the OR-ing before the one shuffle), so the driver receives
+    at most ``min(k·n, m/64)`` (word, bits) rows — 64× fewer than
+    collecting raw positions, bounded by the bitmap itself.
 
     Size either explicitly (``m_bits``/``k``) or by target ``fpp``
     with ``n_keys`` (defaults to a ``count()`` pass when omitted).
@@ -92,17 +94,26 @@ def bloom_build(
         m_bits, k = BloomFilter.size_for(n, fpp)
     if m_bits > MAX_M_BITS:
         raise ValueError(f"m_bits {m_bits} exceeds cap {MAX_M_BITS}")
-    pos_rows = (
+    word_rows = (
         df.select(
             F.explode(_positions(F.col(key_col), m_bits, k)).alias("p")
         )
         .where(F.col("p").isNotNull())
-        .distinct()
+        .select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(p, 64) AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
         .collect()
     )
-    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
-    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
-    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    n_words = (m_bits + 63) // 64
+    words = np.zeros(n_words, dtype=np.uint64)
+    for r in word_rows:
+        words[r["w"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    # little-endian uint64 view: byte (p>>3) of the byte array is byte
+    # ((p>>3) & 7) of word (p>>6) — matching the probe's bit math.
+    bits = words.view(np.uint8)[: (m_bits + 7) // 8]
     return BloomFilter(bits=bits.tobytes(), m_bits=m_bits, k=k)
 
 

@@ -48,7 +48,6 @@ def profile_table(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
-    distinct_of: Column | None = None  # silence linters; rebuilt per col
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     for c in cols:
