@@ -615,6 +615,8 @@ def drop_near_duplicates(
     *,
     threshold: float = 0.5,
     shingle_k: int = 2,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
     max_iterations: int = 10,
     max_bucket_size: int | None = None,
     stop_shingle_frac: float | None = None,
@@ -640,7 +642,13 @@ def drop_near_duplicates(
     if stop_shingle_frac is not None:
         sh = remove_stop_shingles(sh, max_doc_frac=stop_shingle_frac)
     cand = minhash_lsh_pairs(
-        df, text_col, id_col, shingles=sh, max_bucket_size=max_bucket_size
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        shingles=sh,
+        max_bucket_size=max_bucket_size,
     )
     verified = jaccard_verify(
         cand, df, text_col, id_col, threshold=threshold, shingles=sh
@@ -816,6 +824,8 @@ def drop_near_duplicates_incremental(
             id_col,
             threshold=threshold,
             shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
         )
     return survivors
 

@@ -434,10 +434,26 @@ def pq_codebook(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    seeds = embeddings.where(F.col(id_col) < ksub).select(
-        F.col(id_col).alias("j"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    from pyspark.sql import Window as W
+
+    # The ksub lowest-id vectors regardless of id density (sparse or
+    # 1-based ids would silently under-fill an `id < ksub` filter);
+    # subspace j is the seed's RANK, so the codebook is always full.
+    seeds = (
+        embeddings.select(
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("__sid")
+        .limit(ksub)
+        .select(
+            (F.row_number().over(W.orderBy("__sid")) - 1).alias("j"), "v"
+        )
     )
+    if seeds.count() < ksub:
+        raise ValueError(
+            f"pq_codebook: corpus has fewer than ksub={ksub} vectors"
+        )
     row = seeds.agg(
         F.array_sort(F.collect_list(F.struct("j", "v"))).alias("__seeds")
     )

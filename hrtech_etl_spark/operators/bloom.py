@@ -57,17 +57,25 @@ class BloomFilter:
         m = -n·ln(p)/ln(2)², k = (m/n)·ln(2)."""
         import math
 
-        m = int(-n_keys * math.log(fpp) / (math.log(2) ** 2)) + 1
+        m = min(int(-n_keys * math.log(fpp) / (math.log(2) ** 2)) + 1, MAX_M_BITS)
+        # k from the ACTUAL (possibly capped) m: an fpp-optimal k for a
+        # bitmap we refused to allocate would overfill the smaller one
+        # and blow the realized false-positive rate even further.
         k = max(1, round(m / max(n_keys, 1) * math.log(2)))
-        return min(m, MAX_M_BITS), k
+        return m, k
 
 
 def _positions(key: Column, m_bits: int, k: int) -> Column:
     """The k bit positions of a key: pmod(xxhash64(seed, key), m) per
-    seed — all JVM expressions, identical at build and probe."""
-    return F.array(
+    seed — all JVM expressions, identical at build and probe. NULL
+    keys yield a NULL array EXPLICITLY: xxhash64 *ignores* NULL
+    arguments (it returns the seed's hash, not NULL), so without this
+    guard every NULL key would silently collapse onto one shared
+    pseudo-key at both build and probe."""
+    arr = F.array(
         *[F.pmod(F.xxhash64(F.lit(s), key), F.lit(m_bits)) for s in range(k)]
     )
+    return F.when(key.isNotNull(), arr)
 
 
 def bloom_build(
@@ -175,5 +183,5 @@ def bloom_semi_join(
     match fraction is small and ``small`` is too big to broadcast."""
     bloom = bloom_build(small, key_col, fpp=fpp)
     return bloom_prefilter(big, bloom, key_col).join(
-        small.select(key_col).distinct(), key_col, "left_semi"
+        small.select(key_col), key_col, "left_semi"
     )

@@ -33,10 +33,14 @@ ZSpec = list[tuple[str, int, int]]  # (column, lo, hi) — inclusive range
 
 
 def _quantize(col: Column, lo: int, hi: int, bits: int) -> Column:
-    """Map an integer column in [lo, hi] to [0, 2^bits): integer-only
-    ``((v - lo) * 2^bits) div (hi - lo + 1)``, clamped so out-of-range
-    stragglers (stale stats) land on the edge cells instead of
-    corrupting the key. NULL → cell 0 (sorts first, like NULLS FIRST).
+    """Map an integer column in [lo, hi] to [0, 2^bits):
+    ``floor((v - lo) * 2^bits / span)`` — the division is IEEE double
+    (exact only while ``(v - lo) * 2^bits`` stays under 2^53; for
+    epoch-microsecond-scale domains pre-scale the column or lower
+    ``bits``), clamped so out-of-range stragglers (stale stats) land
+    on the edge cells instead of corrupting the key. The oracle
+    rendering replicates the same double math term for term.
+    NULL → cell 0 (sorts first, like NULLS FIRST).
     The coalesce runs BEFORE the clamp: least/greatest in both engines
     follow the Postgres rule of SKIPPING nulls, so clamping first
     would silently send NULL to the top cell."""
@@ -93,11 +97,13 @@ def parquet_footer_stats(
     are read. Output: ``(file, n_rows, col_name, min_val, max_val)``
     (values stringified like :mod:`.profiling`).
 
-    The file listing goes through the JVM Hadoop ``FileSystem`` (works
-    for file:// and HDFS alike, same route as ``operators/upsert.py``),
-    and footer reads are DISTRIBUTED: the file list round-robins across
-    the cluster and each task opens only its files' footers via
-    pyarrow. At 100 TB this is an O(n_files) metadata pass — the tool
+    The file listing goes through the JVM Hadoop ``FileSystem``
+    recursively (same route as ``operators/upsert.py``; Hive-style
+    partition subdirectories included), and footer reads are
+    DISTRIBUTED: the file list round-robins across the cluster and
+    each task opens only its files' footers via pyarrow — local paths
+    directly, remote URIs through ``pyarrow.fs.FileSystem.from_uri``
+    (requires the scheme's pyarrow bindings on executors). At 100 TB this is an O(n_files) metadata pass — the tool
     for (a) auditing clustering quality after :func:`write_zordered`
     and (b) estimating scan pruning for a predicate
     (:func:`pruning_fraction`) without touching data.
@@ -105,12 +111,21 @@ def parquet_footer_stats(
     from hrtech_etl_spark.operators.upsert import _fs_path
 
     fs, jpath = _fs_path(spark, path)
-    listing = fs.listStatus(jpath)
-    files = [
-        str(st.getPath().toUri().getPath())
-        for st in listing
-        if st.getPath().getName().endswith(".parquet")
-    ]
+    # listFiles(recursive=True) walks Hive-style partition directories
+    # (dt=.../part-*.parquet) that a flat listStatus would miss.
+    it = fs.listFiles(jpath, True)
+    files = []
+    while it.hasNext():
+        p = it.next().getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        uri = p.toUri()
+        scheme = uri.getScheme()
+        # local paths go to pyarrow bare (file:/x isn't a pyarrow URI);
+        # any remote scheme keeps its full URI for FileSystem.from_uri.
+        files.append(
+            uri.getPath() if scheme in (None, "file") else str(p.toString())
+        )
     if not files:
         raise ValueError(f"parquet_footer_stats: no parquet files under {path}")
     n = min(len(files), spark.sparkContext.defaultParallelism)
@@ -120,26 +135,38 @@ def parquet_footer_stats(
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def footer(f):
+            if "://" in f:
+                from pyarrow import fs as pafs
+
+                filesystem, inner = pafs.FileSystem.from_uri(f)
+                with filesystem.open_input_file(inner) as fh:
+                    return pq.read_metadata(fh)
+            return pq.read_metadata(f)
+
         for pdf in batches:
             out = []
             for f in pdf["file"]:
-                md = pq.read_metadata(f)
+                md = footer(f)
                 names = md.schema.names
                 wanted = columns or names
                 for c in wanted:
+                    if c not in names:
+                        # schema evolution: a file predating the column
+                        # has no stats for it — unprunable, not an error
+                        out.append((f, md.num_rows, c, None, None))
+                        continue
                     idx = names.index(c)
-                    mins, maxs, nrows = [], [], 0
+                    mins, maxs = [], []
                     for i in range(md.num_row_groups):
-                        col = md.row_group(i).column(idx)
-                        nrows = md.num_rows
-                        st = col.statistics
+                        st = md.row_group(i).column(idx).statistics
                         if st is not None and st.has_min_max:
                             mins.append(st.min)
                             maxs.append(st.max)
                     out.append(
                         (
                             f,
-                            nrows,
+                            md.num_rows,
                             c,
                             str(min(mins)) if mins else None,
                             str(max(maxs)) if maxs else None,

@@ -49,24 +49,35 @@ def profile_table(
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
 
+    # Intermediate aliases are POSITIONAL (__c{i}_*) so arbitrary
+    # column names (spaces, dots, quotes — all legal in Spark) never
+    # leak into an identifier; the original name appears only as an
+    # escaped string literal in the stack output.
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        # backtick-quote: a dotted name must resolve as ONE column, not
+        # a struct path (backticks in the name itself double-escape)
+        col = F.col("`" + c.replace("`", "``") + "`")
         distinct_of = (
-            F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+            F.count_distinct(col) if exact else F.approx_count_distinct(col)
         )
         aggs += [
-            F.count(F.col(c)).alias(f"__cnt_{c}"),
-            distinct_of.alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(col).alias(f"__c{i}_cnt"),
+            distinct_of.alias(f"__c{i}_nd"),
+            F.min(col).cast("string").alias(f"__c{i}_min"),
+            F.max(col).cast("string").alias(f"__c{i}_max"),
         ]
     wide = df.agg(*aggs)
 
     # Unpivot the 1-row wide result with stack(): stays a projection
     # over the aggregate, no second action, no driver round-trip.
+    def lit_name(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     groups = ", ".join(
-        f"'{c}', __cnt_{c}, __total - __cnt_{c}, __nd_{c}, __min_{c}, __max_{c}"
-        for c in cols
+        f"{lit_name(c)}, __c{i}_cnt, __total - __c{i}_cnt, "
+        f"__c{i}_nd, __c{i}_min, __c{i}_max"
+        for i, c in enumerate(cols)
     )
     stacked = wide.select(
         F.expr(

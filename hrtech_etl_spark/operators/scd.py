@@ -44,6 +44,7 @@ def scd2_from_changes(
     ts_col: str,
     *,
     tiebreak_col: str | None = None,
+    _with_run_ordinal: bool = False,
 ) -> DataFrame:
     """Reconstruct the SCD2 version table from an event log: one row
     per (key, run of identical tracked attributes), ``valid_from`` =
@@ -66,15 +67,18 @@ def scd2_from_changes(
     )
     runs = marked.where(F.col("__chg")).drop("__chg")
     w2 = W.partitionBy(key_col).orderBy(*order)
-    return (
-        runs.select(
-            key_col,
-            *attr_cols,
-            F.col(ts_col).alias("valid_from"),
-            F.lead(ts_col).over(w2).alias("valid_to"),
-        )
-        .withColumn("is_current", F.col("valid_to").isNull())
-    )
+    out = runs.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        # run ordinal: total within-key order even when two runs share a
+        # valid_from timestamp (same-ts changes under the tiebreak) —
+        # scd2_merge's internal windows order by it; dropped from the
+        # public result below.
+        F.row_number().over(w2).alias("__run"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    return out if _with_run_ordinal else out.drop("__run")
 
 
 def scd2_merge(
@@ -113,8 +117,16 @@ def scd2_merge(
 
     # Fold the batch itself into SCD2 runs (handles multi-change
     # batches), then drop runs not after the key's current valid_from.
+    # The private run ordinal keeps the internal windows TOTALLY
+    # ordered even when two runs share a valid_from (same-timestamp
+    # changes separated only by the tiebreak).
     batch = scd2_from_changes(
-        updates, key_col, attr_cols, ts_col, tiebreak_col=tiebreak_col
+        updates,
+        key_col,
+        attr_cols,
+        ts_col,
+        tiebreak_col=tiebreak_col,
+        _with_run_ordinal=True,
     )
     cur_k = cur.select(
         F.col(key_col),
@@ -126,7 +138,7 @@ def scd2_merge(
         F.col("__cur_from").isNull() | (F.col("valid_from") > F.col("__cur_from"))
     )
     # Drop the leading no-change run: its attrs equal the current row's.
-    first_w = W.partitionBy(key_col).orderBy("valid_from")
+    first_w = W.partitionBy(key_col).orderBy("valid_from", "__run")
     same_as_cur = F.lit(True)
     for c in attr_cols:
         same_as_cur = same_as_cur & F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
@@ -143,13 +155,18 @@ def scd2_merge(
     )
     # Re-close the batch's intervals after the drop (the dropped
     # leading run's close time belongs to the run that replaced it).
-    w2 = W.partitionBy(key_col).orderBy("valid_from")
-    inserts = b.select(
-        key_col,
-        *attr_cols,
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-    ).withColumn("is_current", F.col("valid_to").isNull())
+    w2 = W.partitionBy(key_col).orderBy("valid_from", "__run")
+    inserts = (
+        b.select(
+            key_col,
+            *attr_cols,
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            "__run",
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__run")
+    )
 
     # Close current rows whose key received at least one insert.
     first_new = inserts.groupBy(key_col).agg(

@@ -79,3 +79,22 @@ def test_single_scan_plan(spark, sf_dir):
         .toString()
     )
     assert exact_plan.count("Scan parquet") == 1
+
+
+def test_exotic_column_names(spark):
+    """Spaces, dots, dashes and quotes are all legal Spark column
+    names — the profiler must not leak them into identifiers."""
+    df = (
+        spark.range(3)
+        .select(
+            F.col("id").alias("n chars"),
+            F.col("id").alias("a.b"),
+            F.col("id").alias("it's"),
+        )
+    )
+    out = {r["col_name"]: r for r in profile_table(df, exact=True).collect()}
+    assert set(out) == {"n chars", "a.b", "it's"}
+    assert out["a.b"]["n_distinct"] == 3
+
+
+from pyspark.sql import functions as F  # noqa: E402

@@ -111,3 +111,24 @@ def test_merge_drops_late_updates(spark, dim):
     upd = spark.createDataFrame([(1, "z", _ts(0), 9)], SCHEMA)
     out = _sorted_rows(scd2_merge(dim, upd, "k", ["attr"], "ts", tiebreak_col="eid"))
     assert out == _sorted_rows(dim)
+
+
+def test_merge_same_timestamp_tie(spark, dim):
+    """Two batch changes at the SAME timestamp: the tiebreak column
+    decides run order, so the later-eid attr must win as current —
+    deterministically, matching the full rebuild's (ts, eid) order."""
+    upd = spark.createDataFrame(
+        [(1, "b", _ts(5), 2), (1, "c", _ts(5), 3)], SCHEMA
+    )
+    out = _sorted_rows(scd2_merge(dim, upd, "k", ["attr"], "ts", tiebreak_col="eid"))
+    assert (1, "c", _ts(5), None, True) in out
+    assert (1, "b", _ts(5), _ts(5), False) in out
+
+    events = spark.createDataFrame(
+        [(1, "a", _ts(1), 1), (1, "b", _ts(5), 2), (1, "c", _ts(5), 3)], SCHEMA
+    )
+    full = _sorted_rows(
+        scd2_from_changes(events, "k", ["attr"], "ts", tiebreak_col="eid")
+    )
+    merged = [r for r in out if r[0] == 1]
+    assert merged == full
