@@ -272,3 +272,83 @@ def pack_sequences(
         ),
     )
     return grouped.groupBy("__grp").applyInPandas(pack, out_schema)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    test_set: DataFrame | None = None,
+    quality_min: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    chunk_chars: int = 2000,
+    chunk_overlap: int = 200,
+    pack_max_len: int = 512,
+    redact: bool = True,
+    dedup_knobs: dict | None = None,
+) -> DataFrame:
+    """The capstone one-call corpus-prep pipeline, composing the
+    engine's LLM-data operators in their canonical order:
+
+    1. exact dedup (content-hash, min-id keep)
+    2. near-dup dedup (MinHash-LSH → verify → clusters;
+       ``dedup_knobs`` forwards the corpus-scale knobs —
+       ``stop_shingle_frac``, ``max_bucket_size``, ``accelerate``,
+       ``checkpoint_dir``)
+    3. benchmark decontamination vs ``test_set`` (13-gram overlap)
+    4. quality filter (``quality_score >= quality_min``)
+    5. PII redaction (emails/phones/SSNs → typed placeholders)
+    6. chunking into overlapping context windows
+    7. whitespace token counts per chunk
+    8. first-fit-decreasing sequence packing into ``pack_max_len``
+       windows
+
+    Output: ``(id, chunk_idx, chunk_text, n_tokens, pack_id,
+    oversize)`` — one row per chunk, ready to group by ``pack_id``
+    into training examples. Every stage is the already-tested operator
+    (this function adds NO new semantics — it pins the composition
+    order and the column plumbing between stages, which is exactly
+    what an integration test must cover).
+
+    Dedup/decontaminate run BEFORE chunking on whole documents (chunk
+    boundaries would hide cross-chunk duplication), and redaction runs
+    before chunking so a PII span straddling a chunk boundary cannot
+    escape half-redacted.
+    """
+    from hrtech_etl_spark.functions import dedup as dd
+    from hrtech_etl_spark.functions import text as tx
+
+    cleaned = dd.drop_exact_duplicates(docs, text_col, id_col)
+    cleaned = dd.drop_near_duplicates(
+        cleaned,
+        text_col,
+        id_col,
+        threshold=near_dup_threshold,
+        **(dedup_knobs or {}),
+    )
+    if test_set is not None:
+        cleaned = dd.remove_contaminated(cleaned, test_set, text_col, id_col)
+    cleaned = cleaned.where(tx.quality_score(F.col(text_col)) >= quality_min)
+    if redact:
+        cleaned = cleaned.withColumn(text_col, tx.redact_pii(F.col(text_col)))
+
+    chunks = chunk_documents(
+        cleaned,
+        text_col,
+        id_col,
+        max_chars=chunk_chars,
+        overlap=chunk_overlap,
+    ).withColumn("n_tokens", tx.token_count(F.col("chunk_text")))
+
+    keyed = chunks.withColumn(
+        "__chunk_id",
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_idx")),
+    )
+    packs = pack_sequences(
+        keyed, "__chunk_id", "n_tokens", pack_max_len
+    ).select("__chunk_id", "pack_id", "oversize")
+    return (
+        keyed.join(packs, "__chunk_id")
+        .select(id_col, "chunk_idx", "chunk_text", "n_tokens", "pack_id", "oversize")
+    )

@@ -1,0 +1,94 @@
+"""Integration test of prepare_training_corpus: the full dedup →
+decontaminate → quality → redact → chunk → pack composition on real
+documents plus planted hazards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.operators.corpus import prepare_training_corpus
+from hrtech_etl_spark.sources.testdata import load_table
+
+GOOD = (
+    "The quarterly report shows steady growth in the engineering team, "
+    "with hiring on track and the platform migration nearly complete. "
+    "Management expects the next phase to start in early spring and has "
+    "asked every group to prepare detailed staffing plans for review."
+)
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            # exact duplicate pair → one survives
+            (90_001, GOOD),
+            (90_002, GOOD),
+            # near duplicate of the pair → removed by LSH stage
+            (90_003, GOOD.replace("steady", "strong")),
+            # PII carrier (distinct content so dedup keeps it) →
+            # redacted, not dropped
+            (90_004, "Security review notes for the payments service: the "
+                     "rotation schedule was approved last week and the new "
+                     "keys ship with the container image on Friday. Contact "
+                     "alice@example.com for any questions about the rollout "
+                     "process or the audit timeline and remaining work."),
+            # contaminated: shares a 13-gram with the test set
+            (90_005, GOOD + " the quick brown fox jumps over the lazy dog "
+                            "and then runs far away from the river"),
+        ],
+        "doc_id long, text string",
+    )
+    test_set = spark.createDataFrame(
+        [(1, "a benchmark question: the quick brown fox jumps over the "
+             "lazy dog and then runs far away from home")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        docs.unionByName(planted),
+        "text",
+        "doc_id",
+        test_set=test_set,
+        quality_min=0.3,
+        chunk_chars=400,
+        chunk_overlap=50,
+        pack_max_len=128,
+    )
+    return out.persist(), out.select("doc_id").distinct()
+
+
+def test_dedup_and_decontamination(prepared):
+    out, _ = prepared
+    ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert 90_001 in ids          # canonical copy kept (min id)
+    assert 90_002 not in ids      # exact duplicate dropped
+    assert 90_003 not in ids      # near duplicate dropped
+    assert 90_005 not in ids      # 13-gram contamination dropped
+
+
+def test_redaction_and_chunk_bounds(prepared):
+    out, _ = prepared
+    pii_chunks = out.where(F.col("doc_id") == 90_004).collect()
+    assert pii_chunks  # quality doc with PII survives...
+    joined = " ".join(r["chunk_text"] for r in pii_chunks)
+    assert "alice@example.com" not in joined  # ...but redacted
+    assert "[EMAIL]" in joined
+    too_long = out.where(F.length("chunk_text") > 400).count()
+    assert too_long == 0
+
+
+def test_packing_capacity(prepared):
+    out, _ = prepared
+    per_pack = (
+        out.where(~F.col("oversize"))
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("total"))
+    )
+    assert per_pack.where(F.col("total") > 128).count() == 0
+    # oversize chunks are singleton packs, never silently truncated
+    oversize = out.where(F.col("oversize"))
+    if oversize.count():
+        counts = oversize.groupBy("pack_id").count()
+        assert counts.where(F.col("count") > 1).count() == 0
