@@ -102,11 +102,12 @@ def bloom_build(
         m_bits, k = BloomFilter.size_for(n, fpp)
     if m_bits > MAX_M_BITS:
         raise ValueError(f"m_bits {m_bits} exceeds cap {MAX_M_BITS}")
+    # explode() of the NULL-key arrays emits nothing, so only real
+    # keys' positions reach the word fold.
     word_rows = (
         df.select(
             F.explode(_positions(F.col(key_col), m_bits, k)).alias("p")
         )
-        .where(F.col("p").isNotNull())
         .select(
             F.shiftright(F.col("p"), 6).alias("w"),
             F.expr("shiftleft(1L, CAST(pmod(p, 64) AS INT))").alias("b"),

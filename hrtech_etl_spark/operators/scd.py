@@ -24,17 +24,9 @@ rows (history partitions are append-only and never touched).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
-
-
-def _attrs_differ(attr_cols: list[str], a: str, b: str) -> Column:
-    """NULL-safe 'any tracked attribute changed' predicate."""
-    cond = F.lit(False)
-    for c in attr_cols:
-        cond = cond | ~F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
-    return cond
 
 
 def scd2_from_changes(
@@ -66,17 +58,16 @@ def scd2_from_changes(
         "__chg", F.when(F.lag(ts_col).over(w).isNull(), F.lit(True)).otherwise(changed)
     )
     runs = marked.where(F.col("__chg")).drop("__chg")
-    w2 = W.partitionBy(key_col).orderBy(*order)
     out = runs.select(
         key_col,
         *attr_cols,
         F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w).alias("valid_to"),
         # run ordinal: total within-key order even when two runs share a
         # valid_from timestamp (same-ts changes under the tiebreak) —
         # scd2_merge's internal windows order by it; dropped from the
         # public result below.
-        F.row_number().over(w2).alias("__run"),
+        F.row_number().over(w).alias("__run"),
     ).withColumn("is_current", F.col("valid_to").isNull())
     return out if _with_run_ordinal else out.drop("__run")
 
@@ -155,13 +146,12 @@ def scd2_merge(
     )
     # Re-close the batch's intervals after the drop (the dropped
     # leading run's close time belongs to the run that replaced it).
-    w2 = W.partitionBy(key_col).orderBy("valid_from", "__run")
     inserts = (
         b.select(
             key_col,
             *attr_cols,
             "valid_from",
-            F.lead("valid_from").over(w2).alias("valid_to"),
+            F.lead("valid_from").over(first_w).alias("valid_to"),
             "__run",
         )
         .withColumn("is_current", F.col("valid_to").isNull())

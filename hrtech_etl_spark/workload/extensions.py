@@ -1,5 +1,6 @@
 """Declared queries: engine extensions — table profiling, z-order
-layout keys, incremental corpus dedup, stream-stream interval join.
+layout keys, incremental corpus dedup, stream-stream interval join,
+product-quantization ANN, SCD2 history, bloom-prefiltered semi-join.
 
 Registered AFTER the long-stable families — these extend the declared
 surface without reordering the existing gate entries.
@@ -15,7 +16,12 @@ from hrtech_etl_spark.operators.profiling import profile_sql, profile_table
 from hrtech_etl_spark.sources.testdata import load_table
 from hrtech_etl_spark.workload.registry import query
 from hrtech_etl_spark.functions.hashing import portable_hash_sql
-from hrtech_etl_spark.workload.text_llm import minhash_sql, shingles_sql
+from hrtech_etl_spark.workload.text_llm import (
+    VEC_DOUBLE,
+    bands_sql,
+    minhash_sql,
+    shingles_sql,
+)
 
 _PH_S = portable_hash_sql("s")
 
@@ -80,15 +86,6 @@ def layout_zorder_key(spark, sf_dir):
 _INC_SIG = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
 
 
-def _inc_bands_sql(src: str) -> str:
-    return " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, "
-        f"md5(mh{2 * b}::VARCHAR || ',' || mh{2 * b + 1}::VARCHAR) AS bucket "
-        f"FROM {src}"
-        for b in range(4)
-    )
-
-
 @query(
     "dedup_incremental",
     sql=f"""
@@ -98,8 +95,8 @@ def _inc_bands_sql(src: str) -> str:
     bhs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh FROM bsh),
     csig AS (SELECT doc_id, {_INC_SIG} FROM csh),
     bsig AS (SELECT doc_id, {_INC_SIG} FROM bsh),
-    cband AS ({_inc_bands_sql("csig")}),
-    bband AS ({_inc_bands_sql("bsig")}),
+    cband AS ({bands_sql("csig")}),
+    bband AS ({bands_sql("bsig")}),
     cand AS (
       SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
       FROM cband c JOIN bband b ON c.band_idx = b.band_idx AND c.bucket = b.bucket
@@ -229,7 +226,7 @@ def _pq_l2_sql(a: str, b: str, s: int) -> str:
     )
 
 
-_PQ_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_PQ_VD = VEC_DOUBLE.format(v="embedding")
 _PQ_CANDS = ", ".join(
     f"round({_pq_l2_sql('e.v', 'seeds.v', s)}, 6) AS d{s}" for s in range(_PQ_M)
 )

@@ -297,10 +297,20 @@ def dedup_exact(spark, sf_dir):
 
 _NUM_HASHES = 8
 _SIG_COLS = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(_NUM_HASHES))
-_BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR) AS bucket FROM sig"
-    for b in range(_NUM_HASHES // 2)
-)
+
+
+def bands_sql(src: str = "sig", num_hashes: int = _NUM_HASHES) -> str:
+    """LSH band/bucket rendering over a signature CTE (mh0..mhN-1),
+    rows_per_band=2 — shared with the incremental-dedup oracle."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh{2 * b}::VARCHAR || ',' || mh{2 * b + 1}::VARCHAR) AS bucket "
+        f"FROM {src}"
+        for b in range(num_hashes // 2)
+    )
+
+
+_BANDS_SQL = bands_sql()
 
 @query(
     "dedup_minhash_lsh",
