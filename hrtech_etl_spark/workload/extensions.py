@@ -346,3 +346,42 @@ def join_bloom_semi(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy edit-distance join (deletion-neighborhood blocking, exact recall)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_fuzzy_editdist",
+    sql="""
+    WITH p AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+             levenshtein(a.c_name, b.c_name) AS d
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(count(DISTINCT ka) AS BIGINT) AS n_left,
+           CAST(count(DISTINCT kb) AS BIGINT) AS n_right,
+           CAST(max(d) AS INT) AS max_distance
+    FROM p
+    """,
+)
+def join_fuzzy_editdist(spark, sf_dir):
+    """Fuzzy self-join on customer names at Levenshtein <= 1 via
+    SymSpell deletion-neighborhood blocking (operators/fuzzy.py) —
+    exact recall without the all-pairs product the oracle states.
+    The candidate join shuffles short variant keys; only deduped
+    candidate pairs pay the exact levenshtein."""
+    from hrtech_etl_spark.operators.fuzzy import edit_distance_pairs
+
+    c = load_table(spark, "customer", sf_dir)
+    pairs = edit_distance_pairs(c, "c_name", "c_custkey", max_distance=1)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("id_a").alias("n_left"),
+        F.count_distinct("id_b").alias("n_right"),
+        F.max("distance").cast("int").alias("max_distance"),
+    )
