@@ -385,3 +385,83 @@ def join_fuzzy_editdist(spark, sf_dir):
         F.count_distinct("id_b").alias("n_right"),
         F.max("distance").cast("int").alias("max_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table diff / sync reconciliation
+# ---------------------------------------------------------------------------
+
+@query(
+    "etl_table_diff",
+    sql="""
+    WITH b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_orderstatus || 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 17 = 0 THEN o_orderpriority || 'Y'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    d AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                    OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                  THEN 'changed' ELSE 'unchanged' END AS status,
+             CAST(a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS INT)
+               + CAST(a.o_orderpriority IS DISTINCT FROM b.o_orderpriority AS INT)
+               AS n_changed
+      FROM (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders) a
+      FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT status, count(*) AS n_rows,
+           CAST(sum(CASE WHEN status = 'changed' THEN n_changed ELSE 0 END) AS BIGINT)
+             AS n_cell_changes
+    FROM d WHERE status != 'unchanged' GROUP BY status
+    """,
+)
+def etl_table_diff(spark, sf_dir):
+    """Sync reconciliation (operators/diff.py): orders vs a mutated
+    copy (keys %97 removed, statuses %13 and priorities %17 changed,
+    %101 re-keyed as additions) — full-outer key join classifying
+    every row, null-safe column compare as a pure projection, ONE
+    shuffle. Declared output: per-status row counts + total changed
+    cells, hash-matched against the SQL rendering."""
+    from hrtech_etl_spark.operators.diff import table_diff
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    b = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.concat("o_orderstatus", F.lit("X"))
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 17 == 0,
+            F.concat("o_orderpriority", F.lit("Y")),
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    ).unionByName(
+        o.where(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+    )
+    d = table_diff(o, b, ["o_orderkey"])
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("status") == "changed", F.size("changed_cols")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_cell_changes"),
+    )
