@@ -62,3 +62,95 @@ def hll_rollup(
         estimate_col, F.hll_sketch_estimate(F.col(sketch_col))
     )
     return out if keep_sketch else out.drop(sketch_col)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches — mergeable percentiles
+# ---------------------------------------------------------------------------
+
+def kll_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = 200,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """One KLL(double) quantile sketch per group — the storable
+    partial. Same contract as :func:`hll_partial` but for PERCENTILES:
+    persist per-day blobs once, answer any later p50/p95/p99 rollup by
+    merging blobs (``percentile_approx`` can't be pre-aggregated).
+    k=200 → ~1.65% normalized rank error."""
+    agg = F.kll_sketch_agg_double(
+        F.col(value_col).cast("double"), F.lit(k)
+    ).alias(sketch_col)
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def kll_quantiles(
+    sketches: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    *,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge stored KLL blobs to ``group_cols`` and extract the
+    requested quantiles as ``q_<percent>`` columns."""
+    merged = F.kll_merge_agg_double(F.col(sketch_col)).alias(sketch_col)
+    rolled = (
+        sketches.groupBy(*group_cols).agg(merged)
+        if group_cols
+        else sketches.agg(merged)
+    )
+    outs = [
+        F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(q)).alias(
+            f"q_{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return rolled.select(*group_cols, *outs)
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches — distinct-count SET ALGEBRA without joins
+# ---------------------------------------------------------------------------
+
+def theta_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """One Theta sketch per group. Unlike HLL, Theta sketches support
+    INTERSECTION and DIFFERENCE — audience overlap ('distinct users
+    who did A and B') from per-segment blobs, no self-join over raw
+    events."""
+    agg = F.theta_sketch_agg(F.col(value_col)).alias(sketch_col)
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def theta_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Set-algebra estimates from two single-row sketch tables:
+    ``n_a, n_b, n_union, n_intersection, n_only_a`` — the full overlap
+    report from blobs alone."""
+    aa = a.select(F.col(sketch_col).alias("__sa"))
+    bb = b.select(F.col(sketch_col).alias("__sb"))
+    return aa.crossJoin(bb).select(
+        F.theta_sketch_estimate(F.col("__sa")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("__sb")).alias("n_b"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("__sa"), F.col("__sb"))
+        ).alias("n_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("__sa"), F.col("__sb"))
+        ).alias("n_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("__sa"), F.col("__sb"))
+        ).alias("n_only_a"),
+    )

@@ -65,3 +65,57 @@ def test_blob_roundtrip_through_storage(spark, events, tmp_path):
         0
     ]["n_distinct"]
     assert total == live
+
+
+def test_kll_quantiles_vs_exact(spark, events):
+    from hrtech_etl_spark.operators.sketches import kll_partial, kll_quantiles
+
+    daily = kll_partial(events, ["day"], "value")
+    got = kll_quantiles(daily, [], [0.5, 0.95]).collect()[0]
+    exact = events.approxQuantile("value", [0.5, 0.95], 0.0)
+    # KLL rank error ~1.65% at k=200: value at a rank within ±2% of the
+    # target rank — compare against the exact values at those ranks
+    n = events.count()
+    vals = sorted(r["value"] for r in events.select("value").collect())
+    for q, g in (((0.5), got["q_50"]), ((0.95), got["q_95"])):
+        lo = vals[max(0, int((q - 0.03) * n))]
+        hi = vals[min(n - 1, int((q + 0.03) * n))]
+        assert lo <= g <= hi
+
+
+def test_kll_merge_equals_direct(spark, events):
+    from hrtech_etl_spark.operators.sketches import kll_partial, kll_quantiles
+
+    direct = kll_quantiles(kll_partial(events, [], "value"), [], [0.5]).collect()[
+        0
+    ]["q_50"]
+    merged = kll_quantiles(
+        kll_partial(events, ["day"], "value"), [], [0.5]
+    ).collect()[0]["q_50"]
+    # same sketch family, but insertion order differs → estimates may
+    # differ within rank tolerance; both must sit near the true median
+    n = events.count()
+    vals = sorted(r["value"] for r in events.select("value").collect())
+    lo, hi = vals[int(0.46 * n)], vals[int(0.54 * n)]
+    assert lo <= direct <= hi and lo <= merged <= hi
+
+
+def test_theta_overlap_vs_exact(spark, events):
+    from hrtech_etl_spark.operators.sketches import theta_overlap, theta_partial
+
+    clickers = events.where(F.col("event_type") == "click")
+    buyers = events.where(F.col("event_type") == "purchase")
+    got = theta_overlap(
+        theta_partial(clickers, [], "user_id"),
+        theta_partial(buyers, [], "user_id"),
+    ).collect()[0]
+    c = {r["user_id"] for r in clickers.select("user_id").distinct().collect()}
+    b = {r["user_id"] for r in buyers.select("user_id").distinct().collect()}
+    for key, exact in (
+        ("n_a", len(c)),
+        ("n_b", len(b)),
+        ("n_union", len(c | b)),
+        ("n_intersection", len(c & b)),
+        ("n_only_a", len(c - b)),
+    ):
+        assert abs(got[key] - exact) <= max(2, 0.05 * exact), (key, got[key], exact)
