@@ -465,3 +465,84 @@ def etl_table_diff(spark, sf_dir):
         .cast("bigint")
         .alias("n_cell_changes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VariantType: semi-structured JSON without schema-on-write
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_variant_json",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_variant_json(spark, sf_dir):
+    """Spark 4 VariantType path for semi-structured data: the props
+    JSON column parses ONCE into the binary variant encoding
+    (parse_json), then typed field extraction (variant_get) feeds a
+    plain aggregation — the schema-on-read pattern that replaces
+    per-query get_json_object string re-parsing at scale. Oracle:
+    DuckDB's native JSON extraction over the same column."""
+    e = load_table(spark, "events", sf_dir)
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real Python UDTF (Spark 3.5+ table function) with LATERAL join
+# ---------------------------------------------------------------------------
+
+@query(
+    "udtf_lateral_split",
+    sql="""
+    SELECT doc_id, r['i'] - 1 AS idx, r['w'] AS word FROM (
+      SELECT doc_id,
+             unnest(list_transform(str_split_regex(trim(text), '\\s+'),
+                                   (x, i) -> {'i': i, 'w': x})) AS r
+      FROM documents
+      WHERE doc_id < 50 AND len(trim(text)) > 0
+    )
+    """,
+)
+def udtf_lateral_split(spark, sf_dir):
+    """A REAL Python UDTF (arrow-evaluated table function, not a
+    grouped-map stand-in): per input document it emits one row per
+    whitespace token with its position, consumed via LATERAL join —
+    the §2.9 table-function surface on Spark's native UDTF API. The
+    oracle replicates tokenization with an indexed list_transform."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, word string")
+    class SplitWords:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    from hrtech_etl_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.word
+        FROM documents d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 50
+        """
+    )
