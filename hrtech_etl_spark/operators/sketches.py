@@ -154,3 +154,54 @@ def theta_overlap(
             F.theta_difference(F.col("__sa"), F.col("__sb"))
         ).alias("n_only_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimates (heavy hitters)
+# ---------------------------------------------------------------------------
+
+def cms_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 7,
+    sketch_col: str = "cms_sketch",
+) -> DataFrame:
+    """One count-min sketch blob per group: mergeable per-item
+    FREQUENCY estimates (overestimates only, by at most eps·N with the
+    given confidence) — the heavy-hitter complement of the HLL/KLL
+    partials. Same pattern: persist per-partition blobs, answer 'how
+    often did X appear' later without rescanning."""
+    agg = F.count_min_sketch(
+        F.col(value_col), F.lit(eps), F.lit(confidence), F.lit(seed)
+    ).alias(sketch_col)
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    items: list,
+    *,
+    sketch_col: str = "cms_sketch",
+) -> dict:
+    """Merge the blobs and read item frequencies, driver-side (the
+    lookup is a tiny JVM CountMinSketch op per item; use it for
+    bounded heavy-hitter candidate lists, not per-row scoring).
+    Returns {item: estimated_count}."""
+    rows = sketches.select(sketch_col).collect()
+    spark = sketches.sparkSession
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for r in rows:
+        blob = bytes(r[sketch_col])
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    if merged is None:
+        return {item: 0 for item in items}
+    return {item: merged.estimateCount(item) for item in items}

@@ -119,3 +119,21 @@ def test_theta_overlap_vs_exact(spark, events):
         ("n_only_a", len(c - b)),
     ):
         assert abs(got[key] - exact) <= max(2, 0.05 * exact), (key, got[key], exact)
+
+
+def test_cms_frequencies(spark, events):
+    from hrtech_etl_spark.operators.sketches import cms_estimate, cms_partial
+
+    daily = cms_partial(events, ["day"], "event_type")
+    got = cms_estimate(daily, ["click", "purchase", "nonexistent"])
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = events.count()
+    # CMS never underestimates; overestimate bounded by eps * N
+    for item in ("click", "purchase"):
+        assert exact[item] <= got[item] <= exact[item] + 0.001 * n_total + 1
+    assert got["nonexistent"] <= 0.001 * n_total + 1

@@ -55,6 +55,12 @@ DEFAULT = [
     "profile_documents",
     "layout_zorder_key",
     "dedup_incremental",
+    "sim_pq_topk",
+    "etl_scd2_history",
+    "join_bloom_semi",
+    "join_fuzzy_editdist",
+    "etl_table_diff",
+    "scalar_variant_json",
 ]
 
 
