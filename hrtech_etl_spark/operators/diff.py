@@ -45,9 +45,12 @@ def table_diff(
     (changed_cols in ``compare_cols`` order; empty for added/removed/
     unchanged rows).
     """
-    compare_cols = compare_cols or [
-        c for c in a.columns if c in set(b.columns) and c not in set(key_cols)
-    ]
+    if compare_cols is None:  # explicit [] = key-presence-only diff
+        compare_cols = [
+            c
+            for c in a.columns
+            if c in set(b.columns) and c not in set(key_cols)
+        ]
     la = a.select(
         *[F.col(k) for k in key_cols],
         F.lit(True).alias("__in_a"),
@@ -60,19 +63,24 @@ def table_diff(
     )
     j = la.join(lb, key_cols, "full_outer")
 
-    diff_flags = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("name"),
-                (~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))).alias("diff"),
-            )
-            for c in compare_cols
-        ]
-    )
-    changed_cols = F.transform(
-        F.filter(diff_flags, lambda s: s.getField("diff")),
-        lambda s: s.getField("name"),
-    )
+    if compare_cols:
+        diff_flags = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("name"),
+                    (~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))).alias(
+                        "diff"
+                    ),
+                )
+                for c in compare_cols
+            ]
+        )
+        changed_cols = F.transform(
+            F.filter(diff_flags, lambda s: s.getField("diff")),
+            lambda s: s.getField("name"),
+        )
+    else:  # presence-only: both-present keys are 'unchanged' by definition
+        changed_cols = F.array().cast("array<string>")
     status = (
         F.when(F.col("__in_a").isNull(), F.lit(ADDED))
         .when(F.col("__in_b").isNull(), F.lit(REMOVED))

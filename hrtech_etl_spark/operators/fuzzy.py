@@ -72,7 +72,13 @@ def edit_distance_pairs(
     deduped candidates. Rows longer than ``max_len`` raise at runtime
     rather than silently exploding L² variants.
     """
+    # NULL keys are routine in entity-resolution inputs and can never
+    # match anything — they get a NULL variant array (explode emits
+    # nothing), NOT the raise_error branch a bare when/otherwise would
+    # send them to.
     guarded = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("array<string>")
+    ).when(
         F.length(F.col(text_col)) <= max_len,
         delete_variants(F.col(text_col), max_distance=max_distance),
     ).otherwise(

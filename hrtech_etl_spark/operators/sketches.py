@@ -104,7 +104,7 @@ def kll_quantiles(
     )
     outs = [
         F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(q)).alias(
-            f"q_{int(q * 100)}"
+            f"q_{round(q * 100)}"  # round, not int(): int(0.29*100) == 28
         )
         for q in quantiles
     ]

@@ -461,49 +461,49 @@ def foreach_batch_scd2(
     drains in tests/test_streaming_scd2.py.
 
     Single-writer assumption (same as ``merge_upsert``): one stream
-    owns ``dim_path``. The rewrite stages to a temp dir then swaps via
-    the Hadoop FileSystem, so readers never see a half-written table.
+    owns ``dim_path``. Crash safety reuses merge_upsert's hardened
+    helpers: ``_dataset_exists`` distinguishes a real dimension from
+    half-written ``_temporary`` debris (a failed bootstrap write must
+    re-bootstrap, not route into a doomed merge), and the swap renames
+    the live table to ``.__old`` BEFORE renaming the staged copy in —
+    a crash mid-swap leaves the history in ``.__old``, restored by the
+    recovery check on the replayed batch, never silently rebuilt from
+    one micro-batch.
     """
     from hrtech_etl_spark.operators.scd import scd2_from_changes, scd2_merge
+    from hrtech_etl_spark.operators.upsert import (
+        _dataset_exists,
+        _rename,
+        _rm,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import uuid
-
         spark = batch_df.sparkSession
-        jvm_fs, jpath = _fs_path_pair(spark, dim_path)
-        if not jvm_fs.exists(jpath):
+        target = dim_path.rstrip("/")
+        old = target + ".__old"
+        # Crash recovery: a crash between the swap's two renames leaves
+        # the dimension in `.__old` with no live target — restore it
+        # BEFORE the exists check, or this batch would take the
+        # bootstrap branch and orphan the full history.
+        if not _dataset_exists(spark, target) and _dataset_exists(spark, old):
+            _rename(spark, old, target)
+        if not _dataset_exists(spark, target):
             dim = scd2_from_changes(
                 batch_df, key_col, list(attr_cols), ts_col,
                 tiebreak_col=tiebreak_col,
             )
-            dim.write.mode("overwrite").parquet(dim_path)
+            dim.write.mode("overwrite").parquet(target)
             return
-        dim = spark.read.parquet(dim_path)
+        dim = spark.read.parquet(target)
         merged = scd2_merge(
             dim, batch_df, key_col, list(attr_cols), ts_col,
             tiebreak_col=tiebreak_col,
         )
-        staged = os.path.join(
-            os.path.dirname(dim_path), f".scd2_stage_{uuid.uuid4().hex[:8]}"
-        )
-        merged.write.mode("overwrite").parquet(staged)
-        _swap_dirs(spark, staged, dim_path)
+        tmp = target + ".__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _rm(spark, old)
+        _rename(spark, target, old)
+        _rename(spark, tmp, target)
+        _rm(spark, old)
 
     return sink
-
-
-def _fs_path_pair(spark, path: str):
-    from hrtech_etl_spark.operators.upsert import _fs_path
-
-    return _fs_path(spark, path)
-
-
-def _swap_dirs(spark, staged: str, target: str) -> None:
-    """Atomic-ish directory swap through the Hadoop FileSystem (same
-    route as merge_upsert): delete target, rename staged into place."""
-    fs, jtarget = _fs_path_pair(spark, target)
-    _, jstaged = _fs_path_pair(spark, staged)
-    fs.delete(jtarget, True)
-    if not fs.rename(jstaged, jtarget):
-        raise IOError(f"scd2 sink: rename {staged} -> {target} failed")

@@ -55,12 +55,13 @@ def prepared(spark, sf_dir):
         chunk_chars=400,
         chunk_overlap=50,
         pack_max_len=128,
-    )
-    return out.persist(), out.select("doc_id").distinct()
+    ).persist()
+    yield out
+    out.unpersist()
 
 
 def test_dedup_and_decontamination(prepared):
-    out, _ = prepared
+    out = prepared
     ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
     assert 90_001 in ids          # canonical copy kept (min id)
     assert 90_002 not in ids      # exact duplicate dropped
@@ -69,7 +70,7 @@ def test_dedup_and_decontamination(prepared):
 
 
 def test_redaction_and_chunk_bounds(prepared):
-    out, _ = prepared
+    out = prepared
     pii_chunks = out.where(F.col("doc_id") == 90_004).collect()
     assert pii_chunks  # quality doc with PII survives...
     joined = " ".join(r["chunk_text"] for r in pii_chunks)
@@ -80,7 +81,7 @@ def test_redaction_and_chunk_bounds(prepared):
 
 
 def test_packing_capacity(prepared):
-    out, _ = prepared
+    out = prepared
     per_pack = (
         out.where(~F.col("oversize"))
         .groupBy("pack_id")

@@ -61,3 +61,16 @@ def test_single_shuffle_plan(spark):
     )
     assert "FullOuter" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+def test_presence_only_diff(spark):
+    """compare_cols=[] means key-presence only: value differences are
+    ignored, both-present keys are 'unchanged'."""
+    a = _mk(spark, [(1, "a", 10), (2, "b", 20)])
+    b = _mk(spark, [(1, "zzz", 99), (3, "c", 30)])
+    out = {
+        r["k"]: r["status"]
+        for r in table_diff(
+            a, b, ["k"], compare_cols=[], include_unchanged=True
+        ).collect()
+    }
+    assert out == {1: "unchanged", 2: "removed", 3: "added"}

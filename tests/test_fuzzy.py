@@ -66,3 +66,16 @@ def test_max_len_guard(spark):
     df = spark.createDataFrame([(1, "x" * 100)], "id long, name string")
     with pytest.raises(Exception, match="max_len"):
         edit_distance_pairs(df, "name", "id", max_len=64).collect()
+
+
+def test_null_keys_skipped(spark):
+    """NULL keys are routine in entity data: they must be skipped (a
+    NULL can never match), never crash the job."""
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, None), (3, "smyth")], "id long, name string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, "name", "id").collect()
+    }
+    assert got == {(1, 3)}

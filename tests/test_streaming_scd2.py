@@ -81,3 +81,35 @@ def test_streamed_dim_equals_full_rebuild(spark, sf_dir, tmp_path, n_batches):
         ).collect()
     )
     assert got == want
+
+
+def test_sink_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the swap's renames leaves the dimension in
+    .__old — the next batch must restore it, not rebuild history from
+    one micro-batch."""
+    import datetime as dt
+    import os
+
+    from hrtech_etl_spark.streaming.pipelines import foreach_batch_scd2
+
+    sink = foreach_batch_scd2(
+        str(tmp_path / "dim"), "k", ["attr"], "ts", tiebreak_col="eid"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", dt.datetime(2026, 1, 1, 1), 1)],
+        "k long, attr string, ts timestamp, eid long",
+    )
+    sink(b1, 0)
+    # simulate the crash window: live target renamed away, stage lost
+    os.rename(str(tmp_path / "dim"), str(tmp_path / "dim.__old"))
+    b2 = spark.createDataFrame(
+        [(1, "b", dt.datetime(2026, 1, 1, 2), 2)],
+        "k long, attr string, ts timestamp, eid long",
+    )
+    sink(b2, 1)
+    rows = sorted(
+        (r["k"], r["attr"], r["is_current"])
+        for r in spark.read.parquet(str(tmp_path / "dim")).collect()
+    )
+    # history from batch 1 survived the interrupted swap
+    assert rows == [(1, "a", False), (1, "b", True)]
