@@ -546,3 +546,80 @@ def udtf_lateral_split(spark, sf_dir):
         WHERE d.doc_id < 50
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join — watermark-horizon oracle
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_outer_interval_join",
+    sql="""
+    WITH pp AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    cc AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM pp), (SELECT max(ts) FROM cc))
+                  - INTERVAL 10 MINUTE AS w),
+    j AS (
+      SELECT pp.event_id AS purchase_id, cc.event_id AS click_id,
+             pp.user_id, pp.ts
+      FROM pp LEFT JOIN cc
+        ON pp.user_id = cc.user_id
+       AND cc.ts >= pp.ts - INTERVAL 1 HOUR AND cc.ts < pp.ts
+    )
+    SELECT purchase_id, click_id, user_id FROM j
+    WHERE click_id IS NOT NULL OR ts <= (SELECT w FROM wm)
+    """,
+)
+def stream_outer_interval_join(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join as a REAL two-stream
+    availableNow drain — including the part everyone gets wrong: which
+    null-extended rows are EMITTED when the stream stops.
+
+    Matched rows emit on match. Unmatched purchases emit only when
+    join state finalizes, i.e. when the global watermark passes their
+    event time; the final watermark is min over BOTH post-filter
+    streams' max event times minus the delay (each side's watermark
+    tracks its own filtered input), advanced by the trailing no-data
+    micro-batch. The oracle states exactly that horizon — purchases
+    newer than it are correctly ABSENT (they'd emit when the next
+    batch of data arrives), so this query pins the at-scale
+    incremental semantics, not a batch approximation."""
+    import tempfile
+    import uuid
+
+    from hrtech_etl_spark.streaming.pipelines import run_available_now
+    from hrtech_etl_spark.workload.streaming import _staged_event_stream
+
+    name = f"outer_join_{uuid.uuid4().hex[:8]}"
+    with _staged_event_stream(spark, sf_dir) as s1, _staged_event_stream(
+        spark, sf_dir
+    ) as s2:
+        p = (
+            s1.where(F.col("event_type") == "purchase")
+            .withWatermark("ts", "10 minutes")
+            .alias("p")
+        )
+        c = (
+            s2.where(F.col("event_type") == "click")
+            .withWatermark("ts", "10 minutes")
+            .alias("c")
+        )
+        joined = p.join(
+            c,
+            F.expr(
+                "p.user_id = c.user_id "
+                "AND c.ts >= p.ts - interval 1 hour AND c.ts < p.ts"
+            ),
+            "left_outer",
+        ).select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.user_id").alias("user_id"),
+        )
+        run_available_now(
+            joined,
+            checkpoint=tempfile.mkdtemp(prefix="ck_outer_join_"),
+            output_mode="append",
+            memory_table=name,
+        )
+    return spark.table(name)
