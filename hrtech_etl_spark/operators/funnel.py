@@ -1,0 +1,103 @@
+"""Funnel analysis: ordered event-sequence conversion over an event
+log — 'of the users who did A, how many then did B, then C?'.
+
+Spark has no MATCH_RECOGNIZE; the scalable formulation is a chain of
+per-step minimal-timestamp aggregations: step k's entry time for a
+user is the EARLIEST event of type k strictly after their step-k-1
+entry (the standard greedy funnel — earliest entries maximize the
+conversion count, so greedy is exact here). Each step costs one
+filtered aggregation over events plus a broadcast join against the
+funnel frontier (one row per step-1 user); drop-offs stay in the
+frontier with NULL entry times, so ONE pass of the chain yields every
+step's count. No per-user sequence materialization, no UDFs.
+
+``within_seconds`` bounds the whole funnel: step k must land within
+that many seconds of the STEP-1 entry (the common product-analytics
+definition; per-step gaps compose the same machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user funnel entry times: one row per user who completed
+    step 1, with ``t1..tN`` timestamp columns — NULL from the first
+    uncompleted step onward (drop-offs keep their earlier times)."""
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        cond = F.col("__ts") > F.col(f"t{k - 1}")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("__ts")
+                <= F.col("t1") + F.expr(f"interval {within_seconds} seconds")
+            )
+        completed = (
+            nxt.join(F.broadcast(frontier), user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{k}"))
+        )
+        frontier = frontier.join(completed, user_col, "left")
+    return frontier
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """The conversion report: one row per funnel step with the number
+    of users whose ORDERED sequence reached it and the conversion rate
+    vs step 1 — computed from ONE funnel pass (``count(t_k)`` over the
+    frontier; counts are monotonically non-increasing by
+    construction)."""
+    frontier = funnel_steps(
+        events,
+        user_col,
+        ts_col,
+        type_col,
+        steps,
+        within_seconds=within_seconds,
+    )
+    wide = frontier.agg(
+        *[F.count(F.col(f"t{k}")).alias(f"n{k}") for k in range(1, len(steps) + 1)]
+    )
+    groups = ", ".join(
+        f"{k}, '{steps[k - 1].replace(chr(39), chr(39) * 2)}', n{k}"
+        for k in range(1, len(steps) + 1)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(steps)}, {groups}) AS (step, event_type, n_users)"
+        ),
+        F.col("n1").alias("__n1"),
+    ).select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(F.col("n_users") / F.col("__n1"), 4).alias("conversion"),
+    )

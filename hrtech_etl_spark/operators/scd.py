@@ -179,3 +179,17 @@ def scd2_merge(
         .unionByName(closed_or_kept.select(*cols))
         .unionByName(inserts.select(*cols))
     )
+
+
+def as_of(dim: DataFrame, ts, *, ts_col_cast: str = "timestamp") -> DataFrame:
+    """Point-in-time view of an SCD2 table: the version row valid AT
+    ``ts`` per key — ``valid_from <= ts < valid_to`` with the open
+    version's NULL ``valid_to`` meaning 'still current'. A pure filter
+    (partition-prunable when the table is stored partitioned on
+    ``valid_from`` date), so time travel over the dimension costs one
+    scan of the relevant partitions."""
+    t = F.lit(ts).cast(ts_col_cast)
+    return dim.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

@@ -623,3 +623,47 @@ def stream_outer_interval_join(spark, sf_dir):
             memory_table=name,
         )
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (ordered event sequences, greedy-exact)
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_view_click_purchase",
+    sql="""
+    WITH f1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN f1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY e.user_id
+    ),
+    f2 AS (SELECT f1.user_id, f1.t1, c2.t2 FROM f1 LEFT JOIN c2 USING (user_id)),
+    c3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN f2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY e.user_id
+    ),
+    f3 AS (SELECT f2.user_id, f2.t1, f2.t2, c3.t3 FROM f2 LEFT JOIN c3 USING (user_id)),
+    w AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM f3)
+    SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+           round(CAST(n1 AS DOUBLE) / n1, 4) AS conversion FROM w
+    UNION ALL
+    SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 4) FROM w
+    UNION ALL
+    SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 4) FROM w
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered-sequence funnel view→click→purchase over the event log
+    (operators/funnel.py): per-step earliest-entry chaining — greedy,
+    which is exact for conversion counting — as filtered aggregations
+    + broadcast frontier joins, one funnel pass for all step counts.
+    The oracle states the identical min-timestamp chain in SQL."""
+    from hrtech_etl_spark.operators.funnel import funnel_conversion
+
+    e = load_table(spark, "events", sf_dir)
+    return funnel_conversion(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )

@@ -132,3 +132,19 @@ def test_merge_same_timestamp_tie(spark, dim):
     )
     merged = [r for r in out if r[0] == 1]
     assert merged == full
+
+
+def test_as_of_point_in_time(spark):
+    from hrtech_etl_spark.operators.scd import as_of
+
+    events = spark.createDataFrame(
+        [(1, "a", _ts(1), 1), (1, "b", _ts(3), 2), (2, "x", _ts(2), 3)],
+        SCHEMA,
+    )
+    dim = scd2_from_changes(events, "k", ["attr"], "ts", tiebreak_col="eid")
+    at2 = {r["k"]: r["attr"] for r in as_of(dim, _ts(2)).collect()}
+    assert at2 == {1: "a", 2: "x"}
+    at3 = {r["k"]: r["attr"] for r in as_of(dim, _ts(3)).collect()}
+    assert at3 == {1: "b", 2: "x"}
+    at0 = as_of(dim, _ts(0, 30)).count()
+    assert at0 == 0  # before any version
