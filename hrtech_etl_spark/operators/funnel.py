@@ -86,8 +86,13 @@ def funnel_conversion(
     wide = frontier.agg(
         *[F.count(F.col(f"t{k}")).alias(f"n{k}") for k in range(1, len(steps) + 1)]
     )
+    def lit_name(s: str) -> str:
+        # Spark SQL string literals escape with backslash (doubled
+        # quotes would parse as adjacent-literal concatenation)
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     groups = ", ".join(
-        f"{k}, '{steps[k - 1].replace(chr(39), chr(39) * 2)}', n{k}"
+        f"{k}, {lit_name(steps[k - 1])}, n{k}"
         for k in range(1, len(steps) + 1)
     )
     return wide.select(
