@@ -11,9 +11,15 @@ funnel frontier (one row per step-1 user); drop-offs stay in the
 frontier with NULL entry times, so ONE pass of the chain yields every
 step's count. No per-user sequence materialization, no UDFs.
 
-``within_seconds`` bounds the whole funnel: step k must land within
-that many seconds of the STEP-1 entry (the common product-analytics
-definition; per-step gaps compose the same machinery).
+``within_seconds`` bounds the whole funnel ANCHORED AT THE USER'S
+EARLIEST STEP-1 EVENT: step k must land within that many seconds of
+that fixed anchor (the common product-analytics definition). Note the
+exactness caveat: greedy earliest-entry is exact for the UNBOUNDED
+funnel, but with a window it undercounts users who abandoned an early
+step-1 entry and completed from a LATER one — sliding-anchor
+semantics ('completed within the window of ANY step-1 event') are a
+different, more expensive operator (per-step-1-event windows), not a
+parameter of this one.
 """
 
 from __future__ import annotations

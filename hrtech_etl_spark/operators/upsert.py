@@ -81,13 +81,7 @@ def merge_upsert(
     via dynamic partition overwrite — the 100 TB path: a day's upsert
     touches a day's partitions.
     """
-    # Crash recovery for the rename swap below: a crash between the two
-    # renames leaves the data in `.__old` with no live target. Restore
-    # it BEFORE the exists-check — otherwise this call would take the
-    # bootstrap branch and silently orphan the full history.
-    old = target_path.rstrip("/") + ".__old"
-    if not _dataset_exists(spark, target_path) and _dataset_exists(spark, old):
-        _rename(spark, old, target_path.rstrip("/"))
+    _recover_swap(spark, target_path.rstrip("/"))
 
     exists = _dataset_exists(spark, target_path)
     if not exists:
@@ -151,9 +145,30 @@ def merge_upsert(
     # local disk. (Caveat: object stores without atomic directory
     # rename, e.g. raw S3A, copy per object during rename — prefer a
     # table format with a transactional commit there.)
+    _swap_in(spark, tmp, target_path.rstrip("/"))
+
+
+def _recover_swap(spark: SparkSession, target: str) -> None:
+    """Undo an interrupted :func:`_swap_in`: a crash between its two
+    renames leaves the data in ``.__old`` with no live target —
+    restore it BEFORE any exists-check, or the caller would take its
+    bootstrap branch and silently orphan the table. Shared by
+    ``merge_upsert`` and the streaming SCD2 sink."""
+    old = target + ".__old"
+    if not _dataset_exists(spark, target) and _dataset_exists(spark, old):
+        _rename(spark, old, target)
+
+
+def _swap_in(spark: SparkSession, staged: str, target: str) -> None:
+    """Rename-based swap of a fully staged directory into place: live
+    target → ``.__old`` → staged → target → drop ``.__old``. A crash
+    leaves either the live target or ``.__old`` (restored by
+    :func:`_recover_swap` on the next call), never a half-written
+    table."""
+    old = target + ".__old"
     _rm(spark, old)
-    _rename(spark, target_path.rstrip("/"), old)
-    _rename(spark, tmp, target_path.rstrip("/"))
+    _rename(spark, target, old)
+    _rename(spark, staged, target)
     _rm(spark, old)
 
 
@@ -177,7 +192,14 @@ def _dataset_exists(spark: SparkSession, path: str) -> bool:
         return True
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isDirectory() or name.endswith(".parquet") or name == "_SUCCESS":
+        # `_temporary`/`.staging` debris from a crashed write must NOT
+        # count as data: a killed bootstrap would otherwise route the
+        # replayed batch into a doomed read of a half-written table.
+        # Real partition directories are `col=value` names; committed
+        # writes leave part files and/or _SUCCESS.
+        if st.isDirectory() and not name.startswith(("_", ".")):
+            return True
+        if name.endswith(".parquet") or name == "_SUCCESS":
             return True
     return False
 

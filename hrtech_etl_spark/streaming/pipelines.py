@@ -473,20 +473,14 @@ def foreach_batch_scd2(
     from hrtech_etl_spark.operators.scd import scd2_from_changes, scd2_merge
     from hrtech_etl_spark.operators.upsert import (
         _dataset_exists,
-        _rename,
-        _rm,
+        _recover_swap,
+        _swap_in,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         target = dim_path.rstrip("/")
-        old = target + ".__old"
-        # Crash recovery: a crash between the swap's two renames leaves
-        # the dimension in `.__old` with no live target — restore it
-        # BEFORE the exists check, or this batch would take the
-        # bootstrap branch and orphan the full history.
-        if not _dataset_exists(spark, target) and _dataset_exists(spark, old):
-            _rename(spark, old, target)
+        _recover_swap(spark, target)
         if not _dataset_exists(spark, target):
             dim = scd2_from_changes(
                 batch_df, key_col, list(attr_cols), ts_col,
@@ -501,9 +495,6 @@ def foreach_batch_scd2(
         )
         tmp = target + ".__tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        _rm(spark, old)
-        _rename(spark, target, old)
-        _rename(spark, tmp, target)
-        _rm(spark, old)
+        _swap_in(spark, tmp, target)
 
     return sink

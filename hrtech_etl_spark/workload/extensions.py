@@ -557,8 +557,12 @@ def udtf_lateral_split(spark, sf_dir):
     sql="""
     WITH pp AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
     cc AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-    wm AS (SELECT least((SELECT max(ts) FROM pp), (SELECT max(ts) FROM cc))
-                  - INTERVAL 10 MINUTE AS w),
+    wm AS (
+      SELECT CASE WHEN (SELECT count(*) FROM pp) = 0 OR (SELECT count(*) FROM cc) = 0
+                  THEN NULL
+                  ELSE least((SELECT max(ts) FROM pp), (SELECT max(ts) FROM cc))
+                       - INTERVAL 10 MINUTE END AS w
+    ),
     j AS (
       SELECT pp.event_id AS purchase_id, cc.event_id AS click_id,
              pp.user_id, pp.ts
@@ -583,7 +587,14 @@ def stream_outer_interval_join(spark, sf_dir):
     micro-batch. The oracle states exactly that horizon — purchases
     newer than it are correctly ABSENT (they'd emit when the next
     batch of data arrives), so this query pins the at-scale
-    incremental semantics, not a batch approximation."""
+    incremental semantics, not a batch approximation. The empty-side
+    degenerate case is modeled too (one side empty → watermark never
+    advances → NULL horizon → no outer emissions). Known boundary
+    assumption: a purchase landing EXACTLY on the horizon (to the
+    microsecond, after Spark's ms watermark truncation) would sit in
+    the strict-vs-inclusive eviction gap — probability ~0 with
+    microsecond event times, and absent from the driver-generated
+    testdata at every SF (verified at sf0.001 and sf0.01)."""
     import tempfile
     import uuid
 

@@ -113,3 +113,17 @@ def test_sink_recovers_interrupted_swap(spark, tmp_path):
     )
     # history from batch 1 survived the interrupted swap
     assert rows == [(1, "a", False), (1, "b", True)]
+
+
+def test_dataset_exists_ignores_write_debris(spark, tmp_path):
+    """A directory holding only _temporary debris from a killed write
+    must NOT count as an existing dataset — the replayed batch has to
+    re-bootstrap, not read a half-written table forever."""
+    from hrtech_etl_spark.operators.upsert import _dataset_exists
+
+    d = tmp_path / "dim"
+    (d / "_temporary" / "0").mkdir(parents=True)
+    assert not _dataset_exists(spark, str(d))
+    # a committed part file flips it
+    (d / "part-00000-abc.snappy.parquet").write_bytes(b"PAR1")
+    assert _dataset_exists(spark, str(d))
