@@ -95,9 +95,14 @@ def scd2_merge(
       closes at that change's timestamp, batch versions insert;
     - batch equals current attrs (no change) → rows pass untouched
       (leading no-change runs are dropped from the batch);
-    - late updates (at or before the current row's ``valid_from``) are
-      dropped — out-of-order feeds belong upstream in the event-time
-      normalization, not silently rewriting closed history.
+    - late updates (strictly before the current row's ``valid_from``)
+      are dropped — out-of-order feeds belong upstream in the
+      event-time normalization, not silently rewriting closed history;
+    - changes AT the current row's ``valid_from`` (a timestamp tie
+      split across batches) version exactly as the full rebuild would,
+      and EXACT re-deliveries (checkpoint replays) are no-ops — already
+      -present (key, valid_from, attrs) versions anti-join away against
+      the current tie cluster.
 
     One shuffle on the key for the batch window + one broadcast-or-
     shuffle key-join against the (small, current-only) head of the
@@ -124,10 +129,30 @@ def scd2_merge(
         F.col("valid_from").alias("__cur_from"),
         *[F.col(c).alias(f"__cur_{c}") for c in attr_cols],
     )
+    # Strictly-earlier runs are late data and drop; runs AT the current
+    # version's start keep flowing — a same-timestamp change from a
+    # later batch (tie split across the boundary) must version exactly
+    # as the full rebuild would.
     b = batch.join(cur_k, key_col, "left")
     b = b.where(
-        F.col("__cur_from").isNull() | (F.col("valid_from") > F.col("__cur_from"))
+        F.col("__cur_from").isNull() | (F.col("valid_from") >= F.col("__cur_from"))
     )
+    # Exact-replay idempotency: a re-delivered batch's runs already
+    # exist as version rows at the same (key, valid_from, attrs) —
+    # anti-join them away. The existing side is bounded per key to the
+    # current run's timestamp-tie cluster (valid_from >= the current
+    # version's start; everything older was dropped above), so this is
+    # a small join, not a scan of full history.
+    recent = dim.join(
+        cur_k.select(key_col, "__cur_from"), key_col
+    ).where(F.col("valid_from") >= F.col("__cur_from"))
+    dup_cond = (
+        (b[key_col] == recent[key_col])
+        & (b["valid_from"] == recent["valid_from"])
+    )
+    for c in attr_cols:
+        dup_cond = dup_cond & b[c].eqNullSafe(recent[c])
+    b = b.join(recent, dup_cond, "left_anti")
     # Drop the leading no-change run: its attrs equal the current row's.
     first_w = W.partitionBy(key_col).orderBy("valid_from", "__run")
     same_as_cur = F.lit(True)

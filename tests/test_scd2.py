@@ -148,3 +148,32 @@ def test_as_of_point_in_time(spark):
     assert at3 == {1: "b", 2: "x"}
     at0 = as_of(dim, _ts(0, 30)).count()
     assert at0 == 0  # before any version
+
+
+def test_merge_tie_split_across_batches(spark, dim):
+    """A same-timestamp change arriving in a LATER batch versions
+    exactly as the full rebuild (zero-length closed version + new
+    current), not silently dropped."""
+    t = _ts(5)
+    b1 = spark.createDataFrame([(1, "b", t, 2)], SCHEMA)
+    b2 = spark.createDataFrame([(1, "c", t, 3)], SCHEMA)
+    step1 = scd2_merge(dim, b1, "k", ["attr"], "ts", tiebreak_col="eid")
+    step2 = scd2_merge(step1, b2, "k", ["attr"], "ts", tiebreak_col="eid")
+    events = spark.createDataFrame(
+        [(1, "a", _ts(1), 1), (1, "b", t, 2), (1, "c", t, 3),
+         (2, "x", _ts(1), 4)],
+        SCHEMA,
+    )
+    full = scd2_from_changes(events, "k", ["attr"], "ts", tiebreak_col="eid")
+    assert _sorted_rows(step2) == _sorted_rows(full)
+
+
+def test_merge_replay_idempotent(spark, dim):
+    """Exactly-once for the streaming sink: re-applying ANY batch —
+    including one containing a within-batch timestamp tie — is a
+    no-op."""
+    t = _ts(5)
+    batch = spark.createDataFrame([(1, "b", t, 2), (1, "c", t, 3)], SCHEMA)
+    once = scd2_merge(dim, batch, "k", ["attr"], "ts", tiebreak_col="eid")
+    twice = scd2_merge(once, batch, "k", ["attr"], "ts", tiebreak_col="eid")
+    assert _sorted_rows(once) == _sorted_rows(twice)
