@@ -146,6 +146,7 @@ def shingle_table(
     *,
     shingle_k: int = 2,
     hashed: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, shingle-set) table behind a repartition barrier.
 
@@ -186,11 +187,18 @@ def shingle_table(
     if not hashed:
         return raw.select(F.col(id_col), sh.alias("sh"))
     hashed_sh = hashed_shingles(sh)
+    projected = raw.select(F.col(id_col), hashed_sh.alias("sh"))
+    if not materialize:
+        # The caller will stack MORE per-row projections (e.g. the
+        # lsh_index signature fold) on top and place ONE barrier above
+        # the whole stack — a barrier here would be a redundant full
+        # exchange of the shingle-bearing rows (CollapseProject keeps
+        # the non-cheap shingle expression in its own stacked Project,
+        # so `sh` is still computed once per row).
+        return projected
     # factor=2, not 1: same key + same count would let EnsureRequirements
     # drop this barrier and re-inline the hashing into every consumer.
-    return keyed_barrier(
-        raw.select(F.col(id_col), hashed_sh.alias("sh")), id_col, factor=2
-    )
+    return keyed_barrier(projected, id_col, factor=2)
 
 
 def hashed_shingles(sh: Column) -> Column:
@@ -690,14 +698,25 @@ def lsh_index(
     alone re-shuffling) corpus text. Docs with no shingles carry a
     NULL ``bands`` (they can never near-dup match, mirroring the NULL
     signature rule in :func:`minhash_lsh_pairs`).
+
+    Exactly ONE keyed barrier materializes the whole (id, sh, sig)
+    projection — shingling, hashing, and the signature fold all run
+    once per row BELOW it, and the band extraction above it reads the
+    materialized ``sig`` array for free. (Earlier revisions barriered
+    the hashed shingles and the signature separately — two full
+    exchanges of shingle-bearing rows where one materialization point
+    suffices; the only other exchange on this path is
+    :func:`shingle_table`'s conditional widen of a narrow scan.)
     """
-    sh = shingle_table(df, text_col, id_col, shingle_k=shingle_k, hashed=True)
+    sh = shingle_table(
+        df, text_col, id_col, shingle_k=shingle_k, hashed=True, materialize=False
+    )
     sig = sh.select(
         F.col(id_col),
         F.col("sh"),
         minhash_signature(F.col("sh"), num_hashes, pre_hashed=True).alias("sig"),
     )
-    sig = keyed_barrier(sig, id_col, factor=3)
+    sig = keyed_barrier(sig, id_col, factor=2)
     bands = F.when(
         F.col("sig").isNotNull(),
         F.array(

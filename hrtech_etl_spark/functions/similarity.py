@@ -430,15 +430,25 @@ def pq_codebook(
     quantizer, so the oracle can replicate encoding exactly. At
     production scale swap in per-subspace k-means centroids (train on
     a sample, same shape) — every plan below is unchanged.
+
+    A codebook is a driver-side artifact (like a trained model): the
+    ksub seed rows are fetched with ONE bounded collect
+    (TakeOrderedAndProject of ksub · dim doubles — a few KiB) and the
+    m × ksub × dsub nesting is sliced in Python, exactly as
+    :func:`pq_codebook_trained` does. The result is a broadcast
+    LocalRelation, so a query that feeds the SAME codebook to both
+    :func:`pq_encode` and :func:`pq_adc_topk` evaluates it once —
+    earlier revisions built it as a window+aggregate subtree that the
+    plan duplicated per consumer and probed with an extra eager
+    ``count()`` job.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    from pyspark.sql import Window as W
-
     # The ksub lowest-id vectors regardless of id density (sparse or
     # 1-based ids would silently under-fill an `id < ksub` filter);
     # subspace j is the seed's RANK, so the codebook is always full.
+    # The underfill check rides the collect — no separate count job.
     seeds = (
         embeddings.select(
             F.col(id_col).alias("__sid"),
@@ -446,25 +456,22 @@ def pq_codebook(
         )
         .orderBy("__sid")
         .limit(ksub)
-        .select(
-            (F.row_number().over(W.orderBy("__sid")) - 1).alias("j"), "v"
-        )
+        .collect()
     )
-    if seeds.count() < ksub:
+    if len(seeds) < ksub:
         raise ValueError(
             f"pq_codebook: corpus has fewer than ksub={ksub} vectors"
         )
-    row = seeds.agg(
-        F.array_sort(F.collect_list(F.struct("j", "v"))).alias("__seeds")
+    seeds.sort(key=lambda r: r["__sid"])
+    cb = [
+        [[float(x) for x in r["v"][s * dsub : (s + 1) * dsub]] for r in seeds]
+        for s in range(m)
+    ]
+    return F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            [(cb,)], "`__cb` ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+        )
     )
-    cb = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.col("__seeds"),
-            lambda r: F.slice(r.getField("v"), s * dsub + 1, dsub),
-        ),
-    )
-    return F.broadcast(row.select(cb.alias("__cb")))
 
 
 def _l2sq(a: Column, b: Column) -> Column:

@@ -6,10 +6,13 @@ per-step minimal-timestamp aggregations: step k's entry time for a
 user is the EARLIEST event of type k strictly after their step-k-1
 entry (the standard greedy funnel — earliest entries maximize the
 conversion count, so greedy is exact here). Each step costs one
-filtered aggregation over events plus a broadcast join against the
-funnel frontier (one row per step-1 user); drop-offs stay in the
-frontier with NULL entry times, so ONE pass of the chain yields every
-step's count. No per-user sequence materialization, no UDFs.
+filtered aggregation over events plus an equi-join against the funnel
+frontier (one row per step-1 user — unbounded cardinality, so NO
+forced broadcast: both sides hash on the user key and AQE downgrades
+to broadcast only when the frontier genuinely fits); drop-offs stay
+in the frontier with NULL entry times, so ONE pass of the chain
+yields every step's count. No per-user sequence materialization, no
+UDFs.
 
 ``within_seconds`` bounds the whole funnel ANCHORED AT THE USER'S
 EARLIEST STEP-1 EVENT: step k must land within that many seconds of
@@ -57,8 +60,13 @@ def funnel_steps(
                 F.col("__ts")
                 <= F.col("t1") + F.expr(f"interval {within_seconds} seconds")
             )
+        # No broadcast hint on the frontier: it is one row per step-1
+        # user (unbounded cardinality at event-log scale), so a forced
+        # broadcast would OOM on a real cluster. Both sides hash on
+        # user_col already; AQE picks broadcast only when the frontier
+        # is genuinely under the size threshold.
         completed = (
-            nxt.join(F.broadcast(frontier), user_col)
+            nxt.join(frontier, user_col)
             .where(cond)
             .groupBy(user_col)
             .agg(F.min("__ts").alias(f"t{k}"))

@@ -670,8 +670,9 @@ def funnel_view_click_purchase(spark, sf_dir):
     """Ordered-sequence funnel view→click→purchase over the event log
     (operators/funnel.py): per-step earliest-entry chaining — greedy,
     which is exact for conversion counting — as filtered aggregations
-    + broadcast frontier joins, one funnel pass for all step counts.
-    The oracle states the identical min-timestamp chain in SQL."""
+    + hint-free frontier joins (AQE picks broadcast only when the
+    frontier fits), one funnel pass for all step counts. The oracle
+    states the identical min-timestamp chain in SQL."""
     from hrtech_etl_spark.operators.funnel import funnel_conversion
 
     e = load_table(spark, "events", sf_dir)

@@ -97,6 +97,21 @@ def test_broadcast_join_shape(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_index_single_barrier(spark):
+    """lsh_index materializes (id, sh, sig) behind exactly ONE keyed
+    barrier; with the conditional narrow-scan widen that is at most two
+    keyed exchanges end to end — a third back-to-back exchange of the
+    shingle-bearing rows is a regression (r6 plan audit)."""
+    corpus, _ = _dfs(spark)
+    plan = (
+        dd.lsh_index(corpus, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("REPARTITION_BY_NUM") <= 2
+
+
 def test_index_null_bands_for_empty(spark):
     _, batch = _dfs(spark)
     idx = dd.lsh_index(batch, "text", "doc_id")

@@ -52,6 +52,17 @@ def test_within_bound(ev):
     assert out[3] == 1  # u5's purchase at +30min falls outside the bound
 
 
+def test_no_forced_broadcast_on_frontier(ev):
+    """The frontier is one row per step-1 user — unbounded cardinality
+    at event-log scale, so NO forced broadcast hint may survive in the
+    plan (AQE alone decides the join strategy; a hint overriding the
+    size threshold OOMs a real cluster)."""
+    fr = funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    analyzed = fr._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+
+
 def test_steps_frontier_nulls(ev):
     fr = {r["user_id"]: r for r in funnel_steps(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
