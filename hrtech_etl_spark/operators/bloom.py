@@ -51,6 +51,17 @@ class BloomFilter:
     m_bits: int
     k: int
 
+    def release(self, spark) -> None:
+        """Unpersist this filter's cached bitmap broadcast (if any) in
+        ``spark``'s context — call after a per-batch reuse loop ends to
+        free executor/driver memory before the filter itself goes
+        away."""
+        cache = getattr(self, "_bc", None)
+        if cache:
+            bc = cache.pop(spark.sparkContext.applicationId, None)
+            if bc is not None:
+                bc.unpersist()
+
     @staticmethod
     def size_for(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
         """Textbook (m, k) for a target false-positive rate:
@@ -132,12 +143,24 @@ def bloom_might_contain(
     """Boolean probe column: True when every one of the key's k bits is
     set. Positions come from the same JVM xxhash64 expressions as the
     build; the broadcast numpy bitmap answers them in one vectorized
-    pandas batch. NULL keys probe False (a NULL never matched a key)."""
+    pandas batch. NULL keys probe False (a NULL never matched a key).
+
+    The bitmap broadcast is CACHED on the filter per Spark application
+    (the advertised reuse loop probes one filter across many ingest
+    batches — a fresh broadcast per call would accumulate bitmap
+    copies on the driver and executors for the session lifetime); call
+    :meth:`BloomFilter.release` when done with a filter."""
     from pyspark.sql.functions import pandas_udf
 
-    bc = df.sparkSession.sparkContext.broadcast(
-        np.frombuffer(bloom.bits, dtype=np.uint8)
-    )
+    sc = df.sparkSession.sparkContext
+    cache = getattr(bloom, "_bc", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(bloom, "_bc", cache)  # non-field slot on the frozen dataclass
+    bc = cache.get(sc.applicationId)
+    if bc is None:
+        bc = sc.broadcast(np.frombuffer(bloom.bits, dtype=np.uint8))
+        cache[sc.applicationId] = bc
 
     @pandas_udf("boolean")
     def _probe(positions: pd.Series) -> pd.Series:

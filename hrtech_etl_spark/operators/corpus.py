@@ -228,6 +228,14 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[length_col].isna().any():
+            # mirror the integral-type check: a NULL token count has no
+            # meaningful bin — without this guard int(NaN) raises a
+            # bare ValueError deep in the kernel
+            raise ValueError(
+                f"pack_sequences: NULL {length_col} values — token "
+                "counts must be non-null; filter or impute before packing"
+            )
         group = int(pdf["__grp"].iloc[0])
         # first-fit-DECREASING: longest docs first fill bins tightest
         pdf = pdf.sort_values(

@@ -95,18 +95,30 @@ def kll_quantiles(
     sketch_col: str = "kll_sketch",
 ) -> DataFrame:
     """Merge stored KLL blobs to ``group_cols`` and extract the
-    requested quantiles as ``q_<percent>`` columns."""
+    requested quantiles as ``q_<percent>`` columns (fractional percents
+    keep their digits with ``_`` for the point — ``0.125 → q_12_5``,
+    ``0.001 → q_0_1`` — so close quantiles can't collide on a rounded
+    name; duplicate names still raise rather than emit an ambiguous
+    frame)."""
     merged = F.kll_merge_agg_double(F.col(sketch_col)).alias(sketch_col)
     rolled = (
         sketches.groupBy(*group_cols).agg(merged)
         if group_cols
         else sketches.agg(merged)
     )
+
+    def q_name(q: float) -> str:
+        # fixed-then-strip, not str(q*100): float artifacts like
+        # 0.29*100 == 28.999999999999996 must still name q_29
+        pct = f"{q * 100:.8f}".rstrip("0").rstrip(".")
+        return "q_" + pct.replace(".", "_").replace("-", "m")
+
+    names = [q_name(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"kll_quantiles: duplicate quantile names {names}")
     outs = [
-        F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(q)).alias(
-            f"q_{round(q * 100)}"  # round, not int(): int(0.29*100) == 28
-        )
-        for q in quantiles
+        F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(q)).alias(n)
+        for q, n in zip(quantiles, names)
     ]
     return rolled.select(*group_cols, *outs)
 

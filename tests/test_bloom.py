@@ -78,3 +78,20 @@ def test_size_for_sanity():
     m, k = BloomFilter.size_for(1_000_000, 0.01)
     assert 9_000_000 < m < 10_500_000  # ~9.6 bits/key at 1% fpp
     assert k in (6, 7)
+
+
+def test_probe_broadcast_cached_and_released(spark):
+    """Repeated probes of ONE filter must reuse ONE bitmap broadcast
+    (the per-ingest-batch loop would otherwise accumulate broadcasts
+    for the session lifetime); release() drops it."""
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", n_keys=100, fpp=0.01)
+    bloom_prefilter(keys, bloom, "k").count()
+    first = getattr(bloom, "_bc")[spark.sparkContext.applicationId]
+    bloom_prefilter(keys, bloom, "k").count()
+    again = getattr(bloom, "_bc")[spark.sparkContext.applicationId]
+    assert first is again
+    bloom.release(spark)
+    assert spark.sparkContext.applicationId not in getattr(bloom, "_bc")
+    # probing after release rebuilds transparently
+    assert bloom_prefilter(keys, bloom, "k").count() == 100

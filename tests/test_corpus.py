@@ -285,3 +285,15 @@ def test_cosine_topk_batch_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_null_length_raises(spark):
+    """A NULL token count has no meaningful bin: the kernel must raise
+    a named error, not a bare int(NaN) ValueError."""
+    from pyspark.sql.utils import PythonException
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, n_tokens int"
+    )
+    with pytest.raises(PythonException, match="NULL n_tokens"):
+        pack_sequences(df, "doc_id", "n_tokens", max_len=16).collect()

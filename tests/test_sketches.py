@@ -137,3 +137,16 @@ def test_cms_frequencies(spark, events):
     for item in ("click", "purchase"):
         assert exact[item] <= got[item] <= exact[item] + 0.001 * n_total + 1
     assert got["nonexistent"] <= 0.001 * n_total + 1
+
+
+def test_kll_fractional_quantile_names(spark, events):
+    """Sub-percent and fractional quantiles must get distinct, exact
+    column names (a percent-rounded name would collide 0.001 with
+    0.005); duplicates raise instead of emitting an ambiguous frame."""
+    from hrtech_etl_spark.operators.sketches import kll_partial, kll_quantiles
+
+    daily = kll_partial(events, ["day"], "value")
+    cols = kll_quantiles(daily, [], [0.001, 0.005, 0.125, 0.29, 0.5]).columns
+    assert cols == ["q_0_1", "q_0_5", "q_12_5", "q_29", "q_50"]
+    with pytest.raises(ValueError, match="duplicate"):
+        kll_quantiles(daily, [], [0.5, 0.5])
