@@ -19,10 +19,15 @@ EARLIEST STEP-1 EVENT: step k must land within that many seconds of
 that fixed anchor (the common product-analytics definition). Note the
 exactness caveat: greedy earliest-entry is exact for the UNBOUNDED
 funnel, but with a window it undercounts users who abandoned an early
-step-1 entry and completed from a LATER one — sliding-anchor
-semantics ('completed within the window of ANY step-1 event') are a
-different, more expensive operator (per-step-1-event windows), not a
-parameter of this one.
+step-1 entry and completed from a LATER one — that sliding-anchor
+semantic ('completed within the window of ANY step-1 event') is
+:func:`funnel_steps_sliding` / :func:`funnel_conversion_sliding`:
+the same greedy chain run per step-1 EVENT (greedy stays exact for a
+fixed window end — taking the earliest candidate at each step only
+leaves more room before the deadline), with a per-user any-match
+rollup. Its frontier is one row per step-1 event instead of per user,
+so it costs proportionally more — that multiplicity, not a different
+algorithm, is the price of the stronger semantic.
 """
 
 from __future__ import annotations
@@ -100,6 +105,13 @@ def funnel_conversion(
     wide = frontier.agg(
         *[F.count(F.col(f"t{k}")).alias(f"n{k}") for k in range(1, len(steps) + 1)]
     )
+    return _step_report(wide, steps)
+
+
+def _step_report(wide: DataFrame, steps: list[str]) -> DataFrame:
+    """Unpivot a 1-row (n1..nN) frame into the per-step conversion
+    report shared by both funnel variants."""
+
     def lit_name(s: str) -> str:
         # Spark SQL string literals escape with backslash (doubled
         # quotes would parse as adjacent-literal concatenation)
@@ -120,3 +132,86 @@ def funnel_conversion(
         "n_users",
         F.round(F.col("n_users") / F.col("__n1"), 4).alias("conversion"),
     )
+
+
+def funnel_steps_sliding(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int,
+) -> DataFrame:
+    """Sliding-anchor funnel frontier: one row per step-1 EVENT
+    ``(user, t1)`` with ``t2..tN`` entry times for the greedy chain
+    anchored at that event — step k must land strictly after step k-1
+    and within ``within_seconds`` of THIS anchor. Greedy is exact per
+    anchor (fixed deadline ``t1 + within``: earliest entries only
+    leave more room), so a user converts under 'ANY step-1 window'
+    semantics iff some frontier row reaches ``tN``.
+
+    Same hint-free join shape as :func:`funnel_steps` — the frontier
+    is unbounded (every step-1 event), so the per-step joins hash on
+    the user key and AQE decides the strategy.
+    """
+    if not steps:
+        raise ValueError("funnel_steps_sliding needs at least one step")
+    if within_seconds is None:
+        raise ValueError(
+            "funnel_steps_sliding requires within_seconds — without a "
+            "window every anchor is dominated by the earliest one and "
+            "funnel_steps is the cheaper identical answer"
+        )
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .select(F.col(user_col), F.col(ts_col).alias("t1"))
+        .distinct()
+    )
+    deadline = F.col("t1") + F.expr(f"interval {within_seconds} seconds")
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        cond = (F.col("__ts") > F.col(f"t{k - 1}")) & (F.col("__ts") <= deadline)
+        completed = (
+            nxt.join(frontier, user_col)
+            .where(cond)
+            .groupBy(user_col, "t1")
+            .agg(F.min("__ts").alias(f"t{k}"))
+        )
+        frontier = frontier.join(completed, [user_col, "t1"], "left")
+    return frontier
+
+
+def funnel_conversion_sliding(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int,
+) -> DataFrame:
+    """Sliding-anchor conversion report: ``n_users`` at step k counts
+    users for whom ANY step-1 event's window completes through step k
+    — always ≥ the fixed-anchor :func:`funnel_conversion` count, never
+    more than the unbounded one. One distinct-user rollup over the
+    per-anchor frontier."""
+    frontier = funnel_steps_sliding(
+        events,
+        user_col,
+        ts_col,
+        type_col,
+        steps,
+        within_seconds=within_seconds,
+    )
+    wide = frontier.agg(
+        *[
+            F.countDistinct(
+                F.when(F.col(f"t{k}").isNotNull(), F.col(user_col))
+            ).alias(f"n{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    return _step_report(wide, steps)

@@ -679,3 +679,104 @@ def funnel_view_click_purchase(spark, sf_dir):
     return funnel_conversion(
         e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
+
+
+_SLIDE_SECS = 6 * 3600  # 6h window: visibly between anchored-6h and unbounded
+
+
+@query(
+    "funnel_sliding_window",
+    sql=f"""
+    WITH a AS (
+      SELECT DISTINCT user_id, ts AS t1 FROM events WHERE event_type = 'view'
+    ),
+    c2 AS (
+      SELECT a.user_id, a.t1, min(e.ts) AS t2
+      FROM a JOIN events e ON e.user_id = a.user_id AND e.event_type = 'click'
+       AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL {_SLIDE_SECS} SECOND
+      GROUP BY a.user_id, a.t1
+    ),
+    f2 AS (SELECT a.user_id, a.t1, c2.t2 FROM a LEFT JOIN c2 USING (user_id, t1)),
+    c3 AS (
+      SELECT f2.user_id, f2.t1, min(e.ts) AS t3
+      FROM f2 JOIN events e ON e.user_id = f2.user_id AND e.event_type = 'purchase'
+       AND e.ts > f2.t2 AND e.ts <= f2.t1 + INTERVAL {_SLIDE_SECS} SECOND
+      GROUP BY f2.user_id, f2.t1
+    ),
+    f3 AS (SELECT f2.user_id, f2.t1, f2.t2, c3.t3 FROM f2 LEFT JOIN c3 USING (user_id, t1)),
+    w AS (SELECT count(DISTINCT user_id) AS n1,
+                 count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n2,
+                 count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n3
+          FROM f3)
+    SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+           round(CAST(n1 AS DOUBLE) / n1, 4) AS conversion FROM w
+    UNION ALL
+    SELECT 2, 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 4) FROM w
+    UNION ALL
+    SELECT 3, 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 4) FROM w
+    """,
+)
+def funnel_sliding_window(spark, sf_dir):
+    """Sliding-anchor funnel: a user converts at step k when ANY of
+    their view events opens a 6-hour window inside which the ordered
+    click→purchase chain completes — the stronger semantic the fixed-
+    anchor funnel documents as its undercount caveat. One greedy chain
+    per step-1 EVENT (greedy is exact for a fixed deadline) + a
+    distinct-user rollup (operators/funnel.py::funnel_conversion_sliding);
+    the oracle states the identical per-anchor min-chain in SQL."""
+    from hrtech_etl_spark.operators.funnel import funnel_conversion_sliding
+
+    e = load_table(spark, "events", sf_dir)
+    return funnel_conversion_sliding(
+        e,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within_seconds=_SLIDE_SECS,
+    )
+
+
+_ASOF_TS = "2024-01-15 00:00:00"
+
+
+@query(
+    "etl_scd2_asof",
+    sql=f"""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN TRUE
+                  WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN TRUE
+                  ELSE FALSE END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (SELECT user_id, event_type, ts, event_id FROM marked WHERE chg),
+    hist AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to,
+             lead(ts) OVER w2 IS NULL AS is_current
+      FROM runs
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type, valid_from, valid_to, is_current
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_ASOF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_TS}')
+    """,
+)
+def etl_scd2_asof(spark, sf_dir):
+    """Point-in-time SCD2 snapshot: rebuild the version history from
+    the event log (same plan as etl_scd2_history — one key-window
+    shuffle), then operators/scd.py::as_of filters to the one version
+    row per user valid at 2024-01-15 — the time-travel read that is a
+    pure (partition-prunable) filter over the dimension. The oracle
+    applies the identical validity predicate to the identical
+    history."""
+    from hrtech_etl_spark.operators.scd import as_of, scd2_from_changes
+
+    e = load_table(spark, "events", sf_dir)
+    hist = scd2_from_changes(
+        e, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
+    )
+    return as_of(hist, _ASOF_TS)

@@ -71,3 +71,40 @@ def test_steps_frontier_nulls(ev):
     assert fr[3]["t2"] is None and fr[3]["t3"] is None
     assert fr[2]["t2"] is not None and fr[2]["t3"] is None
     assert fr[1]["t3"] == _t(9)
+
+
+def test_sliding_recovers_abandoned_anchor(ev):
+    """The documented fixed-anchor undercount: a user whose EARLIEST
+    step-1 event's window expires but who completes from a LATER
+    step-1 event counts under sliding semantics."""
+    from hrtech_etl_spark.operators.funnel import funnel_conversion_sliding
+
+    rows = [
+        # early view whose 10-min window sees nothing
+        (9, "view", _t(0)),
+        # later view opens a window that completes
+        (9, "view", _t(40)), (9, "click", _t(42)), (9, "purchase", _t(45)),
+    ]
+    df = ev.sparkSession.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    fixed = {r["step"]: r["n_users"] for r in funnel_conversion(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        within_seconds=600,
+    ).collect()}
+    sliding = {r["step"]: r["n_users"] for r in funnel_conversion_sliding(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        within_seconds=600,
+    ).collect()}
+    assert fixed[3] == 0      # anchored at _t(0): chain dies
+    assert sliding[3] == 1    # the _t(40) anchor completes
+
+
+def test_sliding_requires_window(ev):
+    from hrtech_etl_spark.operators.funnel import funnel_steps_sliding
+
+    with pytest.raises(ValueError, match="within_seconds"):
+        funnel_steps_sliding(
+            ev, "user_id", "ts", "event_type", ["view", "click"],
+            within_seconds=None,
+        )
