@@ -51,6 +51,28 @@ def main() -> None:
     # timed query doesn't pay session startup.
     REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
 
+    # Host-noise calibration, recorded IN the artifact: the same fixed
+    # reference query (its code never changes round to round) timed 5x
+    # after warm-up. On a quiet host the spread is tight; a wide spread
+    # here means the headline numbers in THIS run carry the same noise
+    # (shared-microVM samples have historically swung 2-10x) — judge
+    # against session-best minima, not any single sample.
+    cal_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
+        cal_runs.append(time.perf_counter() - t0)
+    cal_sorted = sorted(cal_runs)
+    calibration = {
+        "query": "sort_topk_global",
+        "runs": [round(t, 3) for t in cal_runs],
+        "min": round(cal_sorted[0], 3),
+        "median": round(cal_sorted[len(cal_sorted) // 2], 3),
+        "max": round(cal_sorted[-1], 3),
+        "spread": round(cal_sorted[-1] / cal_sorted[0], 2),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
     # One untimed warm-up run per query (janino codegen of the large
     # expression trees costs whole seconds the first time a plan
     # compiles — irrelevant at production scale), then n timed runs
@@ -82,6 +104,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "n_runs": n_runs,
+                "calibration": calibration,
                 "sf": sf,
             }
         )
