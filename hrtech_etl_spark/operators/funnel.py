@@ -50,11 +50,30 @@ def funnel_steps(
     uncompleted step onward (drop-offs keep their earlier times)."""
     if not steps:
         raise ValueError("funnel_steps needs at least one step")
-    frontier = (
+    # LINEAR chain of cumulative-progress frames: chain_k holds the
+    # users who completed step k with their full (t1..tk) entry times
+    # and references chain_{k-1} exactly ONCE. The obvious alternative
+    # — frontier_k = frontier_{k-1} LEFT JOIN completed(frontier_{k-1})
+    # — nests the frontier subtree TWICE per step, so the step-1
+    # aggregation gets planned 2^(N-1) times (exchange reuse collapses
+    # only copies whose pushed filters canonicalize identically); here
+    # each chain_k subtree appears once in chain_{k+1} and once in the
+    # final fan-in, those two occurrences ARE identical, and the
+    # runtime reads one ReusedExchange per step. Grouping by
+    # (user, t1..t_{k-1}) equals grouping by user — one row per user
+    # in chain_{k-1} — and just carries the earlier entry times along.
+    #
+    # No broadcast hint anywhere: every chain frame is one row per
+    # step-1 user (unbounded cardinality at event-log scale), so a
+    # forced broadcast would OOM a real cluster. The joins hash on
+    # user_col; AQE picks broadcast only when a side is genuinely
+    # under the size threshold.
+    chain = (
         events.where(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t1"))
     )
+    frontier = chain
     for k, step in enumerate(steps[1:], start=2):
         nxt = events.where(F.col(type_col) == step).select(
             F.col(user_col), F.col(ts_col).alias("__ts")
@@ -65,18 +84,15 @@ def funnel_steps(
                 F.col("__ts")
                 <= F.col("t1") + F.expr(f"interval {within_seconds} seconds")
             )
-        # No broadcast hint on the frontier: it is one row per step-1
-        # user (unbounded cardinality at event-log scale), so a forced
-        # broadcast would OOM on a real cluster. Both sides hash on
-        # user_col already; AQE picks broadcast only when the frontier
-        # is genuinely under the size threshold.
-        completed = (
-            nxt.join(frontier, user_col)
+        chain = (
+            nxt.join(chain, user_col)
             .where(cond)
-            .groupBy(user_col)
+            .groupBy(user_col, *[f"t{i}" for i in range(1, k)])
             .agg(F.min("__ts").alias(f"t{k}"))
         )
-        frontier = frontier.join(completed, user_col, "left")
+        frontier = frontier.join(
+            chain.select(user_col, f"t{k}"), user_col, "left"
+        )
     return frontier
 
 
@@ -163,24 +179,29 @@ def funnel_steps_sliding(
             "window every anchor is dominated by the earliest one and "
             "funnel_steps is the cheaper identical answer"
         )
-    frontier = (
+    # Same linear-chain shape as funnel_steps (see the comment there),
+    # keyed by anchor (user, t1) instead of user alone.
+    chain = (
         events.where(F.col(type_col) == steps[0])
         .select(F.col(user_col), F.col(ts_col).alias("t1"))
         .distinct()
     )
+    frontier = chain
     deadline = F.col("t1") + F.expr(f"interval {within_seconds} seconds")
     for k, step in enumerate(steps[1:], start=2):
         nxt = events.where(F.col(type_col) == step).select(
             F.col(user_col), F.col(ts_col).alias("__ts")
         )
         cond = (F.col("__ts") > F.col(f"t{k - 1}")) & (F.col("__ts") <= deadline)
-        completed = (
-            nxt.join(frontier, user_col)
+        chain = (
+            nxt.join(chain, user_col)
             .where(cond)
-            .groupBy(user_col, "t1")
+            .groupBy(user_col, *[f"t{i}" for i in range(1, k)])
             .agg(F.min("__ts").alias(f"t{k}"))
         )
-        frontier = frontier.join(completed, [user_col, "t1"], "left")
+        frontier = frontier.join(
+            chain.select(user_col, "t1", f"t{k}"), [user_col, "t1"], "left"
+        )
     return frontier
 
 
