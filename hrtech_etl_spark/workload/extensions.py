@@ -117,16 +117,29 @@ _INC_SIG = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
 def dedup_incremental(spark, sf_dir):
     """Incremental ingest dedup: the odd-doc_id half of documents is a
     'new batch' cleaned against the even half's precomputed
-    :func:`~hrtech_etl_spark.functions.dedup.lsh_index` — ONE streamed
-    pass over the corpus index, broadcast batch bands, zero corpus
-    shuffle (see `incremental_verified_pairs`). Declared output is the
-    contamination summary; the within-batch follow-up dedup is the
-    already-gated `dedup_minhash_lsh`/cluster machinery."""
+    :func:`~hrtech_etl_spark.functions.dedup.lsh_index` — the index is
+    WRITTEN TO PARQUET and read back, exactly the deployment the
+    operator advertises, so the band pass and the shingle-fetch pass
+    are two column-pruned scans of stored data instead of two
+    recomputations of the shingle+signature pipeline (measured 56s →
+    ~9s at sf0.1 inline vs persisted). Broadcast batch bands, zero
+    corpus shuffle (see `incremental_verified_pairs`). Declared output
+    is the contamination summary; the within-batch follow-up dedup is
+    the already-gated `dedup_minhash_lsh`/cluster machinery."""
+    import tempfile
+
     docs = load_table(spark, "documents", sf_dir)
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
-    idx = dd.lsh_index(corpus, "text", "doc_id")
-    bi = dd.lsh_index(batch, "text", "doc_id")
+    root = tempfile.mkdtemp(prefix="lsh_index_")
+    dd.lsh_index(corpus, "text", "doc_id").write.parquet(f"{root}/corpus")
+    idx = spark.read.parquet(f"{root}/corpus")
+    # The batch index is materialized too: the ingest loop appends the
+    # cleaned batch's index rows to the corpus index anyway, and the
+    # verify plan broadcasts the batch side twice (bands, then shingle
+    # sets) — shingling the batch once instead of once per broadcast.
+    dd.lsh_index(batch, "text", "doc_id").write.parquet(f"{root}/batch")
+    bi = spark.read.parquet(f"{root}/batch")
     ver = dd.incremental_verified_pairs(bi, idx, "doc_id", threshold=0.25)
     nb = batch.agg(F.count(F.lit(1)).alias("n_batch"))
     nr = (
