@@ -51,6 +51,13 @@ class BloomFilter:
     m_bits: int
     k: int
 
+    def __getstate__(self):
+        # the per-application broadcast cache is session-local runtime
+        # state — never serialize it (persistence contract is the bits)
+        d = dict(self.__dict__)
+        d.pop("_bc", None)
+        return d
+
     def release(self, spark) -> None:
         """Unpersist this filter's cached bitmap broadcast (if any) in
         ``spark``'s context — call after a per-batch reuse loop ends to

@@ -121,8 +121,9 @@ def dedup_incremental(spark, sf_dir):
     WRITTEN TO PARQUET and read back, exactly the deployment the
     operator advertises, so the band pass and the shingle-fetch pass
     are two column-pruned scans of stored data instead of two
-    recomputations of the shingle+signature pipeline (measured 56s →
-    ~9s at sf0.1 inline vs persisted). Broadcast batch bands, zero
+    recomputations of the shingle+signature pipeline (measured 56s
+    inline vs 2.5s persisted at sf0.1, writes included). Broadcast
+    batch bands, zero
     corpus shuffle (see `incremental_verified_pairs`). Declared output
     is the contamination summary; the within-batch follow-up dedup is
     the already-gated `dedup_minhash_lsh`/cluster machinery."""
