@@ -837,6 +837,17 @@ def drop_near_duplicates_incremental(
     contaminated = hit.select(F.col("__bid").alias(id_col)).distinct()
     survivors = batch.join(F.broadcast(contaminated), id_col, "left_anti")
     if dedup_within_batch:
+        # Truncate the survivors' lineage ONCE before within-batch
+        # dedup: drop_near_duplicates re-reads its input several times
+        # (shingle sides, cluster ids, the final keep semi-join) — N
+        # cheap scans for the parquet-backed corpora it is designed
+        # around, but here the input lineage is the whole band-join +
+        # Jaccard-verify pipeline, and re-executing it per consumer
+        # multiplied the batch clean by ~4-5x at the 100k-doc smoke
+        # scale. Executor-local blocks suffice: losing one restarts
+        # this batch's clean, and the long-running convergence loop
+        # has its own reliable `checkpoint_dir` knob.
+        survivors = survivors.localCheckpoint(eager=False)
         survivors = drop_near_duplicates(
             survivors,
             text_col,
