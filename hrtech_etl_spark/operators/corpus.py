@@ -328,6 +328,11 @@ def prepare_training_corpus(
     from hrtech_etl_spark.functions import text as tx
 
     cleaned = dd.drop_exact_duplicates(docs, text_col, id_col)
+    # Materialization boundary: drop_near_duplicates re-reads its input
+    # several times (shingle sides, cluster ids, the final keep
+    # semi-join) — N cheap scans for a parquet-backed input, N
+    # re-executions of the exact-dedup shuffle without this truncation.
+    cleaned = cleaned.localCheckpoint(eager=False)
     cleaned = dd.drop_near_duplicates(
         cleaned,
         text_col,
@@ -353,6 +358,9 @@ def prepare_training_corpus(
         "__chunk_id",
         F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_idx")),
     )
+    # keyed feeds BOTH sides of the pack join; without a boundary the
+    # whole dedup→chunk lineage above would execute twice.
+    keyed = keyed.localCheckpoint(eager=False)
     packs = pack_sequences(
         keyed, "__chunk_id", "n_tokens", pack_max_len
     ).select("__chunk_id", "pack_id", "oversize")
