@@ -363,3 +363,69 @@ def quality_score(col: Column) -> Column:
     punct_ok = F.when(punct_ratio(col) <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
     stop_ok = F.when(stopword_ratio(col) >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
     return F.round(length_ok + words_ok + punct_ok + stop_ok, 4)
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    delimiter: str = "\n",
+    max_doc_frac: float = 0.5,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate removal, the classic C4/CCNet corpus
+    step: a SEGMENT (line by default) occurring in more than
+    ``max_doc_frac`` of documents (and at least ``min_doc_count`` of
+    them) is boilerplate — nav bars, headers, cookie banners, license
+    blurbs — and is dropped from EVERY document; each document's
+    surviving segments are reassembled in their original order.
+    ``delimiter=" "`` degenerates to document-frequency-based token
+    pruning (the unordered analog is stop-shingle removal,
+    :func:`hrtech_etl_spark.functions.dedup.remove_stop_shingles`).
+
+    Returns ``(id, text)`` for documents with at least one surviving
+    segment; documents whose every segment was boilerplate (or whose
+    text is NULL) are dropped — the standard corpus-prep behavior
+    (empty documents are never trained on).
+
+    Plan at scale: segment explode (Generate, no shuffle) → per-doc
+    distinct + frequency aggregation (two segment-keyed exchanges with
+    map-side partials) → anti-join of the segment stream against the
+    SMALL boilerplate set (AQE broadcasts it) → one document-keyed
+    exchange to reassemble. Document counts ride a 1-row cross join —
+    no driver-side scalar, no collect anywhere.
+    """
+    import re as _re
+
+    parts = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delimiter), -1)
+        ).alias("__pos", "__seg"),
+    )
+    per_doc = parts.select(id_col, "__seg").distinct()
+    freq = per_doc.groupBy("__seg").agg(F.count(F.lit(1)).alias("__n"))
+    total = docs.agg(F.count(F.lit(1)).alias("__total"))
+    stop = (
+        freq.crossJoin(total)
+        .where(
+            (F.col("__n") >= min_doc_count)
+            & (F.col("__n") > F.col("__total") * max_doc_frac)
+        )
+        .select("__seg")
+    )
+    kept = parts.join(stop, "__seg", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__seg"))).alias("__ps")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("__ps"), lambda s: s.getField("__seg")),
+                delimiter,
+            ).alias(text_col),
+        )
+    )

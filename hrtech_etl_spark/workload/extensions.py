@@ -794,3 +794,38 @@ def etl_scd2_asof(spark, sf_dir):
         e, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
     )
     return as_of(hist, _ASOF_TS)
+
+
+@query(
+    "text_boilerplate_removal",
+    sql="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    parts AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS seg FROM s),
+    freq AS (SELECT seg, count(*) AS n FROM (SELECT DISTINCT doc_id, seg FROM parts) GROUP BY seg),
+    tot AS (SELECT count(*) AS total FROM documents),
+    stop AS (SELECT seg FROM freq, tot WHERE n >= 2 AND n > 0.79 * total),
+    kept AS (SELECT p.doc_id, p.pos, p.seg FROM parts p ANTI JOIN stop USING (seg))
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_boilerplate_removal(spark, sf_dir):
+    """Cross-document boilerplate removal (functions/text.py::
+    remove_boilerplate) — the C4/CCNet corpus step: segments occurring
+    in more than 79% of documents are dropped from every document,
+    survivors reassembled in original order. The synthetic corpus has
+    no newlines, so the gate exercises the identical machinery at
+    delimiter=' ' (document-frequency token pruning); the oracle
+    states the same frequency threshold, anti-join, and ordered
+    string_agg reassembly."""
+    from hrtech_etl_spark.functions.text import remove_boilerplate
+
+    docs = load_table(spark, "documents", sf_dir)
+    return remove_boilerplate(
+        docs,
+        "text",
+        "doc_id",
+        delimiter=" ",
+        max_doc_frac=0.79,
+        min_doc_count=2,
+    )

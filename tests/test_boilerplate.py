@@ -1,0 +1,70 @@
+"""Cross-document boilerplate removal: threshold semantics, order
+preservation, all-boilerplate docs, NULL text."""
+
+from __future__ import annotations
+
+from hrtech_etl_spark.functions.text import remove_boilerplate
+
+DOCS = [
+    # "COOKIE BANNER" in 3/4 docs (75% > 50%), "© corp" in 2/4 (50%,
+    # NOT > 50% → kept)
+    (1, "COOKIE BANNER\nreal content one\n© corp\nmore text"),
+    (2, "COOKIE BANNER\nunique insight two"),
+    (3, "intro line\nCOOKIE BANNER\n© corp\nclosing line"),
+    # all-boilerplate doc: disappears from the output
+    (4, "COOKIE BANNER"),
+    # NULL text: dropped (never trained on)
+    (5, None),
+]
+
+
+def test_line_boilerplate_semantics(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(
+            df, "text", "doc_id", max_doc_frac=0.5, min_doc_count=2
+        ).collect()
+    }
+    # banner removed everywhere, order preserved, 50%-line kept
+    assert out[1] == "real content one\n© corp\nmore text"
+    assert out[2] == "unique insight two"
+    assert out[3] == "intro line\n© corp\nclosing line"
+    assert 4 not in out and 5 not in out
+
+
+def test_min_doc_count_floor(spark):
+    # two tiny docs sharing a line: 100% frequency but below the
+    # absolute floor → kept (a 2-doc corpus has no "boilerplate")
+    df = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(
+            df, "text", "doc_id", max_doc_frac=0.5, min_doc_count=3
+        ).collect()
+    }
+    assert out == {1: "shared\na", 2: "shared\nb"}
+
+
+def test_duplicate_lines_within_doc_count_once(spark):
+    # a line repeated INSIDE one doc counts once toward document
+    # frequency; when it is boilerplate, every occurrence is removed
+    df = spark.createDataFrame(
+        [
+            (1, "ad\nbody one\nad"),
+            (2, "ad\nbody two"),
+            (3, "only content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(
+            df, "text", "doc_id", max_doc_frac=0.5, min_doc_count=2
+        ).collect()
+    }
+    assert out[1] == "body one"
+    assert out[2] == "body two"
+    assert out[3] == "only content"
