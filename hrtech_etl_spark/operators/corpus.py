@@ -368,3 +368,35 @@ def prepare_training_corpus(
         keyed.join(packs, "__chunk_id")
         .select(id_col, "chunk_idx", "chunk_text", "n_tokens", "pack_id", "oversize")
     )
+
+
+def shuffled_shards(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Reproducible global shuffle + sharding — the step between a
+    prepared corpus and training-ready files: every row gets a
+    deterministic pseudo-random position from a seeded portable hash
+    of its id, ``shard = hash mod n_shards`` balances shards in
+    expectation, and the within-shard order is ``(shuffle_key, id)``
+    (total — hash collisions break on id). A new epoch's reshuffle is
+    a SEED CHANGE, not a data move, and the same (data, seed) yields
+    the identical permutation on any engine (portable md5 hash,
+    DuckDB-replicable) — which is what makes training-data ordering
+    auditable after the fact.
+
+    Adds ``shard`` and ``shuffle_key`` columns. At scale, write with
+    ``.repartition(n_shards, "shard")`` (or
+    ``partitionBy("shard")``) and ``sortWithinPartitions("shuffle_key",
+    id_col)`` for balanced, internally-shuffled output files; one
+    exchange total.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = portable_hash(F.col(id_col).cast("string"), seed=seed)
+    return df.withColumn("shuffle_key", h).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )

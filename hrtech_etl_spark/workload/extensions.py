@@ -829,3 +829,45 @@ def text_boilerplate_removal(spark, sf_dir):
         max_doc_frac=0.79,
         min_doc_count=2,
     )
+
+
+_SHUF_PH = portable_hash_sql("CAST(doc_id AS VARCHAR)", seed=7)
+
+
+@query(
+    "corpus_shuffle_shard",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id, {_SHUF_PH} AS shuffle_key,
+             CAST({_SHUF_PH} % 8 AS INT) AS shard
+      FROM documents
+    ),
+    r AS (
+      SELECT shard, doc_id, shuffle_key,
+             row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS rn
+      FROM s
+    )
+    SELECT shard, rn, doc_id, shuffle_key FROM r WHERE rn <= 3
+    """,
+)
+def corpus_shuffle_shard(spark, sf_dir):
+    """Reproducible training-corpus shuffle + sharding
+    (operators/corpus.py::shuffled_shards): every doc gets a
+    deterministic pseudo-random position from a seeded portable hash,
+    shard = hash mod 8, within-shard order (shuffle_key, doc_id).
+    Declared output is each shard's first 3 docs — enough to
+    value-check the permutation end to end; the oracle computes the
+    identical hash, mod, and ranked window. A new epoch = a new seed,
+    no data movement; the per-shard top-k runs as WindowGroupLimit."""
+    from pyspark.sql import Window as W
+
+    from hrtech_etl_spark.operators.corpus import shuffled_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    s = shuffled_shards(docs, "doc_id", seed=7, n_shards=8)
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("shard", "rn", "doc_id", "shuffle_key")
+    )

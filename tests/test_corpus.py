@@ -297,3 +297,28 @@ def test_pack_sequences_null_length_raises(spark):
     )
     with pytest.raises(PythonException, match="NULL n_tokens"):
         pack_sequences(df, "doc_id", "n_tokens", max_len=16).collect()
+
+
+def test_shuffled_shards_reproducible_and_balanced(spark):
+    from hrtech_etl_spark.operators.corpus import shuffled_shards
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = shuffled_shards(df, "doc_id", seed=1, n_shards=8)
+    rows = a.collect()
+    # same (data, seed) → identical permutation
+    again = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+             for r in shuffled_shards(df, "doc_id", seed=1, n_shards=8).collect()}
+    assert all(again[r["doc_id"]] == (r["shard"], r["shuffle_key"]) for r in rows)
+    # different seed → a genuinely different permutation
+    other = {r["doc_id"]: r["shuffle_key"]
+             for r in shuffled_shards(df, "doc_id", seed=2, n_shards=8).collect()}
+    assert sum(other[r["doc_id"]] != r["shuffle_key"] for r in rows) > 1900
+    # shards balanced in expectation (2000/8 = 250 ± 40%)
+    from collections import Counter
+    sizes = Counter(r["shard"] for r in rows)
+    assert set(sizes) == set(range(8))
+    assert all(150 <= n <= 350 for n in sizes.values())
+    # shuffle breaks insertion order: the first 10 by shuffle_key are
+    # not simply doc_ids 0..9
+    first = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["shuffle_key"], r["doc_id"]))[:10]]
+    assert first != list(range(10))
