@@ -295,10 +295,15 @@ def prepare_training_corpus(
     pack_max_len: int = 512,
     redact: bool = True,
     dedup_knobs: dict | None = None,
+    boilerplate_frac: float | None = None,
 ) -> DataFrame:
     """The capstone one-call corpus-prep pipeline, composing the
     engine's LLM-data operators in their canonical order:
 
+    0. (optional, ``boilerplate_frac``) cross-document boilerplate
+       line removal — lines in more than that fraction of documents
+       drop from every document BEFORE dedup, so shared banners can't
+       glue otherwise-distinct documents into near-dup clusters
     1. exact dedup (content-hash, min-id keep)
     2. near-dup dedup (MinHash-LSH → verify → clusters;
        ``dedup_knobs`` forwards the corpus-scale knobs —
@@ -327,6 +332,13 @@ def prepare_training_corpus(
     from hrtech_etl_spark.functions import dedup as dd
     from hrtech_etl_spark.functions import text as tx
 
+    if boilerplate_frac is not None:
+        docs = tx.remove_boilerplate(
+            docs, text_col, id_col, max_doc_frac=boilerplate_frac
+        )
+        # exact dedup reads its input twice (keep set + semi-join) —
+        # don't re-run the boilerplate aggregation per read
+        docs = docs.localCheckpoint(eager=False)
     cleaned = dd.drop_exact_duplicates(docs, text_col, id_col)
     # Materialization boundary: drop_near_duplicates re-reads its input
     # several times (shingle sides, cluster ids, the final keep

@@ -93,3 +93,38 @@ def test_packing_capacity(prepared):
     if oversize.count():
         counts = oversize.groupBy("pack_id").count()
         assert counts.where(F.col("count") > 1).count() == 0
+
+
+def test_boilerplate_stage_runs_before_dedup(spark):
+    """With boilerplate_frac set, a banner line shared by most docs is
+    stripped BEFORE dedup — two docs identical except for their banner
+    placement collapse to one, and no surviving chunk contains it."""
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    body_a = ("An analysis of partition pruning strategies for columnar "
+              "storage engines, with measurements over synthetic workloads "
+              "and a discussion of footer metadata layouts in practice.")
+    body_b = ("Operational notes from the streaming migration: watermark "
+              "tuning, state store sizing, and the checkpoint layout the "
+              "team settled on after the incident review last quarter.")
+    docs = spark.createDataFrame(
+        [
+            (1, banner + "\n" + body_a),
+            (2, body_a + "\n" + banner),          # same body, banner moved
+            (3, banner + "\n" + body_b),
+            (4, body_b),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        docs,
+        "text",
+        "doc_id",
+        quality_min=0.0,
+        chunk_chars=400,
+        chunk_overlap=50,
+        pack_max_len=512,
+        boilerplate_frac=0.5,
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {1, 3}  # doc 2 deduped against 1; doc 4 deduped against 3
+    assert all(banner not in r["chunk_text"] for r in out)
