@@ -183,12 +183,16 @@ def scd2_merge(
         .drop("__run")
     )
 
-    # Close current rows whose key received at least one insert.
+    # Close current rows whose key received at least one insert. No
+    # forced broadcast: first_new is one row per batch key — small for
+    # a CDC trickle, unbounded for a backfill batch — so AQE picks
+    # broadcast only when it actually fits (the docstring's
+    # "broadcast-or-shuffle" contract, decided at runtime).
     first_new = inserts.groupBy(key_col).agg(
         F.min("valid_from").alias("__close_at")
     )
     closed_or_kept = (
-        cur.join(F.broadcast(first_new), key_col, "left")
+        cur.join(first_new, key_col, "left")
         .withColumn(
             "valid_to",
             F.when(F.col("__close_at").isNotNull(), F.col("__close_at")).otherwise(
