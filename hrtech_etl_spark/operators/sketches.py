@@ -193,6 +193,13 @@ def cms_partial(
     return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
 
 
+#: cms_estimate collects one blob per input row; at eps=0.001 a blob is
+#: ~50 KB, so this cap bounds the driver at ~100 MB. A frame with more
+#: groups belongs pre-rolled (re-aggregate raw data to coarser groups —
+#: Spark exposes no CMS blob-merge aggregate, unlike HLL/KLL/Theta).
+MAX_CMS_BLOBS = 2_000
+
+
 def cms_estimate(
     sketches: DataFrame,
     items: list,
@@ -202,8 +209,15 @@ def cms_estimate(
     """Merge the blobs and read item frequencies, driver-side (the
     lookup is a tiny JVM CountMinSketch op per item; use it for
     bounded heavy-hitter candidate lists, not per-row scoring).
-    Returns {item: estimated_count}."""
-    rows = sketches.select(sketch_col).collect()
+    Returns {item: estimated_count}. Raises when the frame has more
+    than ``MAX_CMS_BLOBS`` rows instead of silently collecting an
+    unbounded per-group blob set onto the driver."""
+    rows = sketches.select(sketch_col).limit(MAX_CMS_BLOBS + 1).collect()
+    if len(rows) > MAX_CMS_BLOBS:
+        raise ValueError(
+            f"cms_estimate: more than {MAX_CMS_BLOBS} sketch blobs — "
+            "re-aggregate to coarser groups before the driver-side merge"
+        )
     spark = sketches.sparkSession
     jvm = spark.sparkContext._jvm
     merged = None
