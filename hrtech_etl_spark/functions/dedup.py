@@ -737,6 +737,7 @@ def incremental_verified_pairs(
     id_col: str,
     *,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Verified (corpus_id, batch_id, jaccard) near-dup pairs between a
     small batch index and a large corpus index.
@@ -758,10 +759,29 @@ def incremental_verified_pairs(
 
     Jaccard semantics (hashed sets, round-4, >= threshold) are
     identical to :func:`jaccard_verify`.
+
+    ``max_bucket_size`` is the mega-bucket safety valve, mirroring
+    :func:`minhash_lsh_pairs`: ONE boilerplate band bucket shared by a
+    million corpus docs would emit a million candidates per matching
+    batch doc. With the cap set, overflowing CORPUS buckets are
+    identified by a bare (band, bucket) aggregation (map-side partials
+    over the pruned band scan — corpus text/shingles still never
+    shuffle) and shed from the band pass via a broadcast anti-join
+    (the overflow set is tiny — only buckets past the cap). Recall is
+    lost only for pairs whose EVERY shared band overflows, same
+    semantics as the full-corpus path. Default None = exact.
     """
     cb = corpus_index.select(
         F.col(id_col).alias("__cid"), F.explode("bands").alias("b")
     ).select("__cid", "b.band_idx", "b.bucket")
+    if max_bucket_size is not None:
+        hot = (
+            cb.groupBy("band_idx", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket_size)
+            .select("band_idx", "bucket")
+        )
+        cb = cb.join(F.broadcast(hot), ["band_idx", "bucket"], "left_anti")
     bb = batch_index.select(
         F.col(id_col).alias("__bid"), F.explode("bands").alias("b")
     ).select("__bid", "b.band_idx", "b.bucket")
@@ -808,6 +828,7 @@ def drop_near_duplicates_incremental(
     rows_per_band: int = 2,
     shingle_k: int = 2,
     dedup_within_batch: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Dedup an ingest batch against an existing corpus: drop batch
     docs near-duplicating any indexed corpus doc, then (by default)
@@ -832,7 +853,8 @@ def drop_near_duplicates_incremental(
         shingle_k=shingle_k,
     )
     hit = incremental_verified_pairs(
-        bi, corpus_index, id_col, threshold=threshold
+        bi, corpus_index, id_col, threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )
     contaminated = hit.select(F.col("__bid").alias(id_col)).distinct()
     survivors = batch.join(F.broadcast(contaminated), id_col, "left_anti")
@@ -856,6 +878,7 @@ def drop_near_duplicates_incremental(
             shingle_k=shingle_k,
             num_hashes=num_hashes,
             rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
         )
     return survivors
 

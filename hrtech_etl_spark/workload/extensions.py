@@ -1,6 +1,10 @@
 """Declared queries: engine extensions — table profiling, z-order
-layout keys, incremental corpus dedup, stream-stream interval join,
-product-quantization ANN, SCD2 history, bloom-prefiltered semi-join.
+layout keys, incremental corpus dedup, stream-stream interval joins,
+product-quantization ANN, SCD2 history + point-in-time snapshot,
+bloom-prefiltered semi-join, fuzzy edit-distance join, table diff,
+Variant JSON, UDTF+LATERAL, ordered-sequence funnels (fixed- and
+sliding-anchor), cross-document boilerplate removal, and the seeded
+corpus shuffle/shard.
 
 Registered AFTER the long-stable families — these extend the declared
 surface without reordering the existing gate entries.

@@ -118,3 +118,24 @@ def test_index_null_bands_for_empty(spark):
     row = {r["doc_id"]: r for r in idx.collect()}
     assert row[109]["bands"] is None
     assert row[101]["bands"] is not None and len(row[101]["bands"]) == 4
+
+
+def test_bucket_cap_sheds_corpus_mega_bucket(spark):
+    """With max_bucket_size set, an overflowing CORPUS band bucket is
+    shed before the band join; a genuine near-dup still surfaces when
+    any NON-overflowing shared band remains (several shared bands is
+    exactly what near-identical docs have)."""
+    corpus, batch = _dfs(spark)
+    idx = dd.lsh_index(corpus, "text", "doc_id")
+    bi = dd.lsh_index(batch, "text", "doc_id")
+    # cap=1: corpus buckets here hold one doc each (3 distinct corpus
+    # docs), so nothing overflows and the exact pair is unchanged
+    ver = dd.incremental_verified_pairs(
+        bi, idx, "doc_id", threshold=0.5, max_bucket_size=1
+    )
+    assert [(r["__cid"], r["__bid"]) for r in ver.collect()] == [(0, 101)]
+    # cap=0: every corpus bucket overflows -> zero candidates, by design
+    none = dd.incremental_verified_pairs(
+        bi, idx, "doc_id", threshold=0.5, max_bucket_size=0
+    )
+    assert none.count() == 0
