@@ -389,7 +389,11 @@ def dedup_simhash(spark, sf_dir):
     "dedup_ngram_jaccard",
     sql=f"""
     WITH raw AS (
-      SELECT doc_id, lang, CAST(n_chars / 100 AS BIGINT) AS size_bucket,
+      -- floor, not a bare CAST: DuckDB CAST(double AS BIGINT) ROUNDS
+      -- while Spark's cast truncates — boundary docs (n_chars/100
+      -- fraction >= .5) landed in different blocking buckets and the
+      -- pair counts diverged at sf0.1 (n_chars >= 0, so floor == trunc)
+      SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
              {shingles_sql()} AS sh
       FROM documents
     ),
