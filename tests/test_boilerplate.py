@@ -68,3 +68,60 @@ def test_duplicate_lines_within_doc_count_once(spark):
     assert out[1] == "body one"
     assert out[2] == "body two"
     assert out[3] == "only content"
+
+
+def _py_remove_boilerplate(docs, max_doc_frac, min_doc_count):
+    """Pure-Python reference: document frequency per distinct line,
+    drop lines over both thresholds, reassemble in order, drop docs
+    with nothing left (or NULL text)."""
+    from collections import Counter
+
+    freq = Counter()
+    for _id, text in docs:
+        if text is None:
+            continue
+        freq.update(set(text.split("\n")))
+    n_docs = len(docs)
+    stop = {
+        line
+        for line, n in freq.items()
+        if n >= min_doc_count and n > max_doc_frac * n_docs
+    }
+    out = {}
+    for _id, text in docs:
+        if text is None:
+            continue
+        kept = [l for l in text.split("\n") if l not in stop]
+        if kept:
+            out[_id] = "\n".join(kept)
+    return out
+
+
+def test_matches_python_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    line = st.sampled_from(["banner", "footer", "a", "bb", "ccc", ""])
+
+    @st.composite
+    def corpus(draw):
+        n = draw(st.integers(min_value=1, max_value=8))
+        return [
+            (i, "\n".join(draw(st.lists(line, min_size=1, max_size=6))))
+            for i in range(n)
+        ]
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs=corpus(), frac=st.sampled_from([0.3, 0.5, 0.8]),
+           floor=st.sampled_from([2, 3]))
+    def run(docs, frac, floor):
+        want = _py_remove_boilerplate(docs, frac, floor)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_boilerplate(
+                df, "text", "doc_id", max_doc_frac=frac, min_doc_count=floor
+            ).collect()
+        }
+        assert got == want
+
+    run()
