@@ -80,6 +80,7 @@ def scd2_merge(
     ts_col: str,
     *,
     tiebreak_col: str | None = None,
+    replay_safe: bool = True,
 ) -> DataFrame:
     """Apply one update batch to an SCD2 table, set-based.
 
@@ -100,9 +101,22 @@ def scd2_merge(
       event-time normalization, not silently rewriting closed history;
     - changes AT the current row's ``valid_from`` (a timestamp tie
       split across batches) version exactly as the full rebuild would,
-      and EXACT re-deliveries (checkpoint replays) are no-ops — already
-      -present (key, valid_from, attrs) versions anti-join away against
-      the current tie cluster.
+      and — with ``replay_safe=True`` — EXACT re-deliveries (checkpoint
+      replays) are no-ops: already-present (key, valid_from, attrs)
+      versions anti-join away against the current tie cluster.
+
+    ``replay_safe`` names an inherent ambiguity, not an optimization:
+    version rows carry no event identity, so a batch change identical
+    to an existing version in (key, valid_from, attrs) is formally
+    UNDECIDABLE between a checkpoint re-delivery and a genuine
+    same-instant flip-back (A→B→A inside one timestamp tie, split
+    across batches). ``True`` (default) chooses at-least-once delivery
+    safety: replays are no-ops, and the degenerate same-instant
+    flip-back collapses (found by the fold-equivalence property test).
+    ``False`` chooses exactly-once feeds: folding any time-consistent
+    batch split equals the full rebuild — including same-instant
+    flip-backs — but a re-delivered batch double-applies. Pick per
+    your ingestion guarantee; every other rule is identical.
 
     One shuffle on the key for the batch window + one broadcast-or-
     shuffle key-join against the (small, current-only) head of the
@@ -137,22 +151,35 @@ def scd2_merge(
     b = b.where(
         F.col("__cur_from").isNull() | (F.col("valid_from") >= F.col("__cur_from"))
     )
-    # Exact-replay idempotency: a re-delivered batch's runs already
-    # exist as version rows at the same (key, valid_from, attrs) —
-    # anti-join them away. The existing side is bounded per key to the
-    # current run's timestamp-tie cluster (valid_from >= the current
-    # version's start; everything older was dropped above), so this is
-    # a small join, not a scan of full history.
-    recent = dim.join(
-        cur_k.select(key_col, "__cur_from"), key_col
-    ).where(F.col("valid_from") >= F.col("__cur_from"))
-    dup_cond = (
-        (b[key_col] == recent[key_col])
-        & (b["valid_from"] == recent["valid_from"])
-    )
-    for c in attr_cols:
-        dup_cond = dup_cond & b[c].eqNullSafe(recent[c])
-    b = b.join(recent, dup_cond, "left_anti")
+    if replay_safe:
+        # Exact-replay idempotency, two signatures anti-joined away:
+        # (a) the batch run already exists as a version row at the same
+        #     (key, valid_from, attrs) — a re-delivered insert;
+        # (b) the batch run's attrs equal the version CLOSED exactly at
+        #     the run's valid_from — the re-delivered leading
+        #     no-change run, which the first apply dropped without
+        #     leaving a version row; when its timestamp tied the close
+        #     boundary, the late-filter above can't catch the replay.
+        # Outside instant ties (b) never fires on genuine changes (a
+        # version closed at T implies another change AT T); inside
+        # ties it resolves the documented undecidability toward
+        # replays. The existing side stays bounded per key to the
+        # current tie cluster plus the one boundary-closed version
+        # (valid_to never exceeds the current version's start), so
+        # this is a small join, not a scan of full history.
+        recent = dim.join(
+            cur_k.select(key_col, "__cur_from"), key_col
+        ).where(
+            (F.col("valid_from") >= F.col("__cur_from"))
+            | (F.col("valid_to") >= F.col("__cur_from"))
+        )
+        dup_cond = (b[key_col] == recent[key_col]) & (
+            (b["valid_from"] == recent["valid_from"])
+            | (recent["valid_to"] == b["valid_from"])
+        )
+        for c in attr_cols:
+            dup_cond = dup_cond & b[c].eqNullSafe(recent[c])
+        b = b.join(recent, dup_cond, "left_anti")
     # Drop the leading no-change run: its attrs equal the current row's.
     first_w = W.partitionBy(key_col).orderBy("valid_from", "__run")
     same_as_cur = F.lit(True)
