@@ -125,3 +125,22 @@ def test_matches_python_reference(spark):
         assert got == want
 
     run()
+
+
+def test_regex_special_delimiter_is_literal(spark):
+    """Spark's split() takes a REGEX — a '.' or '|' delimiter must be
+    escaped to literal or every character becomes a segment."""
+    df = spark.createDataFrame(
+        [(1, "ad.keep one"), (2, "ad.keep two"), (3, "solo.text")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(
+            df, "text", "doc_id", delimiter=".",
+            max_doc_frac=0.5, min_doc_count=2
+        ).collect()
+    }
+    # 'ad' occurs in 2/3 docs (>50%) → dropped; reassembly uses the
+    # literal '.' delimiter
+    assert out == {1: "keep one", 2: "keep two", 3: "solo.text"}
