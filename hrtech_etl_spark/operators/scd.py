@@ -249,3 +249,54 @@ def as_of(dim: DataFrame, ts, *, ts_col_cast: str = "timestamp") -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at the fact's
+    event time — the canonical way an SCD2 table is consumed ("what
+    was this user's plan when the purchase happened?"): key equality
+    plus containment in ``[valid_from, valid_to)``, the open current
+    version matching everything from its start.
+
+    Output: all fact columns plus the dimension's attribute columns
+    (everything except the key and the validity machinery). Attribute
+    names colliding with fact columns raise up front — silent
+    duplicate columns break every downstream select.
+
+    Plan shape: a key-equi join with the validity range as a residual
+    predicate — Spark hashes on the key and evaluates the range per
+    key group, so the shuffle is the same one a plain dimension join
+    pays; versions-per-key is the only row multiplier. At warehouse
+    scale, bucket/sort both sides on the key to make it co-located,
+    and partition the dimension on ``valid_from`` dates so snapshots
+    prune (:func:`as_of` notes the same layout).
+    """
+    attr_cols = [
+        c
+        for c in dim.columns
+        if c not in (key_col, "valid_from", "valid_to", "is_current")
+    ]
+    clash = [c for c in attr_cols if c in facts.columns]
+    if clash:
+        raise ValueError(
+            f"temporal_join: dimension attribute(s) {clash} collide with "
+            "fact columns — alias one side first"
+        )
+    f = facts.alias("f")
+    d = dim.alias("d")
+    cond = (
+        (F.col(f"f.{key_col}") == F.col(f"d.{key_col}"))
+        & (F.col(f"f.{ts_col}") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col(f"f.{ts_col}") < F.col("d.valid_to")))
+    )
+    return f.join(d, cond, how).select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}") for c in attr_cols],
+    )

@@ -875,3 +875,51 @@ def corpus_shuffle_shard(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("shard", "rn", "doc_id", "shuffle_key")
     )
+
+
+@query(
+    "etl_scd2_temporal_join",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN TRUE
+                  WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN TRUE
+                  ELSE FALSE END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (SELECT user_id, event_type, ts, event_id FROM marked WHERE chg),
+    hist AS (
+      SELECT user_id, event_type AS dim_state, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to
+      FROM runs
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT h.dim_state, e.event_type AS fact_type, count(*) AS n_facts
+    FROM events e JOIN hist h
+      ON e.user_id = h.user_id
+     AND e.ts >= h.valid_from AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    GROUP BY h.dim_state, e.event_type
+    """,
+)
+def etl_scd2_temporal_join(spark, sf_dir):
+    """SCD2 temporal (point-in-time) join — the canonical CONSUMPTION
+    of a version table (operators/scd.py::temporal_join): each fact
+    row joins the dimension version valid at its event time via key
+    equality + [valid_from, valid_to) containment, the same shuffle a
+    plain dimension join pays. Here the event log is both sides: every
+    event joins the user-state version containing its timestamp, and
+    the report counts facts per (state, fact type). The oracle states
+    the identical rebuild + containment join."""
+    from hrtech_etl_spark.operators.scd import scd2_from_changes, temporal_join
+
+    e = load_table(spark, "events", sf_dir)
+    hist = scd2_from_changes(
+        e, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
+    ).withColumnRenamed("event_type", "dim_state")
+    facts = e.select("user_id", "ts", F.col("event_type").alias("fact_type"))
+    return (
+        temporal_join(facts, hist, "user_id", "ts")
+        .groupBy("dim_state", "fact_type")
+        .agg(F.count(F.lit(1)).alias("n_facts"))
+    )

@@ -177,3 +177,57 @@ def test_merge_replay_idempotent(spark, dim):
     once = scd2_merge(dim, batch, "k", ["attr"], "ts", tiebreak_col="eid")
     twice = scd2_merge(once, batch, "k", ["attr"], "ts", tiebreak_col="eid")
     assert _sorted_rows(once) == _sorted_rows(twice)
+
+
+def test_temporal_join_selects_containing_version(spark):
+    from hrtech_etl_spark.operators.scd import temporal_join
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2026, 1, 1, 0, m)
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", t(0), t(10), False),
+            (1, "gold", t(10), None, True),
+            (2, "silver", t(5), None, True),
+        ],
+        "user_id long, plan string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(3)),    # inside bronze
+            (101, 1, t(10)),   # exactly at boundary -> gold ([from, to))
+            (102, 1, t(42)),   # open current version
+            (103, 2, t(4)),    # before user 2's first version -> no match
+        ],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r["fact_id"]: r["plan"]
+        for r in temporal_join(facts, dim, "user_id", "ts").collect()
+    }
+    assert got == {100: "bronze", 101: "gold", 102: "gold"}
+    # left join keeps the unmatched fact with NULL attrs
+    left = {
+        r["fact_id"]: r["plan"]
+        for r in temporal_join(facts, dim, "user_id", "ts", how="left").collect()
+    }
+    assert left[103] is None and len(left) == 4
+
+
+def test_temporal_join_rejects_column_collision(spark):
+    from hrtech_etl_spark.operators.scd import temporal_join
+    import datetime as dt
+
+    dim = spark.createDataFrame(
+        [(1, "x", dt.datetime(2026, 1, 1), None, True)],
+        "k long, v string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(1, "clash", dt.datetime(2026, 1, 2))], "k long, v string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        temporal_join(facts, dim, "k", "ts")
