@@ -146,8 +146,11 @@ def etl_event_pipeline(spark, sf_dir):
     raw→unified type mapping with unknown→UPSERTED fallback
     (connectors/warehouse_a/models.py:199-206), then the event→resource
     lookup join with matched vs skipped_missing accounted from ONE left
-    join — the dimension side broadcasts (customer is small relative to
-    the event stream)."""
+    join. No forced broadcast hint on customer: "small relative to the
+    event stream" does not bound its absolute size (the resource side of
+    the reference's lookup grows with the business), so the hint would be
+    OOM-class at cluster scale; AQE broadcasts it at every scale where
+    that is safe."""
     events = load_table(spark, "events", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     typed = events.select(
@@ -155,7 +158,7 @@ def etl_event_pipeline(spark, sf_dir):
         "user_id",
     )
     joined = typed.join(
-        F.broadcast(customer), typed.user_id == customer.c_custkey, "left"
+        customer, typed.user_id == customer.c_custkey, "left"
     )
     return joined.groupBy("unified_type").agg(
         F.count(F.lit(1)).alias("total_events"),

@@ -570,10 +570,15 @@ def agg_approx_distinct(spark, sf_dir):
 )
 def window_topk_per_group(spark, sf_dir):
     """Per-group top-k: row_number + filter. At scale, pre-aggregate or
-    use a partial top-k per partition before the window shuffle."""
+    use a partial top-k per partition before the window shuffle.
+
+    No forced broadcast hint on customer: the table is sf-proportional
+    (TPC-H 150k rows x sf), so a hard hint would override Spark's size
+    threshold and OOM at cluster scale instead of degrading to a shuffle
+    join. AQE picks broadcast whenever the dim actually fits."""
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
     )
     w = W.partitionBy("segment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
