@@ -23,6 +23,7 @@ from hrtech_etl_spark.functions.hashing import portable_hash_sql
 from hrtech_etl_spark.workload.text_llm import (
     VEC_DOUBLE,
     bands_sql,
+    cosine_sql,
     minhash_sql,
     shingles_sql,
 )
@@ -923,3 +924,224 @@ def etl_scd2_temporal_join(spark, sf_dir):
         .groupBy("dim_state", "fact_type")
         .agg(F.count(F.lit(1)).alias("n_facts"))
     )
+
+
+_DECON_SH = shingles_sql("text", k=5)
+
+
+@query(
+    "dedup_decontaminate",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform({_DECON_SH}, s -> {_PH_S})) AS sh
+      FROM documents
+    ),
+    test AS (SELECT DISTINCT unnest(sh) AS h FROM s WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, lang, n_chars, sh FROM s WHERE doc_id % 10 <> 0),
+    contaminated AS (
+      SELECT t.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS h FROM train) t
+      JOIN test USING (h)
+      GROUP BY t.doc_id
+      HAVING count(*) >= 2
+    )
+    SELECT doc_id, lang, n_chars FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py::remove_contaminated)
+    as a declared, oracle-gated pass: the corpus splits into a held-out
+    "test" slice (doc_id % 10 == 0 — the benchmark suite stand-in) and
+    the train corpus; train docs sharing >= 2 hashed word 5-grams with
+    any test doc are dropped. k=5 / min_overlap=2 is calibrated to the
+    synthetic corpus (small vocabulary, so the published 13-gram
+    convention would never fire): it removes exactly the planted
+    near-duplicate passages (6 docs at sf0.01, 56 at sf0.1) and keeps
+    the rest — a discriminative gate at every tested scale factor.
+
+    Scale shape (unchanged from the operator): the test side's distinct
+    shingles broadcast; the train side does ONE shingle explode →
+    broadcast semi-join → per-doc overlap count; the contaminated id
+    set — itself small — broadcasts into the final anti-join. The train
+    corpus is never shuffled in full. Declared output is the surviving
+    train rows (doc_id, lang, n_chars) — it pins the exact membership."""
+    docs = load_table(spark, "documents", sf_dir)
+    test = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    survivors = dd.remove_contaminated(
+        train, test, "text", "doc_id", shingle_k=5, min_overlap=2
+    )
+    return survivors.select("doc_id", "lang", "n_chars")
+
+
+# DuckDB (RE2) renderings of functions/text.py::PII_PATTERNS. RE2 has
+# no lookaround, so the phone pattern's (?<![\d-]) / (?![\d-]) guards
+# become consumed boundary groups re-emitted via \1/\3 — equivalent
+# whenever phones are separated from other digit/dash runs by >= 1
+# non-digit char on each side, which the constructed corpus guarantees.
+_PII_SQL = [
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]", r"[SSN]"),
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+        r"[EMAIL]",
+    ),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]", r"[IP]"),
+    (
+        "phone",
+        r"(^|[^0-9-])(\+?\d[\d().\- ]{7,14}\d)($|[^0-9-])",
+        "[PHONE]",
+        r"\1[PHONE]\3",
+    ),
+]
+
+_PII_RAW_SQL = """
+      'User ' || c_name || ' mail c' || CAST(c_custkey AS VARCHAR)
+      || '@corp.example.com'
+      || CASE WHEN c_custkey % 3 = 0
+              THEN ' alt c' || CAST(c_custkey AS VARCHAR) || '@alt.example.org'
+              ELSE '' END
+      || ' ip 10.' || CAST(c_custkey % 200 AS VARCHAR)
+      || '.' || CAST(c_custkey % 256 AS VARCHAR)
+      || '.' || CAST(c_custkey % 100 AS VARCHAR)
+      || CASE WHEN c_custkey % 4 = 0
+              THEN ' ssn 123-45-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN c_custkey % 5 <> 0
+              THEN ' phone 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || ' end'
+"""
+
+
+def _pii_chain_sql(expr: str) -> str:
+    out = expr
+    for _, pat, _tok, repl in _PII_SQL:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def _pii_stage_sqls(expr: str) -> list[str]:
+    """Cumulative chain prefixes: stage i = patterns 0..i applied."""
+    stages, out = [], expr
+    for _, pat, _tok, repl in _PII_SQL:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+        stages.append(out)
+    return stages
+
+
+_PII_STAGES = _pii_stage_sqls("raw")
+_PII_COUNTS = ",\n           ".join(
+    f"CAST((length({stage}) - length(replace({stage}, '{tok}', ''))) / {len(tok)} AS BIGINT) AS n_{name}"
+    for stage, (name, _p, tok, _r) in zip(_PII_STAGES, _PII_SQL)
+)
+
+
+@query(
+    "text_redact_pii",
+    sql=f"""
+    WITH c AS (
+      SELECT c_custkey AS custkey, {_PII_RAW_SQL} AS raw
+      FROM customer
+    )
+    SELECT custkey, {_pii_chain_sql('raw')} AS redacted,
+           {_PII_COUNTS}
+    FROM c
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII redaction + audit counts (functions/text.py::redact_pii /
+    pii_counts) as one oracle-gated pass. The synthetic corpus carries
+    no PII, so the query constructs a deterministic PII-bearing text
+    per customer row — identical string algebra on both engines:
+    always an email + an IPv4; a second email for custkey%3==0; an SSN
+    for custkey%4==0; a phone for custkey%5!=0 — so every audit count
+    varies across rows (email 1-2, ssn/phone 0-1) instead of being a
+    constant. The Spark side is the production chain itself (ordered
+    JVM regexp_replace, zero UDFs); the oracle re-states it in RE2
+    with the phone lookarounds rendered as consumed boundary groups.
+    Counts are the per-stage placeholder deltas, which on
+    placeholder-free input equal direct occurrence counts — the
+    cumulative-prefix SQL stages state exactly that."""
+    from hrtech_etl_spark.functions.text import pii_counts, redact_pii
+
+    c = load_table(spark, "customer", sf_dir)
+    ck = F.col("c_custkey")
+    s = lambda x: x.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.lit("User "),
+        F.col("c_name"),
+        F.lit(" mail c"),
+        s(ck),
+        F.lit("@corp.example.com"),
+        F.when(
+            ck % 3 == 0,
+            F.concat(F.lit(" alt c"), s(ck), F.lit("@alt.example.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" ip 10."),
+        s(ck % 200),
+        F.lit("."),
+        s(ck % 256),
+        F.lit("."),
+        s(ck % 100),
+        F.when(
+            ck % 4 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad(s(ck % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 5 != 0,
+            F.concat(
+                F.lit(" phone 555-"),
+                F.lpad(s(ck % 1000), 3, "0"),
+                F.lit("-"),
+                F.lpad(s(ck % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" end"),
+    )
+    out = c.select(ck.alias("custkey"), raw.alias("raw"))
+    counts = pii_counts(F.col("raw"))
+    return out.select(
+        "custkey",
+        redact_pii(F.col("raw")).alias("redacted"),
+        counts["ssn"].alias("n_ssn"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+@query(
+    "sim_cosine_topk_batch",
+    sql=f"""
+    WITH e AS (SELECT vec_id, {VEC_DOUBLE.format(v="embedding")} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)
+    SELECT query_id, vec_id, score FROM (
+      SELECT q.query_id, e.vec_id, {cosine_sql('e.v', 'q.qv')} AS score,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {cosine_sql('e.v', 'q.qv')} DESC, e.vec_id
+             ) AS rn
+      FROM e CROSS JOIN q
+    ) WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk_batch(spark, sf_dir):
+    """Batched exact cosine retrieval
+    (functions/similarity.py::cosine_topk_batch) — the realistic
+    serving shape: N probe vectors answered in ONE corpus pass instead
+    of N rescans. The probe set (vec_id < 8) broadcasts with hoisted
+    norms; every corpus row scores all probes; per-query top-5 runs as
+    a rank window on query_id, which Spark executes as WindowGroupLimit
+    (partial per-partition top-k before the single query-id shuffle —
+    the scored corpus is never fully sorted). Ties break on corpus id;
+    the oracle states the identical cross join + ranked window."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probes = e.where(F.col("vec_id") < 8)
+    return sim.cosine_topk_batch(e, probes, query_id_col="vec_id", k=5)

@@ -46,13 +46,17 @@ def lang_score_sql(lang: str) -> str:
 
 
 def shingles_sql(t: str = "text", k: int = 2) -> str:
-    """Distinct word-2gram list (DuckDB lists are 1-indexed; matches
-    word_shingles element_at indexing exactly)."""
+    """Distinct word-k-gram list (DuckDB lists are 1-indexed; matches
+    word_shingles element_at indexing exactly). Generic k: shingle i
+    joins tokens i..i+k-1 with single spaces, i in 1..len-k+1 —
+    DuckDB range(a, b) excludes b, so the upper bound is len-(k-2)."""
     toks = TOKENS_SQL.format(t=t)
-    assert k == 2, "oracle rendering implemented for k=2"
+    concat = " || ' ' || ".join(
+        (f"{toks}[i+{j}]" if j else f"{toks}[i]") for j in range(k)
+    )
     return (
-        f"CASE WHEN len({toks}) >= 2 THEN "
-        f"list_distinct(list_transform(range(1, len({toks})), i -> {toks}[i] || ' ' || {toks}[i+1])) "
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}), i -> {concat})) "
         f"ELSE [] END"
     )
 
