@@ -142,6 +142,36 @@ def theta_partial(
     return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
 
 
+def theta_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    *,
+    sketch_col: str = "theta_sketch",
+    keep_sketch: bool = True,
+    estimate_col: str | None = None,
+) -> DataFrame:
+    """Merge stored Theta blobs up to a coarser grouping — the Theta
+    twin of :func:`hll_rollup` (day → week → month chains without
+    touching raw data), except the merged blob also stays usable for
+    set algebra (:func:`theta_overlap`), so ``keep_sketch`` defaults
+    True. A Theta sketch is EXACT below its nominal-entries cap
+    (default lgK=12 → 4096 distinct): rollups over groups under the
+    cap reproduce exact distinct counts, and degrade to ~2% rsd
+    estimates beyond it — the declared `sketch_theta_rollup` query
+    gates the exact regime against the SQL oracle."""
+    merged = F.theta_union_agg(F.col(sketch_col)).alias(sketch_col)
+    rolled = (
+        sketches.groupBy(*group_cols).agg(merged)
+        if group_cols
+        else sketches.agg(merged)
+    )
+    if estimate_col:
+        rolled = rolled.withColumn(
+            estimate_col, F.theta_sketch_estimate(F.col(sketch_col))
+        )
+    return rolled if keep_sketch else rolled.drop(sketch_col)
+
+
 def theta_overlap(
     a: DataFrame,
     b: DataFrame,

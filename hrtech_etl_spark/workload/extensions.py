@@ -1145,3 +1145,71 @@ def sim_cosine_topk_batch(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     probes = e.where(F.col("vec_id") < 8)
     return sim.cosine_topk_batch(e, probes, query_id_col="vec_id", k=5)
+
+
+@query(
+    "sketch_theta_rollup",
+    sql="""
+    WITH sets AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+             bool_or(event_type = 'click') AS c,
+             bool_or(event_type = 'purchase') AS p
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT week,
+           count(*) FILTER (c) AS n_click_users,
+           count(*) FILTER (p) AS n_purchase_users,
+           count(*) FILTER (c AND p) AS n_both,
+           count(*) AS n_either
+    FROM sets GROUP BY week
+    """,
+)
+def sketch_theta_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup + set algebra under the oracle gate
+    (operators/sketches.py::theta_partial/theta_rollup): per-(day,
+    event_type) Theta blobs over user_id — the storable partials a
+    100 TB pipeline would persist — rolled up to weeks by BLOB UNION
+    (theta_union_agg, no raw rescan), then click-week vs purchase-week
+    audience overlap from the merged blobs alone (theta_intersection /
+    theta_union). Theta sketches are EXACT below the nominal-entries
+    cap (lgK=12 -> 4096; weekly audiences here are <= 1500 users), so
+    the estimates equal DuckDB's exact distinct counts at every tested
+    scale factor; past the cap the same plan degrades to ~2% rsd
+    estimates rather than failing. The raw events are scanned ONCE
+    (partials); every later number is blob algebra."""
+    from hrtech_etl_spark.operators.sketches import theta_partial, theta_rollup
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = theta_partial(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
+        ["day", "event_type"],
+        "user_id",
+    )
+    weekly = theta_rollup(
+        daily.withColumn(
+            "week", F.date_trunc("week", F.col("day")).cast("date")
+        ),
+        ["week", "event_type"],
+    )
+    clicks = weekly.where(F.col("event_type") == "click").select(
+        "week", F.col("theta_sketch").alias("__c")
+    )
+    purchases = weekly.where(F.col("event_type") == "purchase").select(
+        "week", F.col("theta_sketch").alias("__p")
+    )
+    est = F.theta_sketch_estimate
+    return clicks.join(purchases, "week").select(
+        "week",
+        F.round(est(F.col("__c"))).cast("long").alias("n_click_users"),
+        F.round(est(F.col("__p"))).cast("long").alias("n_purchase_users"),
+        F.round(est(F.theta_intersection(F.col("__c"), F.col("__p"))))
+        .cast("long")
+        .alias("n_both"),
+        F.round(est(F.theta_union(F.col("__c"), F.col("__p"))))
+        .cast("long")
+        .alias("n_either"),
+    )

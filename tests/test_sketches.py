@@ -150,3 +150,23 @@ def test_kll_fractional_quantile_names(spark, events):
     assert cols == ["q_0_1", "q_0_5", "q_12_5", "q_29", "q_50"]
     with pytest.raises(ValueError, match="duplicate"):
         kll_quantiles(daily, [], [0.5, 0.5])
+
+
+def test_theta_rollup_exact_below_cap_and_merge_equals_direct(spark, events):
+    """Theta rollup of per-day partials must (a) equal a direct sketch
+    of the whole table and (b) reproduce the EXACT distinct count while
+    under the nominal-entries cap (lgK=12 -> 4096; the test corpus has
+    <= 1500 users) — the property the declared `sketch_theta_rollup`
+    query gates against the SQL oracle."""
+    from hrtech_etl_spark.operators.sketches import theta_partial, theta_rollup
+
+    daily = theta_partial(events, ["day"], "user_id")
+    rolled = theta_rollup(daily, [], estimate_col="n_distinct").collect()[0]
+    direct = theta_rollup(
+        theta_partial(events, [], "user_id"), [], estimate_col="n_distinct"
+    ).collect()[0]["n_distinct"]
+    exact = events.select("user_id").distinct().count()
+    assert round(rolled["n_distinct"]) == exact
+    assert rolled["n_distinct"] == direct
+    # the merged blob stays usable for set algebra (keep_sketch default)
+    assert rolled["theta_sketch"] is not None
