@@ -389,6 +389,16 @@ def remove_boilerplate(
     text is NULL) are dropped — the standard corpus-prep behavior
     (empty documents are never trained on).
 
+    The "fraction of documents" denominator is the FULL input count,
+    INCLUDING NULL-text documents (which contribute no segments): the
+    denominator answers "what share of the corpus I was handed
+    carries this segment", and stays stable whether NULL rows were
+    pre-filtered upstream or not. Pre-filter NULLs first if the
+    non-NULL share is the intended base — a NULL-heavy corpus
+    otherwise under-detects boilerplate relative to the non-NULL
+    population. The DuckDB oracle and the pure-Python property-test
+    reference both encode this same choice.
+
     Plan at scale: segment explode (Generate, no shuffle) → per-doc
     distinct + frequency aggregation (two segment-keyed exchanges with
     map-side partials) → anti-join of the segment stream against the

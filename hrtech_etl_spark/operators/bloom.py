@@ -28,6 +28,7 @@ the prefilter. False-positive rate follows the standard
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -38,6 +39,10 @@ from pyspark.sql import functions as F
 #: Hard cap on filter size: 64 MiB of bits. A bloom that wants more
 #: belongs partitioned (one filter per key range), not on one driver.
 MAX_M_BITS = 1 << 29
+
+#: Guards every BloomFilter's broadcast-cache check-then-set (and the
+#: matching release pop) — see bloom_might_contain.
+_BC_CACHE_LOCK = threading.Lock()
 
 
 @dataclass(frozen=True)
@@ -63,11 +68,11 @@ class BloomFilter:
         ``spark``'s context — call after a per-batch reuse loop ends to
         free executor/driver memory before the filter itself goes
         away."""
-        cache = getattr(self, "_bc", None)
-        if cache:
-            bc = cache.pop(spark.sparkContext.applicationId, None)
-            if bc is not None:
-                bc.unpersist()
+        with _BC_CACHE_LOCK:
+            cache = getattr(self, "_bc", None)
+            bc = cache.pop(spark.sparkContext.applicationId, None) if cache else None
+        if bc is not None:
+            bc.unpersist()
 
     @staticmethod
     def size_for(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -160,14 +165,20 @@ def bloom_might_contain(
     from pyspark.sql.functions import pandas_udf
 
     sc = df.sparkSession.sparkContext
-    cache = getattr(bloom, "_bc", None)
-    if cache is None:
-        cache = {}
-        object.__setattr__(bloom, "_bc", cache)  # non-field slot on the frozen dataclass
-    bc = cache.get(sc.applicationId)
-    if bc is None:
-        bc = sc.broadcast(np.frombuffer(bloom.bits, dtype=np.uint8))
-        cache[sc.applicationId] = bc
+    # One lock for every filter's check-then-set: without it, two
+    # threads first-probing the same filter concurrently each create a
+    # bitmap broadcast and the loser leaks until application end.
+    # Broadcasting inside the lock is fine — it's a bounded local op,
+    # and first-probe contention is rare by construction.
+    with _BC_CACHE_LOCK:
+        cache = getattr(bloom, "_bc", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(bloom, "_bc", cache)  # non-field slot on the frozen dataclass
+        bc = cache.get(sc.applicationId)
+        if bc is None:
+            bc = sc.broadcast(np.frombuffer(bloom.bits, dtype=np.uint8))
+            cache[sc.applicationId] = bc
 
     @pandas_udf("boolean")
     def _probe(positions: pd.Series) -> pd.Series:
