@@ -1231,3 +1231,53 @@ def sketch_theta_rollup(spark, sf_dir):
         .cast("long")
         .alias("n_either"),
     )
+
+
+@query(
+    "corpus_pack_concat_split",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars, {_SHUF_PH} AS shuffle_key,
+             CAST({_SHUF_PH} % 8 AS INT) AS shard
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_chars, shard,
+             coalesce(sum(n_chars) OVER (
+               ORDER BY shard, shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+      FROM s
+    )
+    SELECT doc_id, n_chars, shard, tok_offset,
+           CAST(floor(tok_offset / 4096.0) AS BIGINT) AS block_first,
+           CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor((tok_offset + n_chars - 1) / 4096.0) AS BIGINT)
+                     - CAST(floor(tok_offset / 4096.0) AS BIGINT) + 1 END AS n_blocks
+    FROM o
+    """,
+)
+def corpus_pack_concat_split(spark, sf_dir):
+    """GPT-style concat-and-split packing
+    (operators/corpus.py::concat_split_packing): documents laid end to
+    end in the seeded reproducible shuffle order and cut into 4096-unit
+    blocks — every doc's global offset computed by the TWO-PHASE
+    distributed prefix sum (per-shard parallel cumsum + an
+    n_shards-row base-offset cumsum broadcast back; no global sort, no
+    single-partition data pass, no driver collect). The oracle states
+    the same total order (shard, shuffle_key, doc_id) as ONE global
+    window cumsum — exactly the sequential semantics the two-phase
+    plan must reproduce, which is the whole point of the gate."""
+    from hrtech_etl_spark.operators.corpus import concat_split_packing
+
+    docs = load_table(spark, "documents", sf_dir)
+    packed = concat_split_packing(
+        docs, "doc_id", "n_chars", 4096, seed=7, n_shards=8
+    )
+    return packed.select(
+        "doc_id",
+        "n_chars",
+        "shard",
+        F.col("offset").alias("tok_offset"),
+        "block_first",
+        "n_blocks",
+    )

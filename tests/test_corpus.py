@@ -322,3 +322,50 @@ def test_shuffled_shards_reproducible_and_balanced(spark):
     # not simply doc_ids 0..9
     first = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["shuffle_key"], r["doc_id"]))[:10]]
     assert first != list(range(10))
+
+
+def test_concat_split_packing_is_an_exact_prefix_sum(spark):
+    """The two-phase distributed prefix sum must equal the sequential
+    cumsum over the same (shard, shuffle_key, id) total order: offsets
+    are contiguous (each equals the running total before the doc), and
+    block spans follow from plain arithmetic."""
+    from hrtech_etl_spark.operators.corpus import concat_split_packing
+
+    rows = [(i, 10 + (i * 13) % 90) for i in range(400)] + [(400, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = concat_split_packing(
+        df, "doc_id", "n_tokens", 256, seed=3, n_shards=8
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(401))
+    ordered = sorted(out, key=lambda r: r["tok_offset"] if "tok_offset" in r.asDict() else r["offset"])
+    running = 0
+    for r in ordered:
+        assert r["offset"] == running, (r, running)
+        running += r["n_tokens"]
+        first = r["offset"] // 256
+        assert r["block_first"] == first
+        if r["n_tokens"] == 0:
+            assert r["n_blocks"] == 0
+        else:
+            assert r["n_blocks"] == (r["offset"] + r["n_tokens"] - 1) // 256 - first + 1
+    assert running == sum(n for _, n in rows)
+
+
+def test_concat_split_packing_seed_and_validation(spark):
+    from hrtech_etl_spark.operators.corpus import concat_split_packing
+
+    df = spark.createDataFrame(
+        [(i, 50) for i in range(100)], ["doc_id", "n_tokens"]
+    )
+    a = concat_split_packing(df, "doc_id", "n_tokens", 128, seed=1)
+    b = concat_split_packing(df, "doc_id", "n_tokens", 128, seed=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = concat_split_packing(df, "doc_id", "n_tokens", 128, seed=2)
+    ord_a = [r["doc_id"] for r in sorted(a.collect(), key=lambda r: r["offset"])]
+    ord_c = [r["doc_id"] for r in sorted(c.collect(), key=lambda r: r["offset"])]
+    assert ord_a != ord_c  # a new epoch is a seed change
+    with pytest.raises(ValueError, match="seq_len"):
+        concat_split_packing(df, "doc_id", "n_tokens", 0)
+    bad = spark.createDataFrame([(1, 1.5)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="integral"):
+        concat_split_packing(bad, "doc_id", "n_tokens", 128)

@@ -1,7 +1,8 @@
 """Ad-hoc corpus-scale smokes (not part of the pytest suite): replicate
 the sf0.1 documents table ``--copies`` times (default 20× → 100k docs
-with heavy planted duplication — every doc has copies-1 exact twins)
-and drive the corpus-scale dedup paths end to end with all knobs on:
+with heavy planted duplication — every doc has copies-1 exact twins;
+``--copies 200`` → the 1M-doc run recorded in README §Verification)
+and drive the corpus-scale pipeline end to end with all knobs on:
 
 1. full-corpus ``drop_near_duplicates`` (stop-shingle removal,
    band-bucket cap, accelerated clustering) — must collapse to ~the
@@ -9,10 +10,18 @@ and drive the corpus-scale dedup paths end to end with all knobs on:
 2. ``lsh_index`` build persisted to parquet (the ingest-loop artifact);
 3. a replica ingest batch (the worst case: every batch doc matches
    ``copies`` indexed near-twins) cleaned against the stored index via
-   ``drop_near_duplicates_incremental`` — every doc must be dropped.
+   ``drop_near_duplicates_incremental`` — every doc must be dropped;
+4. ``remove_boilerplate`` over the full corpus (the C4/CCNet segment
+   pass, same knobs as the gated query);
+5. ``shuffled_shards`` — the seeded reproducible corpus shuffle+shard,
+   with per-shard skew reported.
 
-Prints one timing line per stage; run on a quiet host and compare
-against the numbers recorded in README.md §Verification.
+Each stage prints wall time plus the Spark job/stage count it ran
+(via job groups + the status tracker) and, where the output is a
+corpus-shaped frame, the peak partition row count — the scale-up
+assertion is that stage counts stay FLAT as --copies grows (a plan
+that adds stages with data volume is broken at 100 TB), and peak
+partition rows grow ~linearly (no single-partition collapse).
 
     python tools/scale_smoke.py [--sf-dir DIR] [--copies N]
 """
@@ -32,10 +41,48 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hrtech_etl_spark.core.session import get_spark  # noqa: E402
 from hrtech_etl_spark.functions import dedup as dd  # noqa: E402
+from hrtech_etl_spark.functions.text import remove_boilerplate  # noqa: E402
+from hrtech_etl_spark.operators.corpus import shuffled_shards  # noqa: E402
 from hrtech_etl_spark.sources.testdata import load_table  # noqa: E402
 
 #: id stride between replicas — far above any real doc_id
 STRIDE = 10_000_000
+
+
+class StageMeter:
+    """Run a stage under a job group and report wall time + job/stage
+    counts from the status tracker (skipped stages included — the
+    number is a comparative plan-size metric, not a work metric)."""
+
+    def __init__(self, sc):
+        self.sc = sc
+
+    def run(self, label: str, fn):
+        group = f"smoke:{label}"
+        self.sc.setJobGroup(group, label)
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        self.sc.setJobGroup("", "")
+        tracker = self.sc.statusTracker()
+        jobs = tracker.getJobIdsForGroup(group)
+        stages = 0
+        for j in jobs:
+            info = tracker.getJobInfo(j)
+            if info is not None:
+                stages += len(info.stageIds)
+        print(
+            f"{label}: {dt:.1f}s  jobs={len(jobs)} stages={stages}",
+            flush=True,
+        )
+        return out, dt
+
+
+def partition_stats(df) -> tuple[int, int]:
+    """(total_rows, peak_partition_rows) in ONE pass."""
+    rows = df.groupBy(F.spark_partition_id().alias("__p")).count().collect()
+    counts = [r["count"] for r in rows]
+    return sum(counts), (max(counts) if counts else 0)
 
 
 def main() -> None:
@@ -46,6 +93,7 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="hrtech-etl-spark-scale-smoke")
+    meter = StageMeter(spark.sparkContext)
     docs = load_table(spark, "documents", args.sf_dir).select("doc_id", "text")
     n_base = docs.count()
 
@@ -61,27 +109,31 @@ def main() -> None:
     n_corpus = corpus.count()
     print(f"corpus: {n_base} base docs x {args.copies} = {n_corpus} rows")
 
-    t0 = time.time()
-    kept = dd.drop_near_duplicates(
-        corpus,
-        "text",
-        "doc_id",
-        threshold=0.5,
-        stop_shingle_frac=0.5,
-        max_bucket_size=500,
-        accelerate=True,
-    ).count()
-    dt = time.time() - t0
+    kept, dt = meter.run(
+        "full dedup",
+        lambda: dd.drop_near_duplicates(
+            corpus,
+            "text",
+            "doc_id",
+            threshold=0.5,
+            stop_shingle_frac=0.5,
+            max_bucket_size=500,
+            accelerate=True,
+        ).count(),
+    )
     print(
-        f"full dedup: {n_corpus} -> {kept} kept in {dt:.1f}s "
-        f"({n_corpus / dt:,.0f} docs/s)"
+        f"  {n_corpus} -> {kept} kept ({n_corpus / dt:,.0f} docs/s)",
+        flush=True,
     )
 
     root = tempfile.mkdtemp(prefix="scale_smoke_")
     try:
-        t0 = time.time()
-        dd.lsh_index(corpus, "text", "doc_id").write.parquet(f"{root}/index")
-        print(f"lsh_index build+write: {time.time() - t0:.1f}s")
+        _, _ = meter.run(
+            "lsh_index build+write",
+            lambda: dd.lsh_index(corpus, "text", "doc_id").write.parquet(
+                f"{root}/index"
+            ),
+        )
         idx = spark.read.parquet(f"{root}/index")
 
         # worst-case ingest batch: a full replica of base content (every
@@ -93,14 +145,49 @@ def main() -> None:
             "text",
         )
         nb = batch.count()
-        t0 = time.time()
-        survivors = dd.drop_near_duplicates_incremental(
-            batch, idx, "text", "doc_id", threshold=0.5
-        ).count()
-        dt = time.time() - t0
+        survivors, _ = meter.run(
+            "incremental clean",
+            lambda: dd.drop_near_duplicates_incremental(
+                batch, idx, "text", "doc_id", threshold=0.5
+            ).count(),
+        )
         print(
-            f"incremental clean: {nb}-doc replica batch -> {survivors} "
-            f"survivors in {dt:.1f}s (expect ~0 survivors)"
+            f"  {nb}-doc replica batch -> {survivors} survivors "
+            "(expect ~0)",
+            flush=True,
+        )
+
+        # --- corpus prep over the full replicated corpus -----------------
+        bp = remove_boilerplate(
+            corpus,
+            "text",
+            "doc_id",
+            delimiter=" ",
+            max_doc_frac=0.79,
+            min_doc_count=2,
+        )
+        (bp_rows, bp_peak), _ = meter.run(
+            "boilerplate removal", lambda: partition_stats(bp)
+        )
+        print(
+            f"  {n_corpus} -> {bp_rows} docs kept, "
+            f"peak partition rows={bp_peak:,}",
+            flush=True,
+        )
+
+        shards = shuffled_shards(corpus, "doc_id", seed=7, n_shards=64)
+        per_shard, _ = meter.run(
+            "shuffle+shard",
+            lambda: shards.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+        sizes = sorted(r["n"] for r in per_shard)
+        print(
+            f"  {sum(sizes)} rows over {len(sizes)} shards, "
+            f"min={sizes[0]:,} max={sizes[-1]:,} "
+            f"(skew {sizes[-1] / max(1, sizes[0]):.2f}x)",
+            flush=True,
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
