@@ -49,6 +49,12 @@ EXTENDED = [
     "etl_scd2_history",
     "funnel_view_click_purchase",
     "funnel_sliding_window",
+    # round 8
+    "dedup_decontaminate",
+    "text_redact_pii",
+    "sim_cosine_topk_batch",
+    "sketch_theta_rollup",
+    "corpus_pack_concat_split",
 ]
 
 

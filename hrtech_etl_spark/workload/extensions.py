@@ -1281,3 +1281,60 @@ def corpus_pack_concat_split(spark, sf_dir):
         "block_first",
         "n_blocks",
     )
+
+
+@query(
+    "dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
+             {shingles_sql()} AS sh
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, size_bucket,
+             list_distinct(list_transform(sh, s -> {_PH_S})) AS sh
+      FROM raw
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b
+        ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+      WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh))
+                  ELSE 0.0 END, 4) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over verified near-dup pairs
+    (functions/dedup.py::near_dup_clusters) — the transitive-closure
+    step between "pairs" and "drop duplicates" (a~b, b~c must collapse
+    into ONE cluster even though (a,c) was never compared), previously
+    only union-find-property-tested. The Spark side is the production
+    iterative min-label propagation with the pointer-jumping
+    accelerant (O(log diameter) rounds, one persisted frame + one
+    count per round, no driver-side graph); the oracle states the SAME
+    fixed point declaratively as a recursive CTE (min reachable id
+    over the undirected closure). Pairs come from the already-gated
+    blocked n-gram Jaccard machinery (threshold 0.3); every document
+    appears in the output, singletons labeled by themselves."""
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "size_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    pairs = dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", block_cols=["lang", "size_bucket"], threshold=0.3
+    )
+    labels = dd.near_dup_clusters(pairs, d, "doc_id", accelerate=True)
+    return labels.select(F.col("id").alias("doc_id"), "cluster")
