@@ -1338,3 +1338,63 @@ def dedup_clusters(spark, sf_dir):
     )
     labels = dd.near_dup_clusters(pairs, d, "doc_id", accelerate=True)
     return labels.select(F.col("id").alias("doc_id"), "cluster")
+
+
+@query(
+    "ts_resample_ffill",
+    sql="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS v_obs
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM obs),
+    grid AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT mn FROM bounds),
+                                      (SELECT mx FROM bounds),
+                                      INTERVAL 1 HOUR)) AS bucket
+      ) g
+    ),
+    filled AS (
+      SELECT g.user_id, g.bucket, o.v_obs,
+             last_value(o.v_obs IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.bucket = o.bucket
+    )
+    SELECT user_id, count(*) AS n_buckets,
+           count(v_obs) AS n_observed,
+           count(v) - count(v_obs) AS n_filled,
+           CAST(round(sum(CAST(v AS DECIMAL(18,4))), 4) AS DOUBLE) AS v_checksum
+    FROM filled GROUP BY user_id
+    """,
+)
+def ts_resample_ffill(spark, sf_dir):
+    """Time-series densify + forward-fill
+    (operators/timeseries.py::resample_forward_fill) — the
+    hypertable gap-fill shape: per-user hourly value series on the
+    dense global bucket grid, empty buckets carrying the last
+    observation forward, leading gaps left NULL. Declared output is
+    the per-user audit (bucket/observed/filled counts plus an
+    order-independent decimal checksum over the FILLED series — the
+    checksum pins which value every carried bucket took, so a wrong
+    fill changes it even when the counts survive). The oracle states
+    the identical grid, LOCF window, and checksum."""
+    from hrtech_etl_spark.operators.timeseries import resample_forward_fill
+
+    ev = load_table(spark, "events", sf_dir)
+    series = resample_forward_fill(ev, "user_id", "ts", "value", unit="hour")
+    return series.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count(F.when(F.col("is_observed"), 1)).alias("n_observed"),
+        (
+            F.count("value") - F.count(F.when(F.col("is_observed"), 1))
+        ).alias("n_filled"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("v_checksum"),
+    )
