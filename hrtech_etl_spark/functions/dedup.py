@@ -781,7 +781,12 @@ def incremental_verified_pairs(
             .where(F.col("__n") > max_bucket_size)
             .select("band_idx", "bucket")
         )
-        cb = cb.join(F.broadcast(hot), ["band_idx", "bucket"], "left_anti")
+        # No forced broadcast: the overflow set is tiny in practice
+        # (only buckets past the cap) and AQE broadcasts it then, but
+        # its cardinality is DATA-derived, not caller-contracted — a
+        # pathological corpus could overflow arbitrarily many buckets,
+        # and a hard hint would OOM there instead of degrading.
+        cb = cb.join(hot, ["band_idx", "bucket"], "left_anti")
     bb = batch_index.select(
         F.col(id_col).alias("__bid"), F.explode("bands").alias("b")
     ).select("__bid", "b.band_idx", "b.bucket")
