@@ -406,6 +406,9 @@ def prepare_training_corpus(
     redact: bool = True,
     dedup_knobs: dict | None = None,
     boilerplate_frac: float | None = None,
+    packing: str = "ffd",
+    shuffle_seed: int | None = None,
+    n_shards: int = 8,
 ) -> DataFrame:
     """The capstone one-call corpus-prep pipeline, composing the
     engine's LLM-data operators in their canonical order:
@@ -424,15 +427,29 @@ def prepare_training_corpus(
     5. PII redaction (emails/phones/SSNs → typed placeholders)
     6. chunking into overlapping context windows
     7. whitespace token counts per chunk
-    8. first-fit-decreasing sequence packing into ``pack_max_len``
-       windows
+    8. packing into ``pack_max_len`` windows — ``packing="ffd"``
+       (default) is first-fit-decreasing bin packing
+       (:func:`pack_sequences`: padding-minimized, no chunk spans two
+       examples, output carries ``pack_id``/``oversize``);
+       ``packing="concat_split"`` is GPT-style concat-and-split
+       (:func:`concat_split_packing`: padding-free token stream,
+       chunks may span block boundaries, output carries
+       ``tok_offset``/``block_first``/``n_blocks``)
+    9. (optional, ``shuffle_seed``) seeded reproducible shuffle+shard
+       (:func:`shuffled_shards`) of the final chunk rows — adds
+       ``shard`` and ``shuffle_key``, so
+       ``.repartition(n_shards, "shard")
+       .sortWithinPartitions("shuffle_key", ...)`` writes balanced,
+       internally-shuffled training files; a new epoch is a seed
+       change, not a data move
 
-    Output: ``(id, chunk_idx, chunk_text, n_tokens, pack_id,
-    oversize)`` — one row per chunk, ready to group by ``pack_id``
-    into training examples. Every stage is the already-tested operator
-    (this function adds NO new semantics — it pins the composition
-    order and the column plumbing between stages, which is exactly
-    what an integration test must cover).
+    Output: one row per chunk — ``(id, chunk_idx, chunk_text,
+    n_tokens)`` plus the packing columns above, plus
+    ``shard``/``shuffle_key`` when ``shuffle_seed`` is set. Every
+    stage is the already-tested operator (this function adds NO new
+    semantics — it pins the composition order and the column plumbing
+    between stages, which is exactly what an integration test must
+    cover).
 
     Dedup/decontaminate run BEFORE chunking on whole documents (chunk
     boundaries would hide cross-chunk duplication), and redaction runs
@@ -476,6 +493,10 @@ def prepare_training_corpus(
         overlap=chunk_overlap,
     ).withColumn("n_tokens", tx.token_count(F.col("chunk_text")))
 
+    if packing not in ("ffd", "concat_split"):
+        raise ValueError(
+            f"packing must be 'ffd' or 'concat_split', got {packing!r}"
+        )
     keyed = chunks.withColumn(
         "__chunk_id",
         F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_idx")),
@@ -483,13 +504,34 @@ def prepare_training_corpus(
     # keyed feeds BOTH sides of the pack join; without a boundary the
     # whole dedup→chunk lineage above would execute twice.
     keyed = keyed.localCheckpoint(eager=False)
-    packs = pack_sequences(
-        keyed, "__chunk_id", "n_tokens", pack_max_len
-    ).select("__chunk_id", "pack_id", "oversize")
-    return (
-        keyed.join(packs, "__chunk_id")
-        .select(id_col, "chunk_idx", "chunk_text", "n_tokens", "pack_id", "oversize")
+    if packing == "ffd":
+        packs = pack_sequences(
+            keyed, "__chunk_id", "n_tokens", pack_max_len
+        ).select("__chunk_id", "pack_id", "oversize")
+        pack_cols = ["pack_id", "oversize"]
+    else:
+        packs = concat_split_packing(
+            keyed,
+            "__chunk_id",
+            "n_tokens",
+            pack_max_len,
+            seed=shuffle_seed or 0,
+            n_shards=n_shards,
+        ).select(
+            "__chunk_id",
+            F.col("offset").alias("tok_offset"),
+            "block_first",
+            "n_blocks",
+        )
+        pack_cols = ["tok_offset", "block_first", "n_blocks"]
+    out = keyed.join(packs, "__chunk_id").select(
+        id_col, "chunk_idx", "chunk_text", "n_tokens", "__chunk_id", *pack_cols
     )
+    if shuffle_seed is not None:
+        out = shuffled_shards(
+            out, "__chunk_id", seed=shuffle_seed, n_shards=n_shards
+        )
+    return out.drop("__chunk_id")
 
 
 def shuffled_shards(

@@ -128,3 +128,59 @@ def test_boilerplate_stage_runs_before_dedup(spark):
     ids = {r["doc_id"] for r in out}
     assert ids == {1, 3}  # doc 2 deduped against 1; doc 4 deduped against 3
     assert all(banner not in r["chunk_text"] for r in out)
+
+
+def test_concat_split_and_shuffle_shard_modes(spark, sf_dir):
+    """packing='concat_split' + shuffle_seed: the capstone's
+    training-file tail — offsets are a contiguous token stream over
+    the chunk set, every chunk gets a shard, and a new seed is a new
+    permutation of the same rows."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = prepare_training_corpus(
+        docs,
+        "text",
+        "doc_id",
+        quality_min=0.0,
+        chunk_chars=400,
+        chunk_overlap=50,
+        pack_max_len=128,
+        packing="concat_split",
+        shuffle_seed=11,
+        n_shards=4,
+    ).persist()
+    rows = out.collect()
+    assert rows, "pipeline produced no chunks"
+    cols = set(out.columns)
+    assert {"tok_offset", "block_first", "n_blocks", "shard", "shuffle_key"} <= cols
+    assert "pack_id" not in cols
+    # contiguous stream: sorted offsets step by each chunk's n_tokens
+    ordered = sorted(rows, key=lambda r: r["tok_offset"])
+    running = 0
+    for r in ordered:
+        assert r["tok_offset"] == running
+        running += r["n_tokens"]
+    assert {r["shard"] for r in rows} <= set(range(4))
+    # same inputs, different seed -> same chunk set, different order
+    out2 = prepare_training_corpus(
+        docs,
+        "text",
+        "doc_id",
+        quality_min=0.0,
+        chunk_chars=400,
+        chunk_overlap=50,
+        pack_max_len=128,
+        packing="concat_split",
+        shuffle_seed=12,
+        n_shards=4,
+    )
+    ids = lambda df: sorted(
+        (r["doc_id"], r["chunk_idx"]) for r in df.select("doc_id", "chunk_idx").collect()
+    )
+    assert ids(out) == ids(out2)
+    out.unpersist()
+
+
+def test_packing_mode_validation(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    with pytest.raises(ValueError, match="packing"):
+        prepare_training_corpus(docs, "text", "doc_id", packing="zip")
