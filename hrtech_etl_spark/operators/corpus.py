@@ -323,7 +323,9 @@ def concat_split_packing(
     where ``offset`` is the exclusive running sum in the order
     ``(shard, shuffle_key, id)`` — ties on the 32-bit shuffle key
     break on id, so the order (and every engine's rendering of it) is
-    total.
+    total. Rows with a NULL id are DROPPED (a NULL id has no identity
+    to place in the stream; filter or repair ids upstream if they can
+    be NULL).
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -359,18 +361,39 @@ def concat_split_packing(
     )
     # Shard totals come from the POST-window frame, not a second pass
     # over the input: the exclusive prefix plus own length peaks at the
-    # shard total (lengths are non-negative token counts), and both
-    # consumers then share one shard-keyed exchange (ReusedExchange in
-    # the executed plan) — one corpus scan, not two.
+    # shard total for non-negative lengths, and because the expression
+    # CONSUMES the window column, Catalyst cannot prune the window away
+    # — both consumers share one shard-keyed exchange (ReusedExchange
+    # in the executed plan; a plain sum(length) gets pushed below the
+    # window and the branches split back into two corpus scans).
+    # Non-negativity is the contract that makes max == sum; the
+    # assert_true guard makes an out-of-contract negative length FAIL
+    # the job instead of silently corrupting every later shard's base.
     totals = local.groupBy("shard").agg(
-        F.max(F.col("__local_off") + F.col(length_col)).alias("__tot")
+        F.max(F.col("__local_off") + F.col(length_col)).alias("__tot"),
+        F.min(length_col).alias("__minlen"),
     )
     # n_shards rows: the single-partition exclusive cumsum is bounded
     # by the knob, and the broadcast below is the parameter-bounded
     # (allowed) class of forced broadcast.
     w_base = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    # the assert_true result (NULL on pass) folds into __base so the
+    # guard cannot be pruned as unused; it costs nothing on n_shards rows
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__minlen") >= 0,
+            F.lit(
+                f"concat_split_packing: negative {length_col} — token "
+                "counts must be >= 0"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     bases = totals.withColumn(
-        "__base", F.coalesce(F.sum("__tot").over(w_base), F.lit(0)).cast("long")
+        "__base",
+        (
+            F.coalesce(F.sum("__tot").over(w_base), F.lit(0)) + guard
+        ).cast("long"),
     ).select("shard", "__base")
     offset = (F.col("__base") + F.col("__local_off")).alias("offset")
     off = F.col("offset")

@@ -47,7 +47,9 @@ def resample_forward_fill(
     last-observation-carried-forward.
 
     Buckets are ``date_trunc(unit, ts)``; each observed (key, bucket)
-    carries the ROUNDED mean of its values (decimal sum → one IEEE
+    carries the ROUNDED mean of its NON-NULL values — NULL values are
+    "no measurement", and a bucket whose every value is NULL is a gap,
+    not an observation — (decimal sum → one IEEE
     division → round, the engine-portable average from
     :mod:`hrtech_etl_spark.workload.registry`); the grid spans the
     GLOBAL [min, max] bucket for every key (the dashboard/feature-
@@ -74,8 +76,12 @@ def resample_forward_fill(
         )
         .groupBy(key_col, "bucket")
         .agg(
+            # count NON-NULL values, not rows: a NULL value is "no
+            # measurement", so it must neither dilute the mean nor make
+            # a bucket observed — a bucket whose every value is NULL
+            # aggregates to NULL and counts as a gap.
             F.round(
-                F.sum("__v").cast("double") / F.count(F.lit(1)), round_to
+                F.sum("__v").cast("double") / F.count("__v"), round_to
             ).alias("__v_obs")
         )
     )

@@ -91,8 +91,13 @@ def layout_zorder_key(spark, sf_dir):
 _INC_SIG = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
 
 #: (applicationId, sf_dir) → persisted LSH index dir, see
-#: dedup_incremental's docstring.
+#: dedup_incremental's docstring. The lock guards the check-then-build
+#: (same race class as the bloom bitmap-broadcast cache: two threads
+#: first-invoking concurrently would both build, one dir leaking).
+import threading as _threading
+
 _LSH_INDEX_DIRS: dict[tuple[str, str], str] = {}
+_LSH_INDEX_LOCK = _threading.Lock()
 
 
 @query(
@@ -146,22 +151,29 @@ def dedup_incremental(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
     key = (spark.sparkContext.applicationId, sf_dir)
-    root = _LSH_INDEX_DIRS.get(key)
-    if root is None:
-        import atexit
-        import shutil
-        import tempfile
+    with _LSH_INDEX_LOCK:
+        root = _LSH_INDEX_DIRS.get(key)
+        if root is None:
+            import atexit
+            import shutil
+            import tempfile
 
-        root = tempfile.mkdtemp(prefix="lsh_index_")
-        dd.lsh_index(corpus, "text", "doc_id").write.parquet(f"{root}/corpus")
-        # The batch index is materialized too: the ingest loop appends
-        # the cleaned batch's index rows to the corpus index anyway,
-        # and the verify plan broadcasts the batch side twice (bands,
-        # then shingle sets) — shingling the batch once instead of
-        # once per broadcast.
-        dd.lsh_index(batch, "text", "doc_id").write.parquet(f"{root}/batch")
-        _LSH_INDEX_DIRS[key] = root
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
+            root = tempfile.mkdtemp(prefix="lsh_index_")
+            # register cleanup BEFORE building: a failed write must not
+            # leak the directory past process exit
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            dd.lsh_index(corpus, "text", "doc_id").write.parquet(
+                f"{root}/corpus"
+            )
+            # The batch index is materialized too: the ingest loop
+            # appends the cleaned batch's index rows to the corpus
+            # index anyway, and the verify plan broadcasts the batch
+            # side twice (bands, then shingle sets) — shingling the
+            # batch once instead of once per broadcast.
+            dd.lsh_index(batch, "text", "doc_id").write.parquet(
+                f"{root}/batch"
+            )
+            _LSH_INDEX_DIRS[key] = root
     idx = spark.read.parquet(f"{root}/corpus")
     bi = spark.read.parquet(f"{root}/batch")
     ver = dd.incremental_verified_pairs(bi, idx, "doc_id", threshold=0.25)
@@ -1017,7 +1029,7 @@ _PII_SQL = [
 ]
 
 _PII_RAW_SQL = """
-      'User ' || c_name || ' mail c' || CAST(c_custkey AS VARCHAR)
+      'User u' || CAST(c_custkey AS VARCHAR) || ' mail c' || CAST(c_custkey AS VARCHAR)
       || '@corp.example.com'
       || CASE WHEN c_custkey % 3 = 0
               THEN ' alt c' || CAST(c_custkey AS VARCHAR) || '@alt.example.org'
@@ -1036,13 +1048,6 @@ _PII_RAW_SQL = """
 """
 
 
-def _pii_chain_sql(expr: str) -> str:
-    out = expr
-    for _, pat, _tok, repl in _PII_SQL:
-        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
-    return out
-
-
 def _pii_stage_sqls(expr: str) -> list[str]:
     """Cumulative chain prefixes: stage i = patterns 0..i applied."""
     stages, out = [], expr
@@ -1050,6 +1055,13 @@ def _pii_stage_sqls(expr: str) -> list[str]:
         out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
         stages.append(out)
     return stages
+
+
+def _pii_chain_sql(expr: str) -> str:
+    """The full redaction chain IS the last cumulative stage — one
+    builder, so the redacted column and the per-stage counts can never
+    desynchronize."""
+    return _pii_stage_sqls(expr)[-1]
 
 
 _PII_STAGES = _pii_stage_sqls("raw")
@@ -1079,7 +1091,11 @@ def text_redact_pii(spark, sf_dir):
     always an email + an IPv4; a second email for custkey%3==0; an SSN
     for custkey%4==0; a phone for custkey%5!=0 — so every audit count
     varies across rows (email 1-2, ssn/phone 0-1) instead of being a
-    constant. The Spark side is the production chain itself (ordered
+    constant. The fixture deliberately contains NO free-text name
+    column: TPC-H-style names embed 9-digit runs
+    ('Customer#000000123') that the phone pattern matches, which would
+    self-contaminate the declared counts (every custkey%5==0 row's
+    "no phone" case would still count one). The Spark side is the production chain itself (ordered
     JVM regexp_replace, zero UDFs); the oracle re-states it in RE2
     with the phone lookarounds rendered as consumed boundary groups.
     Counts are the per-stage placeholder deltas, which on
@@ -1091,8 +1107,8 @@ def text_redact_pii(spark, sf_dir):
     ck = F.col("c_custkey")
     s = lambda x: x.cast("string")  # noqa: E731
     raw = F.concat(
-        F.lit("User "),
-        F.col("c_name"),
+        F.lit("User u"),
+        s(ck),
         F.lit(" mail c"),
         s(ck),
         F.lit("@corp.example.com"),
@@ -1219,17 +1235,34 @@ def sketch_theta_rollup(spark, sf_dir):
     purchases = weekly.where(F.col("event_type") == "purchase").select(
         "week", F.col("theta_sketch").alias("__p")
     )
+    # FULL outer on week: the oracle emits a row for every week that
+    # has EITHER event type (a week with clicks but no purchases
+    # reports n_purchase_users=0) — an inner join would silently drop
+    # such weeks. A missing blob is the empty set: its estimate,
+    # and any intersection with it, is 0; the union is the other side.
     est = F.theta_sketch_estimate
-    return clicks.join(purchases, "week").select(
+
+    def _n(col):
+        return F.coalesce(F.round(est(col)).cast("long"), F.lit(0))
+
+    both = F.when(
+        F.col("__c").isNotNull() & F.col("__p").isNotNull(),
+        _n(F.theta_intersection(F.col("__c"), F.col("__p"))),
+    ).otherwise(F.lit(0))
+    either = (
+        F.when(
+            F.col("__c").isNotNull() & F.col("__p").isNotNull(),
+            _n(F.theta_union(F.col("__c"), F.col("__p"))),
+        )
+        .when(F.col("__c").isNotNull(), _n(F.col("__c")))
+        .otherwise(_n(F.col("__p")))
+    )
+    return clicks.join(purchases, "week", "full_outer").select(
         "week",
-        F.round(est(F.col("__c"))).cast("long").alias("n_click_users"),
-        F.round(est(F.col("__p"))).cast("long").alias("n_purchase_users"),
-        F.round(est(F.theta_intersection(F.col("__c"), F.col("__p"))))
-        .cast("long")
-        .alias("n_both"),
-        F.round(est(F.theta_union(F.col("__c"), F.col("__p"))))
-        .cast("long")
-        .alias("n_either"),
+        _n(F.col("__c")).alias("n_click_users"),
+        _n(F.col("__p")).alias("n_purchase_users"),
+        both.alias("n_both"),
+        either.alias("n_either"),
     )
 
 
@@ -1345,7 +1378,7 @@ def dedup_clusters(spark, sf_dir):
     sql="""
     WITH obs AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket,
-             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS v_obs
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 4) AS v_obs
       FROM events GROUP BY 1, 2
     ),
     bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM obs),

@@ -369,3 +369,16 @@ def test_concat_split_packing_seed_and_validation(spark):
     bad = spark.createDataFrame([(1, 1.5)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError, match="integral"):
         concat_split_packing(bad, "doc_id", "n_tokens", 128)
+
+
+def test_concat_split_packing_rejects_negative_lengths(spark):
+    """A negative token count violates the prefix-sum contract (offsets
+    would overlap) — the in-plan guard must fail the job instead of
+    silently corrupting later shards' base offsets."""
+    from hrtech_etl_spark.operators.corpus import concat_split_packing
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 7)], ["doc_id", "n_tokens"]
+    )
+    with pytest.raises(Exception, match="negative n_tokens|ASSERT"):
+        concat_split_packing(df, "doc_id", "n_tokens", 64).collect()

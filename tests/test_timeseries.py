@@ -61,3 +61,26 @@ def test_day_unit_single_bucket(spark, series):
     by_user = {r["user_id"]: r for r in out}
     assert by_user[1]["value"] == round((10 + 20 + 40) / 3, 4)
     assert by_user[2]["value"] == 7.0
+
+
+def test_null_values_do_not_dilute_or_observe(spark):
+    """NULL values are 'no measurement': they don't dilute a bucket's
+    mean, and a bucket whose every value is NULL is a gap (LOCF carries
+    over it), not an observation."""
+    rows = [
+        (1, _ts(0, 5), 10.0),
+        (1, _ts(0, 45), None),  # same bucket as the 10.0 -> mean 10, not 5
+        (1, _ts(1, 10), None),  # all-NULL bucket -> gap, carries 10.0
+        (1, _ts(2, 20), 30.0),
+    ]
+    out = resample_forward_fill(
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double"),
+        "user_id",
+        "ts",
+        "value",
+        unit="hour",
+    ).collect()
+    got = {r["bucket"].hour: (r["value"], r["is_observed"]) for r in out}
+    assert got[0] == (10.0, True)
+    assert got[1] == (10.0, False)
+    assert got[2] == (30.0, True)
