@@ -1431,3 +1431,79 @@ def ts_resample_ffill(spark, sf_dir):
         .cast("double")
         .alias("v_checksum"),
     )
+
+
+@query(
+    "agg_salted_skew",
+    sql="""
+    SELECT event_type,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py) under the
+    oracle gate: sum/count via salted partial groups
+    (salted_sum_count — the hot key fans out over 16 reducers before
+    the tiny partial merge) and count-distinct via salting the
+    DISTINCT DOMAIN itself (salted_count_distinct — partial distinct
+    sets are disjoint, so the merge is a plain sum, no reducer holds a
+    whole group's set). event_type is the genuinely hot key here (5
+    values over the whole table). The oracle is the PLAIN group-by the
+    salted plans must be indistinguishable from; the value sum rides
+    DECIMAL so both engines' partial orders cannot diverge."""
+    from hrtech_etl_spark.operators.skew import (
+        salted_count_distinct,
+        salted_sum_count,
+    )
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "v", F.col("value").cast("decimal(18,4)")
+    )
+    sums = salted_sum_count(
+        ev, ["event_type"], "v", salt_col="event_id", n_salts=16
+    ).select(
+        "event_type",
+        F.round(F.col("sum_v"), 2).cast("double").alias("sum_value"),
+        "n",
+    )
+    distincts = salted_count_distinct(
+        ev, ["event_type"], "user_id", n_salts=16
+    ).withColumnRenamed("n_distinct_user_id", "n_users")
+    return sums.join(distincts, "event_type")
+
+
+@query(
+    "join_salted_skew",
+    sql=f"""
+    SELECT c.c_mktsegment AS segment, count(*) AS n,
+           {{dsum}} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """.format(dsum="CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)"),
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-safe equi-join (operators/skew.py::salted_join) under the
+    oracle gate: the dim side replicates n_salts times, the fact side
+    salts deterministically from its unique event_id (retried tasks
+    salt identically — a rand() salt would double-count on shuffle
+    retry), and the join key becomes (key, salt) so a hot key's probe
+    work spreads over n_salts tasks. For when the dim can't broadcast
+    AND AQE skew splitting can't kick in. The oracle is the plain join
+    + group-by the salted plan must reproduce exactly."""
+    from hrtech_etl_spark.operators.skew import salted_join
+    from hrtech_etl_spark.workload.registry import dsum
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "value"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, "user_id", fact_unique_col="event_id", n_salts=8)
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+    )
