@@ -1507,3 +1507,73 @@ def join_salted_skew(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("total_value"),
     )
+
+
+#: (applicationId, sf_dir) → (lineitem_table, orders_table) bucketed
+#: catalog tables, written once per app — same cache pattern (and
+#: lock) as the LSH index dirs above.
+_BUCKETED_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+@query(
+    "join_bucketed_colocated",
+    sql="""
+    SELECT o.o_orderpriority AS priority, count(*) AS n,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Bucketed co-located fact-fact join (operators/bucketing.py)
+    under the oracle gate: lineitem and orders are WRITTEN ONCE per
+    application as same-bucket-count catalog tables on the join key
+    (the write-time shuffle you were paying anyway, amortized over
+    every later join), then joined — and the query SELF-ASSERTS the
+    layout contract via assert_no_shuffle_join (zero Exchange under
+    the join: each task zips bucket i with bucket i) before the oracle
+    value-matches the result against the plain shuffled join. At
+    100 TB this is THE fact-fact join strategy; the gate proves the
+    on-disk layout changes the plan, not the answer."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hrtech_etl_spark.operators import bucketing as bk
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _LSH_INDEX_LOCK:
+        tables = _BUCKETED_TABLES.get(key)
+        if tables is None:
+            import hashlib
+
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            lt, ot = f"bk_lineitem_{tag}", f"bk_orders_{tag}"
+            root = tempfile.mkdtemp(prefix="bucketed_")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            li = load_table(spark, "lineitem", sf_dir).select(
+                "l_orderkey", "l_quantity"
+            )
+            o = (
+                load_table(spark, "orders", sf_dir)
+                .select("o_orderkey", "o_orderpriority")
+                .withColumnRenamed("o_orderkey", "l_orderkey")
+            )
+            bk.write_bucketed(
+                li, lt, bucket_col="l_orderkey", n_buckets=8,
+                path=f"{root}/{lt}",
+            )
+            bk.write_bucketed(
+                o, ot, bucket_col="l_orderkey", n_buckets=8,
+                path=f"{root}/{ot}",
+            )
+            tables = (lt, ot)
+            _BUCKETED_TABLES[key] = tables
+    joined = bk.bucketed_join(spark, tables[0], tables[1], on="l_orderkey")
+    bk.assert_no_shuffle_join(joined)
+    from hrtech_etl_spark.workload.registry import dsum
+
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("total_qty"),
+    )
