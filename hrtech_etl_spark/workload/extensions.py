@@ -1577,3 +1577,66 @@ def join_bucketed_colocated(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity").alias("total_qty"),
     )
+
+
+#: (applicationId, sf_dir) → compacted events dataset path (cache +
+#: lock shared with the other per-app artifacts above).
+_COMPACTED_DIRS: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "layout_compaction",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def layout_compaction(spark, sf_dir):
+    """Small-file compaction (operators/compaction.py::compact) under
+    the oracle gate: the events table is deliberately shattered into
+    64 small files (the streaming-sink/incremental-pull accretion
+    shape — at scale the FILE COUNT, not bytes, kills listing, footer
+    reads, and task scheduling), compacted to right-sized files via
+    the staged-rewrite-and-swap path, and the query SELF-ASSERTS the
+    file count actually dropped before the oracle value-matches the
+    compacted data against the original table — layout changed,
+    content bit-identical. Shatter + compact run once per application
+    (same cache+lock pattern as the LSH/bucketed artifacts)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hrtech_etl_spark.operators import compaction as cp
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _LSH_INDEX_LOCK:
+        root = _COMPACTED_DIRS.get(key)
+        if root is None:
+            root = tempfile.mkdtemp(prefix="compaction_")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            ev = load_table(spark, "events", sf_dir).select(
+                "event_id", "user_id", "event_type", "value"
+            )
+            ev.repartition(64).write.parquet(f"{root}/events")
+            before = cp.data_file_count(f"{root}/events")
+            cp.compact(spark, f"{root}/events", target_file_mb=64)
+            after = cp.data_file_count(f"{root}/events")
+            if not (after < before):
+                raise AssertionError(
+                    f"compaction did not reduce files: {before} -> {after}"
+                )
+            _COMPACTED_DIRS[key] = root
+    return (
+        spark.read.parquet(f"{root}/events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
