@@ -55,6 +55,9 @@ EXTENDED = [
     "sim_cosine_topk_batch",
     "sketch_theta_rollup",
     "corpus_pack_concat_split",
+    "dedup_clusters",
+    "ts_resample_ffill",
+    "join_bucketed_colocated",
 ]
 
 

@@ -1640,3 +1640,141 @@ def layout_compaction(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "sketch_kll_rollup",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             date_trunc('day', o_orderdate) AS day,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT month, rev,
+             cume_dist() OVER (PARTITION BY month ORDER BY rev) AS cd
+      FROM daily
+    )
+    SELECT month,
+           min(rev) FILTER (cd >= 0.5) AS q_50,
+           min(rev) FILTER (cd >= 0.9) AS q_90
+    FROM r GROUP BY month
+    """,
+)
+def sketch_kll_rollup(spark, sf_dir):
+    """Mergeable KLL quantile rollup under the oracle gate
+    (operators/sketches.py::kll_partial/kll_quantiles): daily order
+    revenue is sketched into per-(month, week) KLL blobs — the
+    storable partials a 100 TB pipeline persists next to its HLL and
+    Theta blobs — then BLOB-MERGED (kll_merge_agg_double, no raw
+    rescan) up to months and read out as p50/p90 of daily revenue. A
+    KLL sketch retains every item until it exceeds k (=200), so these
+    <= 31-item merged sketches are EXACT, and the datasketches
+    INCLUSIVE rank rule ("smallest retained item whose cumulative
+    weight fraction >= q") is stated verbatim in the oracle as
+    min(rev) FILTER (cume_dist >= q) — past k the identical plan
+    degrades to ~1.65% normalized rank error instead of failing.
+    Daily revenue itself is the registry's order-independent decimal
+    sum, so both engines sketch bit-identical doubles."""
+    from hrtech_etl_spark.operators.sketches import kll_partial, kll_quantiles
+    from hrtech_etl_spark.workload.registry import dsum
+
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.date_trunc("week", "o_orderdate").cast("date").alias("week"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    partials = kll_partial(daily, ["month", "week"], "rev", k=200)
+    return kll_quantiles(partials, ["month"], [0.5, 0.9])
+
+
+#: Static heavy-hitter candidate list for the CMS gate: the full brand
+#: vocabulary (25 values). CMS answers point lookups, not enumeration —
+#: a real deployment gets its candidates from a prior coarse pass.
+_CMS_BRANDS = [f"Brand#{i}" for i in range(1, 26)]
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    sql="SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand",
+)
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters under the oracle gate
+    (operators/sketches.py::cms_partial/cms_estimate): one CMS blob
+    per p_type partition — the mergeable frequency partials — merged
+    DRIVER-side (bounded: 6 blobs, and cms_estimate hard-caps at
+    MAX_CMS_BLOBS) and probed for the static 25-brand candidate list.
+    At eps=0.001 the sketch is 2000 counters wide x 7 rows deep; with
+    25 distinct keys the collision probability per item is ~(24/2000)^7,
+    so the deterministic seed=7 sketch reproduces EXACT counts at every
+    tested scale factor (the oracle is the plain exact GROUP BY); a
+    high-cardinality column degrades to the documented +eps*N
+    overestimate instead of failing. Zero-count candidates are dropped
+    so absent brands can't desync the row set from the oracle."""
+    from hrtech_etl_spark.operators.sketches import cms_estimate, cms_partial
+
+    p = load_table(spark, "part", sf_dir)
+    blobs = cms_partial(
+        p, ["p_type"], "p_brand", eps=0.001, confidence=0.99, seed=7
+    )
+    est = cms_estimate(blobs, _CMS_BRANDS)
+    rows = [(b, int(n)) for b, n in sorted(est.items()) if n > 0]
+    return spark.createDataFrame(rows, "p_brand string, n_parts bigint")
+
+
+@query(
+    "sketch_theta_overlap",
+    sql="""
+    WITH pur AS (
+      SELECT user_id, value,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT user_id,
+             coalesce(bool_or(value >= 200), FALSE) AS a,
+             coalesce(bool_or(k >= 97), FALSE) AS b
+      FROM pur GROUP BY 1
+    )
+    SELECT count(*) FILTER (a) AS n_a,
+           count(*) FILTER (b) AS n_b,
+           count(*) FILTER (a OR b) AS n_union,
+           count(*) FILTER (a AND b) AS n_intersection,
+           count(*) FILTER (a AND NOT b) AS n_only_a
+    FROM s
+    """,
+)
+def sketch_theta_overlap(spark, sf_dir):
+    """Theta set-algebra overlap report under the oracle gate
+    (operators/sketches.py::theta_overlap): two genuinely asymmetric
+    audiences — high-value purchasers (value >= 200, the top ~1% of
+    purchase events) vs high-k purchasers (props.k >= 97) — each
+    collapsed to ONE Theta blob, then the full overlap report (sizes,
+    union, intersection, A-only difference) computed from the two
+    blobs alone via theta_union/theta_intersection/theta_difference.
+    No self-join over raw events; the single-row cross join is the
+    allowed 1-row BroadcastNestedLoop case. Both audiences sit far
+    below the lgK=12 exact cap (4096 retained entries), so the
+    estimates equal DuckDB's exact set counts at every tested scale
+    factor and degrade to ~2% rsd beyond the cap."""
+    from hrtech_etl_spark.operators.sketches import theta_overlap, theta_partial
+
+    pur = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    a = theta_partial(pur.where(F.col("value") >= 200), [], "user_id")
+    b = theta_partial(
+        pur.where(F.get_json_object("props", "$.k").cast("int") >= 97),
+        [],
+        "user_id",
+    )
+    rep = theta_overlap(a, b)
+    return rep.select(
+        *(F.round(F.col(c)).cast("long").alias(c) for c in rep.columns)
+    )

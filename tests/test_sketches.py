@@ -170,3 +170,37 @@ def test_theta_rollup_exact_below_cap_and_merge_equals_direct(spark, events):
     assert rolled["n_distinct"] == direct
     # the merged blob stays usable for set algebra (keep_sketch default)
     assert rolled["theta_sketch"] is not None
+
+
+def test_kll_exact_regime_inclusive_rank(spark, events):
+    """While total retained items stay <= k, a MERGED KLL sketch is
+    exact and its quantile rule is the datasketches INCLUSIVE rank:
+    the smallest retained item whose cumulative weight fraction >= q —
+    i.e. min(value) FILTER (cume_dist >= q). This is the property the
+    declared `sketch_kll_rollup` query states verbatim in its DuckDB
+    oracle, so lock it against a direct computation here."""
+    from pyspark.sql import Window
+
+    from hrtech_etl_spark.operators.sketches import kll_partial, kll_quantiles
+
+    # ~30 distinct daily sums per month-sized slice: well under k=200
+    daily = (
+        events.groupBy("day")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    )
+    merged = kll_quantiles(
+        kll_partial(daily.withColumn("half", F.dayofmonth("day") % 2), ["half"], "v"),
+        [],
+        [0.25, 0.5, 0.9],
+    ).collect()[0]
+    cd = daily.withColumn("cd", F.cume_dist().over(Window.orderBy("v")))
+    exact = cd.agg(
+        *[
+            F.min(F.when(F.col("cd") >= q, F.col("v"))).alias(f"e{i}")
+            for i, q in enumerate((0.25, 0.5, 0.9))
+        ]
+    ).collect()[0]
+    assert (merged["q_25"], merged["q_50"], merged["q_90"]) == tuple(exact), (
+        merged,
+        tuple(exact),
+    )
