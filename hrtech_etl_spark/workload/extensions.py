@@ -1778,3 +1778,67 @@ def sketch_theta_overlap(spark, sf_dir):
     return rep.select(
         *(F.round(F.col(c)).cast("long").alias(c) for c in rep.columns)
     )
+
+
+@query(
+    "events_cohort_retention",
+    sql="""
+    WITH pur AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events WHERE event_type = 'purchase' AND value >= 60
+    ),
+    firsts AS (SELECT user_id, min(wk) AS cohort FROM pur GROUP BY 1),
+    sizes AS (SELECT cohort, count(*) AS n_cohort FROM firsts GROUP BY 1),
+    act AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, p.wk) / 7 AS INT) AS week_offset,
+             count(DISTINCT p.user_id) AS n_active
+      FROM pur p JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort, a.week_offset, a.n_active,
+           round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 4) AS retention
+    FROM act a JOIN sizes s USING (cohort)
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the classic product-analytics rollup
+    (cohort = week of a user's FIRST qualifying purchase; each later
+    active week counts the cohort's surviving users and their retained
+    fraction). Qualifying = value >= 60 so the cohorts are genuinely
+    staggered on this corpus rather than everyone landing in week 0.
+    Plan shape: the (user, week) activity set is ONE distinct pass
+    over the pushed-down scan; first-touch is a min over it; the
+    activity-to-first join shuffles on user_id and the final rollup on
+    cohort — at 100 TB every stage is a plain keyed exchange over
+    already-deduplicated (user, week) pairs, orders of magnitude
+    smaller than the raw events, and AQE broadcasts the tiny
+    cohort-size side of the ratio join. The retained fraction divides
+    two already-identical integers once (registry IEEE-division rule),
+    so the hash gate holds bit-exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    pur = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") >= 60))
+        .select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+        )
+        .distinct()
+    )
+    firsts = pur.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    act = (
+        pur.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return act.join(sizes, "cohort").select(
+        "cohort",
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 4
+        ).alias("retention"),
+    )
