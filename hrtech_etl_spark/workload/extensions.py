@@ -1842,3 +1842,44 @@ def events_cohort_retention(spark, sf_dir):
             F.col("n_active").cast("double") / F.col("n_cohort"), 4
         ).alias("retention"),
     )
+
+
+@query(
+    "sketch_hll_rollup",
+    sql="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+           count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY 1, 2
+    """,
+)
+def sketch_hll_rollup(spark, sf_dir):
+    """Mergeable HLL distinct-count rollup under the oracle gate
+    (operators/sketches.py::hll_partial/hll_rollup): per-(day,
+    event_type) DataSketches HLL blobs over user_id, BLOB-UNIONED
+    (hll_union_agg, no raw rescan) up to weeks. Unlike
+    approx_count_distinct (HLL++, gated rows-only as
+    `agg_approx_distinct` because its estimate is engine-specific), a
+    DataSketches HLL sketch stays in exact coupon mode until roughly
+    k/4 retained hashes, so at lgK=16 these <= 1500-user weekly
+    audiences reproduce DuckDB's exact distinct counts at every tested
+    scale factor — empirically verified that lgK=12 already diverges
+    at sf0.1, which is exactly the documented estimate-regime
+    degradation (~0.5% rse at lgK=16) the same plan falls back to past
+    the coupon cap. Completes the sketch family: all four kinds (HLL,
+    KLL, Theta, CMS) now carry a VALUE-gated declared query in their
+    exact regime."""
+    from hrtech_etl_spark.operators.sketches import hll_partial, hll_rollup
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_partial(ev, ["day", "event_type"], "user_id", lg_config_k=16)
+    weekly = hll_rollup(
+        daily.withColumn(
+            "week", F.date_trunc("week", F.col("day")).cast("date")
+        ),
+        ["week", "event_type"],
+    )
+    return weekly.withColumn(
+        "n_distinct", F.col("n_distinct").cast("long")
+    )
