@@ -18,7 +18,7 @@ from hrtech_etl_spark.functions import dedup as dd
 from hrtech_etl_spark.operators.layout import zorder_key, zorder_key_sql
 from hrtech_etl_spark.operators.profiling import profile_sql, profile_table
 from hrtech_etl_spark.sources.testdata import load_table
-from hrtech_etl_spark.workload.registry import query
+from hrtech_etl_spark.workload.registry import query, sql_dsum
 from hrtech_etl_spark.functions.hashing import portable_hash_sql
 from hrtech_etl_spark.workload.text_llm import (
     VEC_DOUBLE,
@@ -1644,12 +1644,12 @@ def layout_compaction(spark, sf_dir):
 
 @query(
     "sketch_kll_rollup",
-    sql="""
+    sql=f"""
     WITH daily AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
              date_trunc('day', o_orderdate) AS day,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+             {sql_dsum('o_totalprice')} AS rev
       FROM orders GROUP BY 1, 2, 3
     ),
     r AS (
@@ -1880,6 +1880,4 @@ def sketch_hll_rollup(spark, sf_dir):
         ),
         ["week", "event_type"],
     )
-    return weekly.withColumn(
-        "n_distinct", F.col("n_distinct").cast("long")
-    )
+    return weekly
