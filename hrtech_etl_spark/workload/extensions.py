@@ -1881,3 +1881,160 @@ def sketch_hll_rollup(spark, sf_dir):
         ["week", "event_type"],
     )
     return weekly
+
+
+def static_enrich_agg(events, customer):
+    """The stream_static_enrich aggregation over a batch OR streaming
+    events frame: left-join the static customer dimension (per
+    micro-batch when streaming — stateless, no watermark needed for
+    the join itself), then 1-hour tumbling revenue windows per market
+    segment, unmatched users kept under 'unmatched'. No forced
+    broadcast hint: the dim is sf-proportional, so the batch plan lets
+    AQE choose and the streaming plan uses the static size estimate —
+    at every scale where broadcast is safe, Spark picks it unaided."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    from hrtech_etl_spark.workload.registry import dsum
+
+    win = F.window("ts", "1 hour")
+    return (
+        events.join(dim, "user_id", "left")
+        .groupBy(
+            win.alias("w"),
+            F.coalesce("c_mktsegment", F.lit("unmatched")).alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_static_enrich",
+    sql=f"""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           coalesce(c.c_mktsegment, 'unmatched') AS segment,
+           count(*) AS n,
+           {sql_dsum('e.value')} AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment — the most common production
+    streaming shape (enrich a fact stream with a slowly-changing dim,
+    then window-aggregate) — batch-evaluated here so the oracle can
+    hash values, with the IDENTICAL :func:`static_enrich_agg` driven
+    as a real readStream→availableNow drain in
+    tests/test_streaming.py (same module convention as the other
+    stream_* queries). The join is stateless per micro-batch; only the
+    window aggregation carries state."""
+    return static_enrich_agg(
+        load_table(spark, "events", sf_dir),
+        load_table(spark, "customer", sf_dir),
+    )
+
+
+#: Fixed training-mixture recipe for the declared query: exercises the
+#: oversized-stratum branch (de has < 200 docs at sf0.001, so it
+#: contributes all rows) and drops the langs absent from the recipe.
+_MIXTURE_RECIPE = {"en": 120, "fr": 50, "de": 200}
+
+_MIX_RANK = portable_hash_sql("'7:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "corpus_mixture_sample",
+    sql=f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY {_MIX_RANK}, doc_id
+             ) AS rn
+      FROM documents WHERE lang IN ('en', 'fr', 'de')
+    ) WHERE rn <= CASE lang WHEN 'en' THEN 120 WHEN 'fr' THEN 50
+                            WHEN 'de' THEN 200 END
+    """,
+)
+def corpus_mixture_sample(spark, sf_dir):
+    """Recipe-proportioned training mixture under the oracle gate
+    (operators/corpus.py::mixture_sample): exactly counts[lang] docs
+    per language, drawn by the portable seeded-hash rank (one shuffle,
+    WindowGroupLimit partial top-k per stratum — the literal-bound
+    conjunct keeps Spark's pruning alive, see the operator docstring),
+    with the documented edge semantics live in the data: langs outside
+    the recipe are dropped, and a stratum smaller than its request
+    (de at sf0.001) contributes every row. Same seed → nested samples;
+    the oracle replays the identical md5 ranking, so the exact row SET
+    — not just the counts — is value-matched at every scale factor."""
+    from hrtech_etl_spark.operators.corpus import mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mixture_sample(
+        docs, "lang", _MIXTURE_RECIPE, id_col="doc_id", seed=7
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "text_repetition_signals",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, length(text) AS chars,
+             str_split_regex(trim(lower(text)), '\\s+') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, chars, toks,
+             CASE WHEN len(lines) > 0 THEN
+               round((len(lines) - len(list_distinct(lines)))
+                     / CAST(len(lines) AS DOUBLE), 4)
+             ELSE 0.0 END AS dup_line_frac
+      FROM base
+    ),
+    g AS (
+      SELECT doc_id, chars, dup_line_frac,
+             unnest(CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])
+                         ELSE [NULL] END) AS gram
+      FROM dl
+    ),
+    c AS (
+      SELECT doc_id, chars, dup_line_frac, gram, count(*) AS cnt
+      FROM g GROUP BY 1, 2, 3, 4
+    ),
+    t AS (
+      SELECT doc_id, chars, dup_line_frac,
+             max(CASE WHEN gram IS NOT NULL THEN cnt * length(gram)
+                      ELSE 0 END) AS top_chars
+      FROM c GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, dup_line_frac,
+           CASE WHEN chars > 0
+                THEN round(top_chars / CAST(chars AS DOUBLE), 4)
+                ELSE 0.0 END AS top_ngram_char_frac
+    FROM t
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition-quality signals under the oracle gate
+    (functions/text.py::repetition_signals): per-document
+    duplicate-line fraction and top-2-gram character coverage — the
+    published corpus-filter pair (drop docs > 0.3 / > 0.2) — computed
+    in ONE corpus scan: the doc-level scalars ride the explode_outer
+    of NON-distinct 2-grams through two map-side-combined shuffles
+    keyed on doc_id. explode_outer keeps gram-less and NULL-text docs
+    (both score 0.0) in the same pass; the oracle replays the shared
+    tokenization (the same str_split_regex the dedup shingle oracles
+    already parity-prove) with the identical tie-robust
+    max(count * gram_length) rule."""
+    from hrtech_etl_spark.functions.text import repetition_signals
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_signals(docs, "text", "doc_id", ngram=2)

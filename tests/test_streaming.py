@@ -750,3 +750,30 @@ def test_user_running_stats_transform_with_state(
         .collect()
     }
     assert got == want
+
+
+def test_declared_static_enrich_query_streams(spark, sf_dir, tmp_path):
+    """The DECLARED stream_static_enrich aggregation — not a
+    paraphrase — run with the events side as a real readStream (the
+    customer dim stays a static batch frame, joined per micro-batch
+    with no state) and drained with availableNow in complete mode must
+    equal the declared batch query row-for-row."""
+    from hrtech_etl_spark.workload.extensions import (
+        static_enrich_agg,
+        stream_static_enrich,
+    )
+    from hrtech_etl_spark.workload.streaming import _staged_event_stream
+
+    customer = load_table(spark, "customer", sf_dir)
+    with _staged_event_stream(spark, sf_dir) as stream:
+        run_available_now(
+            static_enrich_agg(stream, customer),
+            checkpoint=str(tmp_path / "ck_enrich_decl"),
+            output_mode="complete",
+            memory_table="static_enrich_out",
+        )
+        got = spark.table("static_enrich_out")
+        want = stream_static_enrich(spark, sf_dir)
+        assert _rows(got, "window_start", "segment") == _rows(
+            want, "window_start", "segment"
+        )
