@@ -2038,3 +2038,118 @@ def text_repetition_signals(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return repetition_signals(docs, "text", "doc_id", ngram=2)
+
+
+def _srp_margin_pairs_sql(vec: str, bits: int = 4, dim: int = 64) -> str:
+    """[|projection|, bit] pairs for the multiprobe oracle — the same
+    ±1 sign table and left-fold dot product srp_bucket_sql parity-
+    proves, with the bit index carried as an exact small double so
+    DuckDB's lexicographic list sort matches Spark's struct sort."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    pairs = []
+    for b in range(bits):
+        signs = ",".join(
+            "1.0" if sim._PROJ_SIGNS[(b, d)] else "-1.0" for d in range(dim)
+        )
+        pairs.append(
+            f"[abs(list_dot_product({vec}, [{signs}])), CAST({b} AS DOUBLE)]"
+        )
+    return "[" + ", ".join(pairs) + "]"
+
+
+from hrtech_etl_spark.workload.text_llm import srp_bucket_sql as _srp_sql
+
+_MULTIPROBE_SQL = f"""
+    WITH e AS (SELECT vec_id, {VEC_DOUBLE.format(v='embedding')} AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_srp_sql('v')} AS bucket FROM e),
+    q AS (
+      SELECT v AS qv, bucket AS qbucket,
+             list_transform(
+               list_sort({_srp_margin_pairs_sql('v')}),
+               p -> CAST(p[2] AS BIGINT)
+             )[1:2] AS flips
+      FROM b WHERE vec_id = 0
+    ),
+    p AS (
+      SELECT qv,
+             list_concat(
+               [qbucket],
+               list_transform(flips, f -> xor(qbucket, (CAST(1 AS BIGINT) << f)))
+             ) AS buckets
+      FROM q
+    )
+    SELECT b.vec_id AS vec_id, {cosine_sql('b.v', 'p.qv')} AS score
+    FROM b, p WHERE list_contains(p.buckets, b.bucket)
+    ORDER BY score DESC, b.vec_id
+    LIMIT 10
+"""
+
+
+@query("sim_lsh_multiprobe_topk", sql=_MULTIPROBE_SQL)
+def sim_lsh_multiprobe_topk(spark, sf_dir):
+    """Multiprobe SRP top-k under the oracle gate
+    (functions/similarity.py::lsh_multiprobe_topk): probe the query's
+    bucket PLUS the buckets reached by flipping its two lowest-margin
+    sign bits (n_probes=3 of 16 buckets) — the standard recall fix for
+    bucket-limited LSH without extra hash tables. Probe selection is
+    fully deterministic (per-bit projection magnitudes, the same
+    left-fold dot product the bucket oracle parity-proves), the probe
+    list broadcasts with the 1-row query, and the oracle replays
+    margin sorting, bit flips, and the bucket-membership join exactly.
+    At scale the corpus is written bucketed by srp_bucket, so each
+    probe is a partition-pruned scan of n_probes/2^bits of the data."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.lsh_multiprobe_topk(e, q, k=10, n_probes=3)
+
+
+#: Flat 64-term squared-L2 chain (NO per-subspace parens): term-for-term
+#: the left fold _l2sq runs over the full vector in the exact re-rank.
+_PQ_FLAT_L2 = " + ".join(_pq_l2_sql("e.v", "q.v", s) for s in range(_PQ_M))
+
+
+@query(
+    "sim_pq_rerank_topk",
+    sql=f"""
+    WITH e AS (SELECT vec_id, {_PQ_VD} AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS j, v FROM e WHERE vec_id < {_PQ_KSUB}),
+    cands AS (
+      SELECT e.vec_id, seeds.j, {_PQ_CANDS}
+      FROM e CROSS JOIN seeds
+    ),
+    codes AS (SELECT vec_id, {_PQ_CODES} FROM cands GROUP BY vec_id),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    adc AS (
+      SELECT c.vec_id, round({_PQ_DIST}, 6) AS adist
+      FROM codes c {_PQ_JOINS} CROSS JOIN q
+    ),
+    short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 100)
+    SELECT e.vec_id, round({_PQ_FLAT_L2}, 6) AS dist2
+    FROM e JOIN short USING (vec_id) CROSS JOIN q
+    ORDER BY dist2, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_pq_rerank_topk(spark, sf_dir):
+    """The deployed PQ serving path under the oracle gate
+    (functions/similarity.py::pq_rerank_topk): the cheap ADC scan over
+    8-byte codes shortlists 100 candidates, then ONLY those rows' raw
+    vectors are fetched (broadcast semi-join — a point-lookup pattern,
+    partition-pruned when the corpus is stored bucketed by id) for the
+    exact squared-L2 re-rank to top-10. The oracle replays the whole
+    cascade: seed codebook, code assignment, rounded ADC ordering with
+    the id tiebreak (a deterministic shortlist boundary), and the
+    exact distance as the SAME flat left-fold term chain — so the gate
+    certifies not just the final ranking but the shortlist the cheap
+    scan produced. sim_pq_topk gates the ADC-only path; this entry
+    closes the shortlist+rerank half the deployment actually serves."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = sim.pq_codebook(e, m=_PQ_M, ksub=_PQ_KSUB)
+    enc = sim.pq_encode(e, cb, m=_PQ_M, ksub=_PQ_KSUB)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.pq_rerank_topk(e, enc, cb, q, k=10, shortlist=100, m=_PQ_M)
