@@ -58,6 +58,8 @@ EXTENDED = [
     "dedup_clusters",
     "ts_resample_ffill",
     "join_bucketed_colocated",
+    "text_repetition_signals",
+    "sim_pq_rerank_topk",
 ]
 
 
