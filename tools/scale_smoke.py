@@ -207,6 +207,28 @@ def main() -> None:
             flush=True,
         )
 
+        # --- repetition-quality filter (zero-shuffle per-row pass) -------
+        # NOTE: being shuffle-free, its parallelism equals the INPUT
+        # partitioning — the synthetic crossJoin corpus has few splits,
+        # so the reported docs/s is near-single-core; real corpora get
+        # one task per file split.
+        from hrtech_etl_spark.functions.text import repetition_signals
+
+        sig = repetition_signals(corpus, "text", "doc_id")
+        keep = sig.where(
+            (F.col("dup_line_frac") <= 0.3)
+            & (F.col("top_ngram_char_frac") <= 0.2)
+        )
+        (q_rows, q_peak), q_dt = meter.run(
+            "repetition-quality filter", lambda: partition_stats(keep)
+        )
+        print(
+            f"  {n_corpus} scored -> {q_rows} kept at the published "
+            f"thresholds ({n_corpus / q_dt:,.0f} docs/s; "
+            f"peak partition rows={q_peak:,})",
+            flush=True,
+        )
+
         shards = shuffled_shards(corpus, "doc_id", seed=7, n_shards=64)
         per_shard, _ = meter.run(
             "shuffle+shard",
