@@ -129,8 +129,8 @@ def test_repetition_signals(spark):
 
 
 def test_repetition_signals_single_scan(spark, tmp_path):
-    """The operator must read the corpus ONCE: doc-level scalars ride
-    the explode as grouping keys instead of a second scan + join."""
+    """The operator must read the corpus ONCE: both signals are
+    per-row expressions over the same scan — no second scan + join."""
     p = str(tmp_path / "docs.parquet")
     spark.createDataFrame(
         [(i, f"text number {i} repeated text") for i in range(50)],
@@ -209,3 +209,16 @@ def test_remove_contaminated(spark):
         train, test_renamed, "text", "doc_id", shingle_k=5, test_text_col="question"
     )
     assert {r["doc_id"] for r in kept2.collect()} == {1, 3, 4}
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """The operator's scale contract: a pure per-row expression — the
+    executed plan must contain NO exchange (a reintroduced explode +
+    groupBy formulation would add two)."""
+    df = spark.createDataFrame(
+        [(i, f"some text body {i} some text body") for i in range(64)],
+        ["doc_id", "text"],
+    )
+    out = tx.repetition_signals(df, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
