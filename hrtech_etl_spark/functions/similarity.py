@@ -503,6 +503,16 @@ def pq_encode(
     memory at billions of vectors. Pure projection: the codebook is a
     broadcast 1-row side, assignment is an argmin fold per subspace,
     zero shuffle. Keeps all input columns and adds ``__codes``.
+
+    Perf note (A/B'd, same session, bit-identical codes): fully
+    UNROLLING the m*ksub*dsub distance terms into least(struct(d,j))
+    expressions to escape interpreted HOFs is 7x SLOWER here — the
+    generated processNext() exceeds janino's method limits
+    (InternalCompilerException at ~5.7k lines), so Spark falls back to
+    interpreting a tree ~10x this one's size. The compact HOF fold is
+    the fastest exact formulation available; don't re-try the unroll.
+    (numpy/pandas vectorization stays rejected too: pairwise summation
+    breaks the fold-order-exact oracle match.)
     """
     dsub = dim // m
 
