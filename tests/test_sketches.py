@@ -204,3 +204,45 @@ def test_kll_exact_regime_inclusive_rank(spark, events):
         merged,
         tuple(exact),
     )
+
+
+def test_kll_exact_regime_property_random_splits(spark):
+    """Property (hypothesis): for ANY small double list (n <= k) split
+    arbitrarily into partial sketches, the merged KLL quantile equals
+    the inclusive-rank rule min(v | cume_dist(v) >= q) — the exact
+    contract the sketch_kll_rollup oracle states. Runs each case
+    through real kll_sketch_agg/kll_merge_agg on one Spark session."""
+    from hypothesis import given, settings, strategies as st
+
+    from hrtech_etl_spark.operators.sketches import kll_partial, kll_quantiles
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(min_value=1, max_value=5),
+        st.floats(min_value=0.01, max_value=0.99),
+    )
+    def case(values, n_groups, q):
+        rows = [(i % n_groups, float(v)) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = kll_quantiles(
+            kll_partial(df, ["g"], "v", k=200), [], [q]
+        ).collect()[0][0]
+        srt = sorted(float(v) for v in values)
+        n = len(srt)
+        # IEEE-exact mirror of the inclusive rule: rank r/n is the same
+        # double division both engines perform; no epsilon, or a rank
+        # epsilon-below q would wrongly pick the smaller item
+        want = next(x for r, x in enumerate(srt, start=1) if r / n >= q)
+        assert got == want, (values, n_groups, q, got, want)
+
+    case()
