@@ -777,3 +777,27 @@ def test_declared_static_enrich_query_streams(spark, sf_dir, tmp_path):
         assert _rows(got, "window_start", "segment") == _rows(
             want, "window_start", "segment"
         )
+
+
+def test_static_enrich_agg_multi_batch_parity(
+    spark, event_stream_dir, events_batch, sf_dir, tmp_path
+):
+    """static_enrich_agg over FOUR file micro-batches (the per-batch
+    dim join runs once per micro-batch; the window aggregation carries
+    state across them) must equal the one-shot batch aggregation —
+    the stream-static contract under real incremental arrival."""
+    from hrtech_etl_spark.workload.extensions import static_enrich_agg
+
+    customer = load_table(spark, "customer", sf_dir)
+    stream = _stream_events(spark, event_stream_dir, events_batch)
+    run_available_now(
+        static_enrich_agg(stream, customer),
+        checkpoint=str(tmp_path / "ck_enrich_mb"),
+        output_mode="complete",
+        memory_table="static_enrich_mb",
+    )
+    got = spark.table("static_enrich_mb")
+    want = static_enrich_agg(events_batch, customer)
+    assert _rows(got, "window_start", "segment") == _rows(
+        want, "window_start", "segment"
+    )
