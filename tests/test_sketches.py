@@ -246,3 +246,35 @@ def test_kll_exact_regime_property_random_splits(spark):
         assert got == want, (values, n_groups, q, got, want)
 
     case()
+
+
+def test_theta_overlap_exact_regime_property(spark):
+    """Property (hypothesis): below the lgK=12 cap, the five-number
+    Theta overlap report equals exact set algebra for ANY pair of
+    small int sets — the claim the sketch_theta_overlap oracle gates
+    on real data, here hardened over adversarial shapes (disjoint,
+    nested, equal, empty-ish sides)."""
+    from hypothesis import given, settings, strategies as st
+
+    from hrtech_etl_spark.operators.sketches import (
+        theta_overlap,
+        theta_partial,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=120),
+        st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=120),
+    )
+    def case(sa, sb):
+        a = theta_partial(
+            spark.createDataFrame([(int(x),) for x in sa], ["uid"]), [], "uid"
+        )
+        b = theta_partial(
+            spark.createDataFrame([(int(x),) for x in sb], ["uid"]), [], "uid"
+        )
+        got = tuple(round(x) for x in theta_overlap(a, b).collect()[0])
+        want = (len(sa), len(sb), len(sa | sb), len(sa & sb), len(sa - sb))
+        assert got == want, (sorted(sa)[:5], sorted(sb)[:5], got, want)
+
+    case()
