@@ -325,7 +325,10 @@ def concat_split_packing(
     break on id, so the order (and every engine's rendering of it) is
     total. Rows with a NULL id are DROPPED (a NULL id has no identity
     to place in the stream; filter or repair ids upstream if they can
-    be NULL).
+    be NULL). A NULL ``length_col`` FAILS the job (same guard as a
+    negative length): a NULL token count would silently poison every
+    later offset in its shard, so it is a contract violation, not a
+    skippable row.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -369,9 +372,17 @@ def concat_split_packing(
     # Non-negativity is the contract that makes max == sum; the
     # assert_true guard makes an out-of-contract negative length FAIL
     # the job instead of silently corrupting every later shard's base.
+    # NULL lengths map to -1 here so the guard below fires on them
+    # too: min() would skip NULLs, letting a NULL length slide through
+    # to produce NULL offsets downstream (and an all-NULL shard would
+    # fail assert_true(NULL >= 0) with the misleading 'negative'
+    # message). -1 is safe as a sentinel because real lengths are
+    # guarded to be >= 0.
     totals = local.groupBy("shard").agg(
         F.max(F.col("__local_off") + F.col(length_col)).alias("__tot"),
-        F.min(length_col).alias("__minlen"),
+        F.min(
+            F.coalesce(F.col(length_col).cast("long"), F.lit(-1))
+        ).alias("__minlen"),
     )
     # n_shards rows: the single-partition exclusive cumsum is bounded
     # by the knob, and the broadcast below is the parameter-bounded
@@ -383,8 +394,8 @@ def concat_split_packing(
         F.assert_true(
             F.col("__minlen") >= 0,
             F.lit(
-                f"concat_split_packing: negative {length_col} — token "
-                "counts must be >= 0"
+                f"concat_split_packing: negative or NULL {length_col} — "
+                "token counts must be non-NULL and >= 0"
             ),
         ).cast("long"),
         F.lit(0),

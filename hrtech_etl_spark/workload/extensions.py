@@ -94,6 +94,14 @@ _INC_SIG = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
 #: dedup_incremental's docstring. The lock guards the check-then-build
 #: (same race class as the bloom bitmap-broadcast cache: two threads
 #: first-invoking concurrently would both build, one dir leaking).
+#: Each per-app artifact cache (LSH index / bucketed tables /
+#: compacted dir) has its OWN lock: the builds are multi-second Spark
+#: writes, and a shared lock would serialize first invocations of
+#: unrelated queries behind each other. Cached artifacts are keyed by
+#: (applicationId, sf_dir) and NEVER invalidated — the contract is
+#: that an sf_dir's contents are immutable for the life of the
+#: application (true for the driver-generated test corpora); a caller
+#: with mutable inputs must not reuse these queries' caches.
 import threading as _threading
 
 _LSH_INDEX_DIRS: dict[tuple[str, str], str] = {}
@@ -1511,8 +1519,11 @@ def join_salted_skew(spark, sf_dir):
 
 #: (applicationId, sf_dir) → (lineitem_table, orders_table) bucketed
 #: catalog tables, written once per app — same cache pattern (and
-#: lock) as the LSH index dirs above.
+#: immutable-sf_dir contract) as the LSH index dirs above, with its
+#: own lock so a concurrent LSH-index build doesn't serialize this
+#: unrelated multi-second bucketed write behind it.
 _BUCKETED_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKETED_LOCK = _threading.Lock()
 
 
 @query(
@@ -1542,7 +1553,7 @@ def join_bucketed_colocated(spark, sf_dir):
     from hrtech_etl_spark.operators import bucketing as bk
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _LSH_INDEX_LOCK:
+    with _BUCKETED_LOCK:
         tables = _BUCKETED_TABLES.get(key)
         if tables is None:
             import hashlib
@@ -1579,9 +1590,10 @@ def join_bucketed_colocated(spark, sf_dir):
     )
 
 
-#: (applicationId, sf_dir) → compacted events dataset path (cache +
-#: lock shared with the other per-app artifacts above).
+#: (applicationId, sf_dir) → compacted events dataset path — same
+#: cache pattern and immutable-sf_dir contract as above, own lock.
 _COMPACTED_DIRS: dict[tuple[str, str], str] = {}
+_COMPACTED_LOCK = _threading.Lock()
 
 
 @query(
@@ -1612,7 +1624,7 @@ def layout_compaction(spark, sf_dir):
     from hrtech_etl_spark.operators import compaction as cp
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    with _LSH_INDEX_LOCK:
+    with _COMPACTED_LOCK:
         root = _COMPACTED_DIRS.get(key)
         if root is None:
             root = tempfile.mkdtemp(prefix="compaction_")

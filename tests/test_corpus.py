@@ -337,7 +337,7 @@ def test_concat_split_packing_is_an_exact_prefix_sum(spark):
         df, "doc_id", "n_tokens", 256, seed=3, n_shards=8
     ).collect()
     assert sorted(r["doc_id"] for r in out) == list(range(401))
-    ordered = sorted(out, key=lambda r: r["tok_offset"] if "tok_offset" in r.asDict() else r["offset"])
+    ordered = sorted(out, key=lambda r: r["offset"])
     running = 0
     for r in ordered:
         assert r["offset"] == running, (r, running)
@@ -380,5 +380,29 @@ def test_concat_split_packing_rejects_negative_lengths(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, -5), (3, 7)], ["doc_id", "n_tokens"]
     )
-    with pytest.raises(Exception, match="negative n_tokens|ASSERT"):
+    with pytest.raises(Exception, match="negative or NULL n_tokens|ASSERT"):
         concat_split_packing(df, "doc_id", "n_tokens", 64).collect()
+
+
+def test_concat_split_packing_rejects_null_lengths(spark):
+    """A NULL token count would produce NULL offsets for every later
+    doc in its shard; the guard treats it like a negative length and
+    fails the job with an explicit message (min() alone would skip
+    NULLs, and an all-NULL shard used to fail with the misleading
+    plain-'negative' wording)."""
+    from pyspark.sql import types as T
+
+    from hrtech_etl_spark.operators.corpus import concat_split_packing
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    mixed = spark.createDataFrame([(1, 10), (2, None), (3, 7)], schema)
+    with pytest.raises(Exception, match="negative or NULL n_tokens|ASSERT"):
+        concat_split_packing(mixed, "doc_id", "n_tokens", 64).collect()
+    all_null = spark.createDataFrame([(1, None), (2, None)], schema)
+    with pytest.raises(Exception, match="negative or NULL n_tokens|ASSERT"):
+        concat_split_packing(all_null, "doc_id", "n_tokens", 64).collect()
