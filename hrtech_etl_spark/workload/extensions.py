@@ -1819,15 +1819,28 @@ def events_cohort_retention(spark, sf_dir):
     active week counts the cohort's surviving users and their retained
     fraction). Qualifying = value >= 60 so the cohorts are genuinely
     staggered on this corpus rather than everyone landing in week 0.
-    Plan shape: the (user, week) activity set is ONE distinct pass
-    over the pushed-down scan; first-touch is a min over it; the
-    activity-to-first join shuffles on user_id and the final rollup on
-    cohort — at 100 TB every stage is a plain keyed exchange over
-    already-deduplicated (user, week) pairs, orders of magnitude
-    smaller than the raw events, and AQE broadcasts the tiny
-    cohort-size side of the ratio join. The retained fraction divides
-    two already-identical integers once (registry IEEE-division rule),
+    Plan shape — ONE `events` FileScan, structurally: the (user,
+    week) activity set is one distinct pass over the pushed-down
+    scan; first-touch is a min(wk) WINDOW over user_id on that same
+    frame, not a self-join (the r8 join form recomputed the scan per
+    branch — the executed plan showed three pushed scans of the
+    purchase slice); and cohort size needs no second branch at all,
+    because every cohort user is by definition active in their cohort
+    week, so n_cohort IS n_active at week_offset 0, recovered with a
+    max-window over the already-aggregated (cohort, week_offset)
+    frame (one row per matrix cell). The whole query is a linear
+    pipeline: scan → distinct exchange → user_id exchange → cohort
+    rollup exchange → cell-window — every stage a plain keyed
+    exchange over already-deduplicated (user, week) pairs or
+    smaller; at 100 TB of events there is exactly one pass over the
+    raw data. n_active is a plain count(*) because (cohort,
+    week_offset) is functionally determined by (user_id, wk) — two
+    rows in one cell with the same user would need the same wk,
+    which the distinct rules out. The retained fraction divides two
+    already-identical integers once (registry IEEE-division rule),
     so the hash gate holds bit-exactly."""
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, "events", sf_dir)
     pur = (
         ev.where((F.col("event_type") == "purchase") & (F.col("value") >= 60))
@@ -1836,23 +1849,23 @@ def events_cohort_retention(spark, sf_dir):
         )
         .distinct()
     )
-    firsts = pur.groupBy("user_id").agg(F.min("wk").alias("cohort"))
-    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
-    act = (
-        pur.join(firsts, "user_id")
-        .groupBy(
-            "cohort",
-            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_active"))
+    cohorted = pur.withColumn(
+        "cohort", F.min("wk").over(W.partitionBy("user_id"))
     )
-    return act.join(sizes, "cohort").select(
+    act = cohorted.groupBy(
+        "cohort",
+        (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    n_cohort = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(W.partitionBy("cohort"))
+    return act.select(
         "cohort",
         "week_offset",
         "n_active",
-        F.round(
-            F.col("n_active").cast("double") / F.col("n_cohort"), 4
-        ).alias("retention"),
+        F.round(F.col("n_active").cast("double") / n_cohort, 4).alias(
+            "retention"
+        ),
     )
 
 

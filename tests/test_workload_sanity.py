@@ -60,3 +60,24 @@ def test_approx_distinct_within_tolerance(spark, sf_medium):
             est,
             exact[flag],
         )
+
+
+def test_cohort_retention_single_scan_plan(spark, sf_dir):
+    """Plan contract for events_cohort_retention: exactly ONE events
+    FileScan in the executed plan (r8's join form scanned the pushed
+    purchase slice three times), no join at all — cohort comes from a
+    user_id window and cohort size from the week_offset=0 cell — and
+    the event_type/value filters reach the scan."""
+    df = REGISTRY["events_cohort_retention"].fn(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    # the adaptive string repeats the tree as '== Initial Plan ==';
+    # the contract is about the FINAL plan only
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "PushedFilters: [IsNotNull(event_type)" in plan, plan
