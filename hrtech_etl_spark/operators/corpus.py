@@ -439,6 +439,7 @@ def prepare_training_corpus(
     pack_max_len: int = 512,
     redact: bool = True,
     dedup_knobs: dict | None = None,
+    decon_knobs: dict | None = None,
     boilerplate_frac: float | None = None,
     packing: str = "ffd",
     shuffle_seed: int | None = None,
@@ -456,7 +457,11 @@ def prepare_training_corpus(
        ``dedup_knobs`` forwards the corpus-scale knobs —
        ``stop_shingle_frac``, ``max_bucket_size``, ``accelerate``,
        ``checkpoint_dir``)
-    3. benchmark decontamination vs ``test_set`` (13-gram overlap)
+    3. benchmark decontamination vs ``test_set`` (13-gram overlap by
+       default; ``decon_knobs`` forwards ``shingle_k`` /
+       ``min_overlap`` / ``test_text_col`` for corpora where the
+       published 13-gram convention is miscalibrated — symmetric with
+       ``dedup_knobs``)
     4. quality filter (``quality_score >= quality_min``)
     5. PII redaction (emails/phones/SSNs → typed placeholders)
     6. chunking into overlapping context windows
@@ -514,7 +519,9 @@ def prepare_training_corpus(
         **(dedup_knobs or {}),
     )
     if test_set is not None:
-        cleaned = dd.remove_contaminated(cleaned, test_set, text_col, id_col)
+        cleaned = dd.remove_contaminated(
+            cleaned, test_set, text_col, id_col, **(decon_knobs or {})
+        )
     cleaned = cleaned.where(tx.quality_score(F.col(text_col)) >= quality_min)
     if redact:
         cleaned = cleaned.withColumn(text_col, tx.redact_pii(F.col(text_col)))

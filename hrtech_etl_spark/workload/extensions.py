@@ -19,12 +19,17 @@ from hrtech_etl_spark.operators.layout import zorder_key, zorder_key_sql
 from hrtech_etl_spark.operators.profiling import profile_sql, profile_table
 from hrtech_etl_spark.sources.testdata import load_table
 from hrtech_etl_spark.workload.registry import query, sql_dsum
-from hrtech_etl_spark.functions.hashing import portable_hash_sql
+from hrtech_etl_spark.functions.hashing import (
+    FINGERPRINT_SQL,
+    portable_hash_sql,
+)
 from hrtech_etl_spark.workload.text_llm import (
+    TOKENS_SQL,
     VEC_DOUBLE,
     bands_sql,
     cosine_sql,
     minhash_sql,
+    quality_score_sql,
     shingles_sql,
 )
 
@@ -2180,3 +2185,180 @@ def sim_pq_rerank_topk(spark, sf_dir):
     enc = sim.pq_encode(e, cb, m=_PQ_M, ksub=_PQ_KSUB)
     q = e.where(F.col("vec_id") == 0)
     return sim.pq_rerank_topk(e, enc, cb, q, k=10, shortlist=100, m=_PQ_M)
+
+
+# ---------------------------------------------------------------------------
+# prepare_training_corpus capstone: the full composition under ONE gate
+# ---------------------------------------------------------------------------
+
+# knobs for the gated run (chosen so EVERY stage is discriminative on
+# the synthetic corpus at every SF — see the docstring for the counts)
+_CAP_NEAR_T = 0.25
+_CAP_QMIN = 0.75
+_CAP_CHUNK, _CAP_OVERLAP = 200, 40
+_CAP_STEP = _CAP_CHUNK - _CAP_OVERLAP
+_CAP_SEQ = 128
+_CAP_SEED, _CAP_NSH = 11, 8
+
+_CAP_SIG = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
+_CAP_SH5 = shingles_sql("text", k=5)
+_CAP_PH_CHUNK = portable_hash_sql("chunk_id", seed=_CAP_SEED)
+_CAP_TOKENS = TOKENS_SQL.format(t="chunk_text")
+
+
+@query(
+    "corpus_prepare_training",
+    sql=f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    train0 AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0
+    ),
+    test0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    -- 1. exact dedup: min-id keep per canonical fingerprint
+    fp AS (SELECT doc_id, text, {FINGERPRINT_SQL.format(expr='text')} AS fp FROM train0),
+    keepx AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    t1 AS (SELECT f.doc_id, f.text FROM fp f JOIN keepx USING (doc_id)),
+    -- 2. near-dup: minhash(8)+LSH(4x2) -> jaccard verify -> CC -> min-id keep
+    sh AS (SELECT doc_id, {shingles_sql()} AS sh FROM t1),
+    hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh FROM sh),
+    sig AS (SELECT doc_id, {_CAP_SIG} FROM sh),
+    banded AS ({bands_sql('sig')}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN hs x ON c.id_a = x.doc_id JOIN hs y ON c.id_b = y.doc_id
+      WHERE round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
+                  THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh))
+                  ELSE 0.0 END, 4) >= {_CAP_NEAR_T}
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM t1
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    labels AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+    t2 AS (SELECT t.doc_id, t.text FROM t1 t
+           WHERE t.doc_id IN (SELECT DISTINCT cluster FROM labels)),
+    -- 3. decontaminate: hashed word-5-gram overlap >= 2 vs the test slice
+    tsh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform({_CAP_SH5}, s -> {_PH_S}))) AS h
+      FROM test0
+    ),
+    trsh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform({_CAP_SH5}, s -> {_PH_S}))) AS h
+      FROM t2
+    ),
+    contaminated AS (
+      SELECT doc_id FROM trsh JOIN tsh USING (h) GROUP BY doc_id HAVING count(*) >= 2
+    ),
+    t3 AS (SELECT * FROM t2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    -- 4. quality filter
+    t4 AS (SELECT * FROM t3 WHERE {quality_score_sql()} >= {_CAP_QMIN}),
+    -- 5. PII redaction (identity on this corpus; the chain is stated anyway
+    -- so a corpus WITH matches would still gate)
+    t5 AS (SELECT doc_id, {_pii_chain_sql('text')} AS text FROM t4),
+    -- 6. chunk into overlapping windows (offsets step {_CAP_STEP})
+    ch AS (
+      SELECT doc_id, CAST(off / {_CAP_STEP} AS INT) AS chunk_idx,
+             substring(text, CAST(off AS INT) + 1, {_CAP_CHUNK}) AS chunk_text
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - {_CAP_OVERLAP} - 1, 0), {_CAP_STEP})) AS off
+        FROM t5
+      )
+    ),
+    -- 7. whitespace token count + chunk identity
+    tok AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             CAST(len({_CAP_TOKENS}) AS INT) AS n_tokens,
+             CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) AS chunk_id
+      FROM ch
+    ),
+    -- 8. concat-split packing: exclusive cumsum over (shard, shuffle_key, id)
+    keyed AS (
+      SELECT *, {_CAP_PH_CHUNK} AS shuffle_key,
+             CAST({_CAP_PH_CHUNK} % {_CAP_NSH} AS INT) AS shard
+      FROM tok
+    ),
+    packed AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY shard, shuffle_key, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_offset
+      FROM keyed
+    )
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens, tok_offset,
+           CAST(floor(tok_offset / {_CAP_SEQ}) AS BIGINT) AS block_first,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE floor((tok_offset + n_tokens - 1) / {_CAP_SEQ}) - floor(tok_offset / {_CAP_SEQ}) + 1
+                END AS BIGINT) AS n_blocks,
+           shard, shuffle_key
+    FROM packed
+    """,
+)
+def corpus_prepare_training(spark, sf_dir):
+    """The `prepare_training_corpus` capstone
+    (operators/corpus.py::prepare_training_corpus) under ONE oracle
+    gate: the full composition exact-dedup → near-dup dedup →
+    decontaminate → quality filter → PII redact → chunk → token-count
+    → concat-split pack → shuffle/shard, replayed end to end in
+    DuckDB. Every stage is already individually gated; what THIS
+    entry locks is the COMPOSITION — stage order, the column plumbing
+    between stages, the chunk-id identity that threads packing and
+    sharding, and the lineage boundaries — by value-matching the
+    final per-chunk rows (id, chunk text, token count, global token
+    offset, block span, shard, shuffle key).
+
+    Every stage is discriminative on this corpus (sf0.01 survivor
+    counts: 450 train +65 planted exact clones → 450 after exact
+    dedup → 432 after near-dup → 426 after decontamination → 409
+    after the quality filter → 880 chunks): exact dedup is exercised
+    via planted clones (doc_id%7 docs re-added under doc_id+1000000 —
+    identical text, so min-id keep must drop exactly the planted
+    copies), the test slice is doc_id%10==0 with the k=5/min_overlap=2
+    calibration from `dedup_decontaminate`, near-dup runs the plain
+    bucketed LSH path at threshold 0.25, and quality_min=0.75 sits
+    mid-distribution. Redaction is an identity pass here (the corpus
+    carries no PII-shaped spans — verified: zero regex hits for any
+    pattern) but the oracle still states the full RE2 chain, so the
+    stage's placement before chunking is locked, not skipped.
+
+    Scale shape is inherited stage by stage from the gated parts (the
+    capstone adds only lazy localCheckpoint lineage boundaries between
+    re-reading stages); this gate is about semantics. Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.corpus import prepare_training_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    train = base.unionByName(
+        base.where(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    test = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    return prepare_training_corpus(
+        train,
+        "text",
+        "doc_id",
+        test_set=test,
+        quality_min=_CAP_QMIN,
+        near_dup_threshold=_CAP_NEAR_T,
+        chunk_chars=_CAP_CHUNK,
+        chunk_overlap=_CAP_OVERLAP,
+        pack_max_len=_CAP_SEQ,
+        redact=True,
+        decon_knobs=dict(shingle_k=5, min_overlap=2),
+        packing="concat_split",
+        shuffle_seed=_CAP_SEED,
+        n_shards=_CAP_NSH,
+    )

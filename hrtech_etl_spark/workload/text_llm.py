@@ -203,25 +203,32 @@ def text_lang_id(spark, sf_dir):
     )
 
 
-_SQUEEZED = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
-_AWL = f"(CASE WHEN len(str_split({_SQUEEZED}, ' ')) > 0 THEN CAST(length(replace({_SQUEEZED}, ' ', '')) AS DOUBLE) / len(str_split({_SQUEEZED}, ' ')) ELSE 0.0 END)"
-_PUNCT_RATIO = "(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"
-_STOP_SUM = " + ".join(
-    occurrences_sql("(' ' || lower(text) || ' ')", m)
-    for m in (" the ", " and ", " of ", " a ", " to ", " in ")
-)
-_NTOK = f"len({TOKENS_SQL.format(t='text')})"
-_STOP_RATIO = f"(CASE WHEN {_NTOK} > 0 THEN CAST(({_STOP_SUM}) AS DOUBLE) / {_NTOK} ELSE 0.0 END)"
+def quality_score_sql(t: str = "text") -> str:
+    """DuckDB rendering of functions/text.py::quality_score over
+    column expression ``t`` — shared by the standalone histogram gate
+    and the prepare_training_corpus composition oracle."""
+    squeezed = f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+    awl = f"(CASE WHEN len(str_split({squeezed}, ' ')) > 0 THEN CAST(length(replace({squeezed}, ' ', '')) AS DOUBLE) / len(str_split({squeezed}, ' ')) ELSE 0.0 END)"
+    punct = f"(CASE WHEN length({t}) > 0 THEN CAST(length({t}) - length(regexp_replace({t}, '[.,;:!?]', '', 'g')) AS DOUBLE) / length({t}) ELSE 0.0 END)"
+    stop_sum = " + ".join(
+        occurrences_sql(f"(' ' || lower({t}) || ' ')", m)
+        for m in (" the ", " and ", " of ", " a ", " to ", " in ")
+    )
+    ntok = f"len({TOKENS_SQL.format(t=t)})"
+    stop_ratio = f"(CASE WHEN {ntok} > 0 THEN CAST(({stop_sum}) AS DOUBLE) / {ntok} ELSE 0.0 END)"
+    return (
+        f"round(\n        least(0.25, length({t}) / 400.0)\n"
+        f"        + (CASE WHEN abs({awl} - 6.5) <= 3.5 THEN 0.25 ELSE 0.0 END)\n"
+        f"        + (CASE WHEN {punct} <= 0.1 THEN 0.25 ELSE 0.0 END)\n"
+        f"        + (CASE WHEN {stop_ratio} >= 0.05 THEN 0.25 ELSE 0.0 END), 4)"
+    )
+
 
 @query(
     "text_quality_score",
     sql=f"""
     SELECT score, count(*) AS n_docs FROM (
-      SELECT round(
-        least(0.25, length(text) / 400.0)
-        + (CASE WHEN abs({_AWL} - 6.5) <= 3.5 THEN 0.25 ELSE 0.0 END)
-        + (CASE WHEN {_PUNCT_RATIO} <= 0.1 THEN 0.25 ELSE 0.0 END)
-        + (CASE WHEN {_STOP_RATIO} >= 0.05 THEN 0.25 ELSE 0.0 END), 4) AS score
+      SELECT {quality_score_sql()} AS score
       FROM documents
     ) GROUP BY score
     """,
