@@ -2362,3 +2362,104 @@ def corpus_prepare_training(spark, sf_dir):
         shuffle_seed=_CAP_SEED,
         n_shards=_CAP_NSH,
     )
+
+
+# ---------------------------------------------------------------------------
+# FFD bin packing under the oracle gate (recursive-CTE replay)
+# ---------------------------------------------------------------------------
+
+_FFD_MAXLEN = 80
+_FFD_NGRP = 8
+_FFD_PH = portable_hash_sql("CAST(doc_id AS VARCHAR)")
+_FFD_NTOK = f"CAST(len({TOKENS_SQL.format(t='text')}) AS INT)"
+#: the working bins list with the kernel's chunk-boundary reset
+#: (bins clear every 4096 docs within a group; bin ids keep counting)
+_FFD_B = (
+    "CASE WHEN f.rn % 4096 = 0 "
+    "THEN CAST([] AS STRUCT(cap BIGINT, bid BIGINT)[]) ELSE f.bins END"
+)
+
+
+@query(
+    "corpus_pack_ffd",
+    sql=f"""
+    WITH RECURSIVE
+    lens AS (
+      SELECT doc_id, {_FFD_NTOK} AS n_tokens,
+             CAST({_FFD_PH} % {_FFD_NGRP} AS BIGINT) AS grp
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens, grp,
+             row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM lens
+    ),
+    ffd(grp, rn, doc_id, n_tokens, pack_local, oversize, bins, next_bin) AS (
+      SELECT grp, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 0,
+             CAST(NULL AS BIGINT), FALSE,
+             CAST([] AS STRUCT(cap BIGINT, bid BIGINT)[]), CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT grp FROM ordered)
+      UNION ALL
+      SELECT grp, rn, doc_id, n_tokens,
+             CASE WHEN oversize THEN next_bin0
+                  WHEN idx IS NOT NULL THEN b[idx].bid
+                  ELSE next_bin0 END,
+             oversize,
+             CASE WHEN oversize THEN b
+                  WHEN idx IS NOT NULL THEN
+                    list_transform(range(1, len(b) + 1),
+                      i -> CASE WHEN i = idx
+                                THEN {{'cap': b[idx].cap - n_tokens, 'bid': b[idx].bid}}
+                                ELSE b[i] END)
+                  ELSE list_append(b, {{'cap': {_FFD_MAXLEN} - n_tokens, 'bid': next_bin0}})
+                  END,
+             CASE WHEN oversize OR idx IS NULL THEN next_bin0 + 1 ELSE next_bin0 END
+      FROM (
+        SELECT o.grp, o.rn, o.doc_id, o.n_tokens,
+               o.n_tokens > {_FFD_MAXLEN} AS oversize,
+               f.next_bin AS next_bin0,
+               {_FFD_B} AS b,
+               list_min(list_transform(
+                 range(1, len({_FFD_B}) + 1),
+                 i -> CASE WHEN ({_FFD_B})[i].cap >= o.n_tokens
+                           THEN i ELSE NULL END)) AS idx
+        FROM ffd f JOIN ordered o ON o.grp = f.grp AND o.rn = f.rn + 1
+      )
+    )
+    SELECT doc_id, n_tokens,
+           CAST(grp AS VARCHAR) || ':' || CAST(pack_local AS VARCHAR) AS pack_id,
+           oversize
+    FROM ffd WHERE rn >= 1
+    """,
+)
+def corpus_pack_ffd(spark, sf_dir):
+    """First-fit-decreasing bin packing
+    (operators/corpus.py::pack_sequences) under the oracle gate — the
+    one packing mode that previously had no declared query (its
+    concat-split sibling is `corpus_pack_concat_split`). The Spark
+    side is the production partition-local Arrow kernel: docs hash
+    into 8 groups (pinned `num_partitions=8` so the grouping is
+    engine-independent, not defaultParallelism), each group sorts by
+    (length DESC, id ASC) and packs greedily first-fit with the
+    4096-doc chunked bin scan; pack ids are "<group>:<local>". FFD is
+    inherently sequential per group, so the oracle replays it as a
+    LINEAR RECURSIVE CTE — each step advances one doc per group,
+    carrying the open-bins list (cap, bid)[] as recursion state,
+    including the kernel's chunk-boundary bins reset and the
+    continuing bin counter (same replay idiom as the
+    `dedup_clusters` recursive-CTE oracle). max_len=80 sits inside
+    the corpus token-count distribution (10..99), so BOTH branches
+    are live in the gated slice: ~20% of docs are oversize
+    singletons (`oversize=true` — packing must flag, never
+    truncate), and the rest genuinely share bins. Green at
+    sf0.001/0.01/0.1; adversarial shapes (NULL lengths, exact-fit
+    ties, chunk-boundary spill) stay property-tested in
+    tests/test_packing_property.py."""
+    from hrtech_etl_spark.functions.text import token_count
+    from hrtech_etl_spark.operators.corpus import pack_sequences
+
+    d = load_table(spark, "documents", sf_dir)
+    lens = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(
+        lens, "doc_id", "n_tokens", _FFD_MAXLEN, num_partitions=_FFD_NGRP
+    )
