@@ -2463,3 +2463,93 @@ def corpus_pack_ffd(spark, sf_dir):
     return pack_sequences(
         lens, "doc_id", "n_tokens", _FFD_MAXLEN, num_partitions=_FFD_NGRP
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch MERGE sink: a REAL readStream drive under the oracle gate
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_upsert_sink",
+    sql=f"""
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           epoch_us(ts) AS last_ts_us
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_upsert_sink(spark, sf_dir):
+    """The foreachBatch MERGE sink (streaming/pipelines.py::
+    foreach_batch_upsert) driven END TO END under the oracle gate: the
+    event log is staged as three slice files, read back as a REAL
+    readStream (maxFilesPerTrigger=1 → three genuine micro-batches
+    under availableNow, each flowing through the checkpointed
+    foreachBatch path: bootstrap write, then two order-aware
+    merge_upsert rewrites with the staged-swap machinery), and the
+    DECLARED output is the final parquet state table. The oracle
+    states the merge fixed point directly: per user, the globally
+    greatest (ts, event_id) row — which is what the batch-fold must
+    converge to REGARDLESS of micro-batch arrival order (order_cols
+    make the merge order-independent, so no mtime choreography is
+    needed). etl_upsert_merge gates the batch merge operator; this
+    entry closes the streaming wrapper around it — checkpoint, batch
+    callback, metrics, and the first-batch bootstrap path included.
+    The timestamp comes back as epoch micros so both engines compare
+    integers, not timezone renderings. A batches==3 assertion inside
+    the query locks the multi-micro-batch claim itself."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from hrtech_etl_spark.streaming.pipelines import (
+        StreamMetrics,
+        foreach_batch_upsert,
+        run_available_now,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    for i in range(3):
+        ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(os.path.join(stage, f"slice_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    target = os.path.join(root, "state")
+    metrics = StreamMetrics()
+    run_available_now(
+        stream,
+        checkpoint=os.path.join(root, "ck"),
+        foreach_batch=foreach_batch_upsert(
+            target,
+            ["user_id"],
+            order_cols=[F.col("ts"), F.col("event_id")],
+            metrics=metrics,
+        ),
+    )
+    if metrics.errors:
+        raise AssertionError(f"sink errors: {metrics.errors}")
+    if metrics.batches != 3:
+        raise AssertionError(
+            f"expected 3 micro-batches through the sink, got "
+            f"{metrics.batches}"
+        )
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros("ts").alias("last_ts_us"),
+    )
