@@ -2553,3 +2553,68 @@ def stream_upsert_sink(spark, sf_dir):
         F.col("value").alias("last_value"),
         F.unix_micros("ts").alias("last_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained PQ codebook recall (rows-only gate: k-means is engine-specific)
+# ---------------------------------------------------------------------------
+
+@query("sim_pq_trained_recall")
+def sim_pq_trained_recall(spark, sf_dir):
+    """Recall gate for the TRAINED per-subspace k-means PQ codebook
+    (functions/similarity.py::pq_codebook_trained) — the production
+    quantizer whose seed-codebook siblings are value-gated
+    (`sim_pq_topk`, `sim_pq_rerank_topk`). K-means centroids are
+    engine-specific (Spark ML initialization), so like
+    `agg_approx_distinct` this entry is DELIBERATELY rows-only: no
+    DuckDB oracle can restate the centroids, but the query asserts
+    its own quality bar in-plan and FAILS — not degrades — below it:
+    for three fixed query vectors, recall@10 of the full
+    trained-codebook ADC-shortlist(100)→exact-rerank cascade against
+    the brute-force exact L2 top-10 must average >= 0.5 with every
+    query >= 0.3 (random 64-d embeddings are ANN's worst case — no
+    cluster structure; measured recall here is 0.7-1.0, the floors
+    are safety margins, same bounds as
+    tests/test_pq.py::test_trained_codebook_rerank_recall). Output is
+    one row per query (query_id, n_hits, recall), so the driver's
+    rows-only record still pins the row set shape."""
+    from hrtech_etl_spark.functions import similarity as sim
+    from hrtech_etl_spark.functions.similarity import _l2sq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cbt = sim.pq_codebook_trained(emb)
+    enc = sim.pq_encode(emb, cbt)
+    rows = []
+    for qid in (0, 101, 333):
+        q = emb.where(F.col("vec_id") == qid)
+        got = {
+            r["vec_id"]
+            for r in sim.pq_rerank_topk(
+                emb, enc, cbt, q, k=10, shortlist=100
+            ).collect()
+        }
+        qb = F.broadcast(
+            q.select(F.col("embedding").cast("array<double>").alias("__qv"))
+        )
+        exact = {
+            r["vec_id"]
+            for r in emb.crossJoin(qb)
+            .select(
+                "vec_id",
+                _l2sq(
+                    F.col("embedding").cast("array<double>"), F.col("__qv")
+                ).alias("d2"),
+            )
+            .orderBy(F.col("d2").asc(), F.col("vec_id"))
+            .limit(10)
+            .collect()
+        }
+        hits = len(got & exact)
+        rows.append((qid, hits, hits / 10.0))
+    if any(r[2] < 0.3 for r in rows):
+        raise AssertionError(f"per-query recall floor violated: {rows}")
+    if sum(r[2] for r in rows) / len(rows) < 0.5:
+        raise AssertionError(f"mean recall floor violated: {rows}")
+    return spark.createDataFrame(
+        rows, "query_id long, n_hits int, recall double"
+    )
