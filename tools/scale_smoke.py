@@ -24,7 +24,15 @@ and drive the corpus-scale pipeline end to end with all knobs on:
 4. ``remove_boilerplate`` over the full corpus (the C4/CCNet segment
    pass, same knobs as the gated query);
 5. ``shuffled_shards`` — the seeded reproducible corpus shuffle+shard,
-   with per-shard skew reported.
+   with per-shard skew reported;
+6. the ANN SERVING PATH over a replicated embedding corpus
+   (``--vec-copies``, default 50 → 100k vectors at sf0.1; 500 → the
+   1M-vector run recorded in README): SRP multiprobe top-k, PQ
+   codebook + encode with the code table persisted to parquet (the
+   stored-codes deployment), and the ADC-shortlist → exact-rerank
+   cascade over the stored codes. Replicas carry a deterministic
+   per-copy jitter so the vector space has real structure instead of
+   500-deep exact ties.
 
 Each stage prints wall time plus the Spark job/stage count it ran
 (via job groups + the status tracker) and, where the output is a
@@ -34,6 +42,10 @@ that adds stages with data volume is broken at 100 TB), and peak
 partition rows grow ~linearly (no single-partition collapse).
 
     python tools/scale_smoke.py [--sf-dir DIR] [--copies N]
+        [--vec-copies N] [--only docs,ann]
+
+``--only`` selects stage groups (``docs`` = 1-5, ``ann`` = 6) so the
+vector path can be scaled independently of the 1M-doc dedup stages.
 """
 
 from __future__ import annotations
@@ -100,10 +112,24 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=20)
     ap.add_argument("--batch-size", type=int, default=5_000)
+    ap.add_argument("--vec-copies", type=int, default=50)
+    ap.add_argument("--only", default="docs,ann")
     args = ap.parse_args()
+    groups = {g.strip() for g in args.only.split(",") if g.strip()}
 
     spark = get_spark(app_name="hrtech-etl-spark-scale-smoke")
     meter = StageMeter(spark.sparkContext)
+    root = tempfile.mkdtemp(prefix="scale_smoke_")
+    try:
+        if "docs" in groups:
+            run_doc_stages(spark, meter, args, root)
+        if "ann" in groups:
+            run_ann_stages(spark, meter, args, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_doc_stages(spark, meter, args, root) -> None:
     docs = load_table(spark, "documents", args.sf_dir).select("doc_id", "text")
     n_base = docs.count()
 
@@ -158,10 +184,8 @@ def main() -> None:
         flush=True,
     )
 
-    root = tempfile.mkdtemp(prefix="scale_smoke_")
-    try:
-        _, _ = meter.run(
-            "lsh_index build+write",
+    _, _ = meter.run(
+        "lsh_index build+write",
             lambda: dd.lsh_index(corpus, "text", "doc_id").write.parquet(
                 f"{root}/index"
             ),
@@ -241,6 +265,81 @@ def main() -> None:
             f"  {sum(sizes)} rows over {len(sizes)} shards, "
             f"min={sizes[0]:,} max={sizes[-1]:,} "
             f"(skew {sizes[-1] / max(1, sizes[0]):.2f}x)",
+            flush=True,
+        )
+        # --- ANN serving path over a replicated vector corpus ------------
+        from hrtech_etl_spark.functions import similarity as sim
+
+        base_emb = load_table(spark, "embeddings", args.sf_dir).select(
+            "vec_id", "embedding"
+        )
+        n_vec_base = base_emb.count()
+        # deterministic per-copy, per-dim jitter: replicas get real
+        # spatial structure (exact ties would make every replica set one
+        # degenerate ANN cluster); sin(copy*(i+1))*0.01 is tiny next to
+        # unit-scale components and identical across runs
+        vecs = (
+            base_emb.crossJoin(
+                spark.range(args.vec_copies).select(
+                    F.col("id").alias("__copy")
+                )
+            )
+            .select(
+                (F.col("vec_id") + F.col("__copy") * STRIDE).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x.cast("double")
+                        + F.sin(F.col("__copy") * (i + 1)) * F.lit(0.01)
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+        n_vecs = n_vec_base * args.vec_copies
+        print(
+            f"vectors: {n_vec_base} base x {args.vec_copies} = {n_vecs:,}",
+            flush=True,
+        )
+        q = vecs.where(F.col("vec_id") == 0)
+
+        top, dt = meter.run(
+            "ann srp-multiprobe topk",
+            lambda: sim.lsh_multiprobe_topk(
+                vecs, q, k=10, n_probes=3
+            ).collect(),
+        )
+        print(
+            f"  top-10 over {n_vecs:,} vectors, 3 of 16 buckets probed "
+            f"({n_vecs / dt:,.0f} vec/s incl. bucket scan)",
+            flush=True,
+        )
+
+        cb = sim.pq_codebook(vecs)
+
+        def encode_write() -> tuple[int, int]:
+            sim.pq_encode(vecs, cb).write.parquet(f"{root}/codes")
+            return partition_stats(spark.read.parquet(f"{root}/codes"))
+
+        (enc_rows, enc_peak), dt = meter.run(
+            "ann pq encode+write", encode_write
+        )
+        print(
+            f"  {enc_rows:,} vectors -> 8-byte codes on parquet "
+            f"({enc_rows / dt:,.0f} vec/s; peak partition rows="
+            f"{enc_peak:,})",
+            flush=True,
+        )
+        codes = spark.read.parquet(f"{root}/codes")
+
+        _, dt = meter.run(
+            "ann pq adc+rerank",
+            lambda: sim.pq_rerank_topk(
+                vecs, codes, cb, q, k=10, shortlist=100
+            ).collect(),
+        )
+        print(
+            f"  ADC scan of {n_vecs:,} stored codes -> shortlist 100 -> "
+            f"exact rerank top-10 ({n_vecs / dt:,.0f} vec/s)",
             flush=True,
         )
     finally:
