@@ -186,164 +186,165 @@ def run_doc_stages(spark, meter, args, root) -> None:
 
     _, _ = meter.run(
         "lsh_index build+write",
-            lambda: dd.lsh_index(corpus, "text", "doc_id").write.parquet(
-                f"{root}/index"
-            ),
-        )
-        idx = spark.read.parquet(f"{root}/index")
+        lambda: dd.lsh_index(corpus, "text", "doc_id").write.parquet(
+            f"{root}/index"
+        ),
+    )
+    idx = spark.read.parquet(f"{root}/index")
 
-        # worst-case ingest batch: a full replica of base content (every
-        # doc near-matches `copies` indexed twins); ids disjoint again
-        batch = docs.limit(args.batch_size).select(
-            (F.col("doc_id") + F.lit((args.copies + 1) * STRIDE)).alias(
-                "doc_id"
-            ),
-            "text",
-        )
-        nb = batch.count()
-        survivors, _ = meter.run(
-            "incremental clean",
-            lambda: dd.drop_near_duplicates_incremental(
-                batch, idx, "text", "doc_id", threshold=0.5
-            ).count(),
-        )
-        print(
-            f"  {nb}-doc replica batch -> {survivors} survivors "
-            "(expect ~0)",
-            flush=True,
-        )
+    # worst-case ingest batch: a full replica of base content (every
+    # doc near-matches `copies` indexed twins); ids disjoint again
+    batch = docs.limit(args.batch_size).select(
+        (F.col("doc_id") + F.lit((args.copies + 1) * STRIDE)).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    nb = batch.count()
+    survivors, _ = meter.run(
+        "incremental clean",
+        lambda: dd.drop_near_duplicates_incremental(
+            batch, idx, "text", "doc_id", threshold=0.5
+        ).count(),
+    )
+    print(
+        f"  {nb}-doc replica batch -> {survivors} survivors "
+        "(expect ~0)",
+        flush=True,
+    )
 
-        # --- corpus prep over the full replicated corpus -----------------
-        bp = remove_boilerplate(
-            corpus,
-            "text",
-            "doc_id",
-            delimiter=" ",
-            max_doc_frac=0.79,
-            min_doc_count=2,
-        )
-        (bp_rows, bp_peak), _ = meter.run(
-            "boilerplate removal", lambda: partition_stats(bp)
-        )
-        print(
-            f"  {n_corpus} -> {bp_rows} docs kept, "
-            f"peak partition rows={bp_peak:,}",
-            flush=True,
-        )
+    # --- corpus prep over the full replicated corpus -----------------
+    bp = remove_boilerplate(
+        corpus,
+        "text",
+        "doc_id",
+        delimiter=" ",
+        max_doc_frac=0.79,
+        min_doc_count=2,
+    )
+    (bp_rows, bp_peak), _ = meter.run(
+        "boilerplate removal", lambda: partition_stats(bp)
+    )
+    print(
+        f"  {n_corpus} -> {bp_rows} docs kept, "
+        f"peak partition rows={bp_peak:,}",
+        flush=True,
+    )
 
-        # --- repetition-quality filter (zero-shuffle per-row pass) -------
-        # NOTE: being shuffle-free, its parallelism equals the INPUT
-        # partitioning — the synthetic crossJoin corpus has few splits,
-        # so the reported docs/s is near-single-core; real corpora get
-        # one task per file split.
-        from hrtech_etl_spark.functions.text import repetition_signals
+    # --- repetition-quality filter (zero-shuffle per-row pass) -------
+    # NOTE: being shuffle-free, its parallelism equals the INPUT
+    # partitioning — the synthetic crossJoin corpus has few splits,
+    # so the reported docs/s is near-single-core; real corpora get
+    # one task per file split.
+    from hrtech_etl_spark.functions.text import repetition_signals
 
-        sig = repetition_signals(corpus, "text", "doc_id")
-        keep = sig.where(
-            (F.col("dup_line_frac") <= 0.3)
-            & (F.col("top_ngram_char_frac") <= 0.2)
-        )
-        (q_rows, q_peak), q_dt = meter.run(
-            "repetition-quality filter", lambda: partition_stats(keep)
-        )
-        print(
-            f"  {n_corpus} scored -> {q_rows} kept at the published "
-            f"thresholds ({n_corpus / q_dt:,.0f} docs/s; "
-            f"peak partition rows={q_peak:,})",
-            flush=True,
-        )
+    sig = repetition_signals(corpus, "text", "doc_id")
+    keep = sig.where(
+        (F.col("dup_line_frac") <= 0.3)
+        & (F.col("top_ngram_char_frac") <= 0.2)
+    )
+    (q_rows, q_peak), q_dt = meter.run(
+        "repetition-quality filter", lambda: partition_stats(keep)
+    )
+    print(
+        f"  {n_corpus} scored -> {q_rows} kept at the published "
+        f"thresholds ({n_corpus / q_dt:,.0f} docs/s; "
+        f"peak partition rows={q_peak:,})",
+        flush=True,
+    )
 
-        shards = shuffled_shards(corpus, "doc_id", seed=7, n_shards=64)
-        per_shard, _ = meter.run(
-            "shuffle+shard",
-            lambda: shards.groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect(),
-        )
-        sizes = sorted(r["n"] for r in per_shard)
-        print(
-            f"  {sum(sizes)} rows over {len(sizes)} shards, "
-            f"min={sizes[0]:,} max={sizes[-1]:,} "
-            f"(skew {sizes[-1] / max(1, sizes[0]):.2f}x)",
-            flush=True,
-        )
-        # --- ANN serving path over a replicated vector corpus ------------
-        from hrtech_etl_spark.functions import similarity as sim
+    shards = shuffled_shards(corpus, "doc_id", seed=7, n_shards=64)
+    per_shard, _ = meter.run(
+        "shuffle+shard",
+        lambda: shards.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),
+    )
+    sizes = sorted(r["n"] for r in per_shard)
+    print(
+        f"  {sum(sizes)} rows over {len(sizes)} shards, "
+        f"min={sizes[0]:,} max={sizes[-1]:,} "
+        f"(skew {sizes[-1] / max(1, sizes[0]):.2f}x)",
+        flush=True,
+    )
 
-        base_emb = load_table(spark, "embeddings", args.sf_dir).select(
-            "vec_id", "embedding"
-        )
-        n_vec_base = base_emb.count()
-        # deterministic per-copy, per-dim jitter: replicas get real
-        # spatial structure (exact ties would make every replica set one
-        # degenerate ANN cluster); sin(copy*(i+1))*0.01 is tiny next to
-        # unit-scale components and identical across runs
-        vecs = (
-            base_emb.crossJoin(
-                spark.range(args.vec_copies).select(
-                    F.col("id").alias("__copy")
-                )
-            )
-            .select(
-                (F.col("vec_id") + F.col("__copy") * STRIDE).alias("vec_id"),
-                F.transform(
-                    "embedding",
-                    lambda x, i: (
-                        x.cast("double")
-                        + F.sin(F.col("__copy") * (i + 1)) * F.lit(0.01)
-                    ).cast("float"),
-                ).alias("embedding"),
+
+def run_ann_stages(spark, meter, args, root) -> None:
+    # --- ANN serving path over a replicated vector corpus ------------
+    from hrtech_etl_spark.functions import similarity as sim
+
+    base_emb = load_table(spark, "embeddings", args.sf_dir).select(
+        "vec_id", "embedding"
+    )
+    n_vec_base = base_emb.count()
+    # deterministic per-copy, per-dim jitter: replicas get real
+    # spatial structure (exact ties would make every replica set one
+    # degenerate ANN cluster); sin(copy*(i+1))*0.01 is tiny next to
+    # unit-scale components and identical across runs
+    vecs = (
+        base_emb.crossJoin(
+            spark.range(args.vec_copies).select(
+                F.col("id").alias("__copy")
             )
         )
-        n_vecs = n_vec_base * args.vec_copies
-        print(
-            f"vectors: {n_vec_base} base x {args.vec_copies} = {n_vecs:,}",
-            flush=True,
+        .select(
+            (F.col("vec_id") + F.col("__copy") * STRIDE).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + F.sin(F.col("__copy") * (i + 1)) * F.lit(0.01)
+                ).cast("float"),
+            ).alias("embedding"),
         )
-        q = vecs.where(F.col("vec_id") == 0)
+    )
+    n_vecs = n_vec_base * args.vec_copies
+    print(
+        f"vectors: {n_vec_base} base x {args.vec_copies} = {n_vecs:,}",
+        flush=True,
+    )
+    q = vecs.where(F.col("vec_id") == 0)
 
-        top, dt = meter.run(
-            "ann srp-multiprobe topk",
-            lambda: sim.lsh_multiprobe_topk(
-                vecs, q, k=10, n_probes=3
-            ).collect(),
-        )
-        print(
-            f"  top-10 over {n_vecs:,} vectors, 3 of 16 buckets probed "
-            f"({n_vecs / dt:,.0f} vec/s incl. bucket scan)",
-            flush=True,
-        )
+    top, dt = meter.run(
+        "ann srp-multiprobe topk",
+        lambda: sim.lsh_multiprobe_topk(
+            vecs, q, k=10, n_probes=3
+        ).collect(),
+    )
+    print(
+        f"  top-10 over {n_vecs:,} vectors, 3 of 16 buckets probed "
+        f"({n_vecs / dt:,.0f} vec/s incl. bucket scan)",
+        flush=True,
+    )
 
-        cb = sim.pq_codebook(vecs)
+    cb = sim.pq_codebook(vecs)
 
-        def encode_write() -> tuple[int, int]:
-            sim.pq_encode(vecs, cb).write.parquet(f"{root}/codes")
-            return partition_stats(spark.read.parquet(f"{root}/codes"))
+    def encode_write() -> tuple[int, int]:
+        sim.pq_encode(vecs, cb).write.parquet(f"{root}/codes")
+        return partition_stats(spark.read.parquet(f"{root}/codes"))
 
-        (enc_rows, enc_peak), dt = meter.run(
-            "ann pq encode+write", encode_write
-        )
-        print(
-            f"  {enc_rows:,} vectors -> 8-byte codes on parquet "
-            f"({enc_rows / dt:,.0f} vec/s; peak partition rows="
-            f"{enc_peak:,})",
-            flush=True,
-        )
-        codes = spark.read.parquet(f"{root}/codes")
+    (enc_rows, enc_peak), dt = meter.run(
+        "ann pq encode+write", encode_write
+    )
+    print(
+        f"  {enc_rows:,} vectors -> 8-byte codes on parquet "
+        f"({enc_rows / dt:,.0f} vec/s; peak partition rows="
+        f"{enc_peak:,})",
+        flush=True,
+    )
+    codes = spark.read.parquet(f"{root}/codes")
 
-        _, dt = meter.run(
-            "ann pq adc+rerank",
-            lambda: sim.pq_rerank_topk(
-                vecs, codes, cb, q, k=10, shortlist=100
-            ).collect(),
-        )
-        print(
-            f"  ADC scan of {n_vecs:,} stored codes -> shortlist 100 -> "
-            f"exact rerank top-10 ({n_vecs / dt:,.0f} vec/s)",
-            flush=True,
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    _, dt = meter.run(
+        "ann pq adc+rerank",
+        lambda: sim.pq_rerank_topk(
+            vecs, codes, cb, q, k=10, shortlist=100
+        ).collect(),
+    )
+    print(
+        f"  ADC scan of {n_vecs:,} stored codes -> shortlist 100 -> "
+        f"exact rerank top-10 ({n_vecs / dt:,.0f} vec/s)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
