@@ -2618,3 +2618,112 @@ def sim_pq_trained_recall(spark, sf_dir):
     return spark.createDataFrame(
         rows, "query_id long, n_hits int, recall double"
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch SCD2 sink: the CDC->dimension stream under the oracle gate
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_scd2_sink",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN TRUE
+                  WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN TRUE
+                  ELSE FALSE END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (SELECT user_id, event_type, ts, event_id FROM marked WHERE chg)
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def stream_scd2_sink(spark, sf_dir):
+    """The foreachBatch SCD2 sink (streaming/pipelines.py::
+    foreach_batch_scd2) driven END TO END under the oracle gate —
+    the CDC-to-dimension pipeline a warehouse runs off a change
+    stream (reference cursor-resume semantics: core/storage.py;
+    the batch operator itself is gated by `etl_scd2_history` and the
+    merge by `etl_scd2_merge`-family tests). The event log is staged
+    as three TIME-CONSISTENT slice files on fixed date boundaries
+    (Jan 11 / Jan 21 — every slice is strictly later than the one
+    before it, the merge's ordered-feed contract, and equal-ts rows
+    can never straddle a batch), read back as a REAL readStream
+    (maxFilesPerTrigger=1 -> three genuine micro-batches under
+    availableNow; slice mtimes are pinned with os.utime so
+    FileStreamSource's oldest-first order is deterministic, no
+    sleeps). Batch 1 takes the bootstrap rebuild path, batches 2-3
+    fold through scd2_merge with the staged-swap crash machinery.
+    The DECLARED output is the final parquet dimension; the oracle
+    states the fold's fixed point directly as the full SCD2 rebuild
+    over the whole log (same SQL as `etl_scd2_history`) — the
+    batch-fold equivalence scd2_merge proves property-wise in
+    tests/test_scd2_property.py, here value-locked on real data. A
+    batches==3 assertion inside the query pins the multi-micro-batch
+    claim itself. Green at sf0.001/0.01/0.1."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from hrtech_etl_spark.streaming.pipelines import (
+        foreach_batch_scd2,
+        run_available_now,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    root = tempfile.mkdtemp(prefix="stream_scd2_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    bounds = ("2024-01-11", "2024-01-21")
+    slices = [
+        ev.where(F.col("ts") < F.lit(bounds[0]).cast("timestamp")),
+        ev.where(
+            (F.col("ts") >= F.lit(bounds[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(bounds[1]).cast("timestamp"))
+        ),
+        ev.where(F.col("ts") >= F.lit(bounds[1]).cast("timestamp")),
+    ]
+    base = 1_700_000_000  # any fixed epoch; only the ORDER matters
+    for i, sl in enumerate(slices):
+        d = os.path.join(stage, f"slice_{i}.parquet")
+        sl.coalesce(1).write.parquet(d)
+        for name in os.listdir(d):  # pin mtimes -> deterministic pickup
+            os.utime(os.path.join(d, name), (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    dim_path = os.path.join(root, "dim")
+    scd2 = foreach_batch_scd2(
+        dim_path, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
+    )
+    batches = []
+
+    def counting_sink(batch_df, batch_id):
+        batches.append(batch_id)
+        scd2(batch_df, batch_id)
+
+    run_available_now(
+        stream,
+        checkpoint=os.path.join(root, "ck"),
+        foreach_batch=counting_sink,
+    )
+    if len(batches) != 3:
+        raise AssertionError(
+            f"expected 3 micro-batches through the SCD2 sink, got "
+            f"{len(batches)} ({batches})"
+        )
+    return spark.read.parquet(dim_path).select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
