@@ -6,6 +6,11 @@ column names, and an order-insensitive canonical value hash. Exits
 non-zero on any mismatch.
 
 Usage: python tools/oracle_check.py [--sf-dir /root/testdata/sf0.01] [--only q1,q2]
+
+Per-entry wall time over ``--budget-sec`` (default 30) prints a
+``! SLOW`` warning (non-fatal) so runtime growth of the heaviest gates
+stays visible; ``--json OUT`` writes the full per-entry record
+(status/rows/seconds) for committing as reproducible evidence.
 """
 
 from __future__ import annotations
@@ -74,6 +79,19 @@ def main() -> int:
         "order) instead of alphabetically — catches session-state "
         "leaks between queries that alphabetical order would mask",
     )
+    ap.add_argument(
+        "--budget-sec",
+        type=float,
+        default=30.0,
+        help="warn (non-fatal) when a single entry exceeds this wall "
+        "time — keeps the heaviest gates' growth visible",
+    )
+    ap.add_argument(
+        "--json",
+        default=None,
+        metavar="OUT",
+        help="write the per-entry record (status/rows/seconds) as JSON",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="oracle-check", shuffle_partitions=16)
@@ -88,7 +106,22 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
 
     items = list(qs.items()) if args.registry_order else sorted(qs.items())
-    failures, passed, weak = [], 0, 0
+    failures, passed, weak, slow = [], 0, 0, []
+    record: list[dict] = []
+
+    def note(name: str, status: str, rows: int | None, t0: float) -> float:
+        dt = time.time() - t0
+        record.append(
+            {"name": name, "status": status, "rows": rows, "sec": round(dt, 2)}
+        )
+        if dt > args.budget_sec:
+            slow.append((name, dt))
+            print(
+                f"! SLOW {name}: {dt:.1f}s exceeds the "
+                f"{args.budget_sec:.0f}s per-entry budget"
+            )
+        return dt
+
     for name, fn in items:
         if only and name not in only:
             continue
@@ -99,11 +132,13 @@ def main() -> int:
             srows = [tuple(r) for r in df.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            note(name, "spark-error", None, t0)
             print(f"✗ {name}: spark error: {str(e).splitlines()[0][:150]}")
             continue
         if name not in oracles:
             weak += 1
-            print(f"~ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            dt = note(name, "rows-only", len(srows), t0)
+            print(f"~ {name}: rows-only ({len(srows)} rows) [{dt:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
@@ -111,6 +146,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            note(name, "duckdb-error", len(srows), t0)
             print(f"✗ {name}: duckdb error: {str(e).splitlines()[0][:150]}")
             continue
 
@@ -134,12 +170,37 @@ def main() -> int:
                             break
         if problems:
             failures.append((name, "; ".join(problems)))
-            print(f"✗ {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            dt = note(name, "mismatch", len(srows), t0)
+            print(f"✗ {name}: {'; '.join(problems)} [{dt:.1f}s]")
         else:
             passed += 1
-            print(f"✓ {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            dt = note(name, "pass", len(srows), t0)
+            print(f"✓ {name} ({len(srows)} rows) [{dt:.1f}s]")
 
     print(f"\n{passed} passed, {len(failures)} failed, {weak} rows-only")
+    if slow:
+        worst = ", ".join(f"{n} {t:.1f}s" for n, t in slow)
+        print(
+            f"{len(slow)} over the {args.budget_sec:.0f}s budget: {worst}"
+        )
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "registry_order": args.registry_order,
+                    "budget_sec": args.budget_sec,
+                    "passed": passed,
+                    "failed": len(failures),
+                    "rows_only": weak,
+                    "entries": record,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     return 1 if failures else 0
 
 
