@@ -4,14 +4,15 @@ Media travel as opaque ``binary`` columns wrapped in a typed struct
 (content + mime + metadata) — the pattern Spark's own ``binaryFile``
 source uses, extended with per-asset metadata. Decode is tiered:
 
-- UNCOMPRESSED, self-describing formats decode for REAL with pure
-  numpy/stdlib codecs (P6 PPM and 24-bit BMP images, PCM WAV audio,
+- Self-describing formats decode for REAL with pure numpy/stdlib
+  codecs (P6 PPM and 24-bit BMP images, BASELINE JPEG via the
+  from-spec codec in ``operators/jpeg.py``, PCM WAV audio,
   concatenated-PPM raw video streams): ``real_media_features``,
   ``real_resize``, ``real_frame_sample``.
-- COMPRESSED formats (JPEG/PNG/MP4/...) need Pillow/ffmpeg, which
-  this environment lacks: those paths raise ``NotImplementedError``
-  behind the same injectable-kernel contract, so a real model/codec
-  swaps in without touching the plumbing.
+- Remaining COMPRESSED formats (PNG/progressive JPEG/MP4/...) need
+  Pillow/ffmpeg, which this environment lacks: those paths raise
+  ``NotImplementedError`` behind the same injectable-kernel contract,
+  so a real model/codec swaps in without touching the plumbing.
 - The oracle-checked default kernels remain the deterministic fakes
   (they accept arbitrary bytes, which the DuckDB oracle replicates).
 
@@ -87,12 +88,13 @@ def attach_fake_media(
 
 
 # ---------------------------------------------------------------------------
-# Real codecs — pure numpy/stdlib, for self-describing UNCOMPRESSED
-# formats (P6 PPM, 24-bit BMP, PCM WAV). Compressed formats (JPEG/PNG/
-# MP4/...) genuinely need Pillow/ffmpeg, which this environment lacks:
-# those still raise NotImplementedError, with the injectable-kernel
-# contract unchanged. Everything below is deterministic byte math, so
-# features are reproducible across engines and processes.
+# Real codecs — pure numpy/stdlib, for self-describing formats
+# (P6 PPM, 24-bit BMP, baseline JPEG — operators/jpeg.py — and PCM
+# WAV). Remaining compressed formats (PNG/progressive JPEG/MP4/...)
+# genuinely need Pillow/ffmpeg, which this environment lacks: those
+# still raise NotImplementedError, with the injectable-kernel contract
+# unchanged. Everything below is deterministic byte math, so features
+# are reproducible across engines and processes.
 # ---------------------------------------------------------------------------
 
 def _parse_ppm_header(content: bytes, offset: int = 0) -> tuple[int, int, int]:
@@ -190,16 +192,22 @@ def decode_wav(content: bytes):
 
 
 def decode_image(content: bytes):
-    """Decode a self-describing uncompressed image payload (magic-byte
-    sniffed). Compressed formats need Pillow — not in this environment;
-    inject a kernel instead."""
+    """Decode a self-describing image payload (magic-byte sniffed):
+    P6 PPM, 24-bit BMP, or baseline JPEG (pure-numpy codec in
+    operators/jpeg.py — sequential DCT, any sampling up to 2×2,
+    restart intervals). Progressive JPEG and other compressed formats
+    (PNG/WebP/...) still need an injected kernel."""
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:2] == b"\xff\xd8":
+        from hrtech_etl_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "compressed image decode requires Pillow; inject a kernel via "
-        "media_features(..., kernel=...)"
+        "undecodable image format (PNG/WebP/progressive JPEG need a "
+        "real codec); inject a kernel via media_features(..., kernel=...)"
     )
 
 

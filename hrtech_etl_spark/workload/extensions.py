@@ -2727,3 +2727,93 @@ def stream_scd2_sink(spark, sf_dir):
     return spark.read.parquet(dim_path).select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec conformance (golden-value gate, executor-side decode)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    sql="""
+    SELECT d.doc_id, g.n_bytes, g.max_abs_err, g.decoded_md5
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8) d
+    JOIN (VALUES
+      (0, 672, 5, '9fac0c83254b7e19cd2780de4d6b24a5'),
+      (1, 696, 4, '9bdea54707c00f0b66d65456f747e1bf'),
+      (2, 700, 4, '96295ad57f3b16886e861b27f622b0be'),
+      (3, 705, 4, '1d5e66353f3f61083a753d4fefb4e2a3'),
+      (4, 705, 4, '9bb2d59c55b5cb2bc85f8731f490ac3f'),
+      (5, 690, 4, 'd28331b0ca604da51c08034bca14431f'),
+      (6, 728, 5, 'c60ef88585c77adf7d4b82a7677e52f5'),
+      (7, 695, 4, '38b49ad8a6920f9da03ef2a4c358bea5')
+    ) AS g(doc_id, n_bytes, max_abs_err, decoded_md5)
+    ON d.doc_id = g.doc_id
+    """,
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Conformance gate for the pure-numpy baseline JPEG codec
+    (operators/jpeg.py — the compressed tier of the multimodal decode
+    path, previously env-gated behind kernel injection): for the 8
+    lowest doc_ids, a deterministic slope-bounded RGB image derived
+    from the id is ENCODED (quality 85, 4:2:0 subsampling, restart
+    interval 4 — exercising chroma averaging, MCU padding, and RST
+    resync) and DECODED back inside an Arrow mapInPandas kernel on the
+    executors — the same plumbing real media batches use. Declared
+    output per doc: encoded byte count, max |decoded − source| (bounded
+    by quantization + subsampling loss), and the md5 of the decoded
+    pixel buffer. The oracle is the GOLDEN fixed point (a VALUES
+    relation) — legitimate here because every value is a pure
+    function of doc_id, independent of scale factor and engine; any
+    drift in DCT math, Huffman tables, quantization, upsampling, or
+    byte stuffing flips the hash. Codec behavior itself (odd sizes,
+    grayscale, progressive rejection, truncation errors, Spark batch
+    path) is unit-tested in tests/test_jpeg.py. Green at
+    sf0.001/0.01/0.1."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id long, n_bytes long, max_abs_err int, decoded_md5 string"
+    )
+
+    def run(batches):
+        from hrtech_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h = 16 + d % 5
+                w = 24 + 2 * (d % 7)
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        np.clip(40 + 2 * xx + 3 * d, 0, 255),
+                        np.clip(40 + 2 * yy + 5 * d, 0, 255),
+                        np.clip(30 + xx + yy + 7 * d, 0, 255),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                data = encode_jpeg(
+                    img, quality=85, subsample="4:2:0", restart_interval=4
+                )
+                dec = decode_jpeg(data)
+                err = int(np.abs(dec.astype(int) - img.astype(int)).max())
+                recs.append(
+                    (d, len(data), err, hashlib.md5(dec.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "n_bytes", "max_abs_err", "decoded_md5"],
+            )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(8)
+    )
+    return docs.mapInPandas(run, schema=out_schema)

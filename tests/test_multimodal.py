@@ -225,10 +225,26 @@ def test_real_kernels_through_spark_plumbing(spark):
 
 
 def test_compressed_formats_still_gated():
+    """PNG (and other undecodable formats) stay behind the
+    injectable-kernel gate; baseline JPEG now decodes natively
+    (operators/jpeg.py), so it resizes for real — a truncated JPEG is
+    a data error (ValueError), not a missing-codec error."""
     with pytest.raises(NotImplementedError):
         mm.real_media_features(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
-        mm.real_resize(b"\xff\xd8\xff\xe0JFIF", 2, 2)
+    with pytest.raises(ValueError):
+        mm.real_resize(b"\xff\xd8\xff\xe0JFIF", 2, 2)  # truncated JPEG
+
+
+def test_jpeg_resizes_natively():
+    import numpy as np
+
+    from hrtech_etl_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((12, 20, 3), 90, dtype=np.uint8)
+    out = mm.real_resize(encode_jpeg(img, quality=95), 10, 6)
+    decoded = mm.decode_ppm(out)
+    assert decoded.shape == (6, 10, 3)
+    assert np.abs(decoded.astype(int) - 90).max() <= 2
 
 
 def test_empty_wav_yields_zero_features():
