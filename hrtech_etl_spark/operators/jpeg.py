@@ -15,8 +15,8 @@ just ours). Progressive (SOF2) and arithmetic coding raise
 
 Encoder (``encode_jpeg``): the fixture/thumbnail writer — 8-bit RGB or
 grayscale, quality-scaled Annex-K quantization tables, standard
-Huffman tables, 4:4:4 or 4:2:0 chroma subsampling, optional restart
-intervals. The encoder embeds the exact tables it codes with, so the
+Huffman tables, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, optional
+restart intervals. The encoder embeds the exact tables it codes with, so the
 bitstream is self-describing and round-trips through ANY baseline
 decoder.
 
@@ -561,8 +561,10 @@ def encode_jpeg(
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("expected (h, w, 3) RGB or (h, w) grayscale")
-    if subsample not in ("4:4:4", "4:2:0"):
-        raise NotImplementedError("subsample must be '4:4:4' or '4:2:0'")
+    if subsample not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise NotImplementedError(
+            "subsample must be '4:4:4', '4:2:2' or '4:2:0'"
+        )
     h, w = img.shape[0], img.shape[1]
     qt_l, qt_c = _quality_tables(quality)
 
@@ -581,12 +583,20 @@ def encode_jpeg(
             cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
             cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        elif subsample == "4:2:2":
+            # horizontal-only 1x2 mean
+            pw = -(-w // 2) * 2
+            cb = np.pad(cb, ((0, 0), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, 0), (0, pw - w)), mode="edge")
+            cb = cb.reshape(h, pw // 2, 2).mean(axis=2)
+            cr = cr.reshape(h, pw // 2, 2).mean(axis=2)
         planes = [y, cb, cr]
 
+    luma_hv = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[subsample]
     sampling = (
         [(1, 1)]
         if gray
-        else ([(1, 1)] * 3 if subsample == "4:4:4" else [(2, 2), (1, 1), (1, 1)])
+        else ([(1, 1)] * 3 if subsample == "4:4:4" else [luma_hv, (1, 1), (1, 1)])
     )
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)

@@ -104,3 +104,45 @@ def test_resize_property(dims, seed, out):
         mm.real_resize(mm.encode_ppm(img), img.shape[1], img.shape[0])
     )
     assert np.array_equal(same, img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=st.tuples(st.integers(1, 24), st.integers(1, 24)),
+    seed=st.integers(0, 2**31),
+    quality=st.integers(50, 95),
+    subsample=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    dri=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_structure_property(dims, seed, quality, subsample, dri):
+    """JPEG is lossy, so the property is structural: any uint8 image at
+    any knob combination encodes to a well-formed stream that decodes
+    back to the same shape/dtype, deterministically."""
+    from hrtech_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _random_img(*dims, seed)
+    data = encode_jpeg(
+        img, quality=quality, subsample=subsample, restart_interval=dri
+    )
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert (decode_jpeg(data) == out).all()
+    assert encode_jpeg(
+        img, quality=quality, subsample=subsample, restart_interval=dri
+    ) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims=st.tuples(st.integers(1, 24), st.integers(1, 24)), seed=st.integers(0, 2**31))
+def test_jpeg_444_error_bound_property(dims, seed):
+    """At 4:4:4 / quality 95 the loss is quantization only — bounded
+    even on pure noise (subsampled modes legitimately average away
+    chroma noise, so no such bound exists there)."""
+    from hrtech_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _random_img(*dims, seed)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample="4:4:4"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 48
+    assert err.mean() <= 12.0
