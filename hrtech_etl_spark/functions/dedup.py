@@ -1231,3 +1231,88 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "jaccard")
     )
+
+
+def drop_duplicate_paragraphs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style cross-document PARAGRAPH dedup: split every document
+    into segments on ``delimiter``, keep only the globally FIRST
+    occurrence of each distinct segment (ordered by ``(id, position)``
+    — so later repeats are removed both across documents and within
+    one document), and reassemble each document's surviving segments
+    in their original order. This is the paragraph-hash dedup of the
+    CCNet pipeline (Wenzek et al. 2019) and the practical stand-in for
+    suffix-array exact-substring dedup (Lee et al. 2021): boilerplate
+    paragraphs, quoted reposts, and licence blurbs collapse to one
+    training occurrence.
+
+    Whitespace-only segments shorter than ``min_chars`` after trim
+    (blank lines — document STRUCTURE, not content) are never deduped:
+    every document keeps them.
+
+    Returns ``(id, text)`` for documents with at least one surviving
+    segment, the same contract as :func:`remove_boilerplate
+    <hrtech_etl_spark.functions.text.remove_boilerplate>`.
+
+    Plan at scale — deliberately NOT a row_number window over the
+    segment key: a viral paragraph with millions of copies would make
+    one hot window partition with no salting escape (row_number needs
+    total order). Instead the keeper per segment is computed with
+    ``min(struct(id, pos))`` — an algebraic aggregate, so map-side
+    partial aggregation collapses each partition's copies of a hot
+    segment to ONE row before the exchange — and survivors are marked
+    with a join on ``(segment, id, pos)``, whose 3-column hash
+    spreads even a single viral segment across partitions. Three
+    keyed exchanges total (keeper agg, marker join, reassembly), each
+    skew-tolerant. Blank segments ride the SAME marker join as a
+    left-outer miss (they are never keepers) instead of a third
+    union branch, so the parquet input is scanned exactly twice —
+    once per explode lineage — not three times; executed-plan shape
+    is locked by tests/test_paragraph_dedup.py.
+    """
+    import re as _re
+
+    parts = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delimiter), -1)
+        ).alias("__pos", "__seg"),
+    )
+    is_blank = F.length(F.trim(F.col("__seg"))) < min_chars
+    keeper = (
+        parts.where(~is_blank)
+        .groupBy("__seg")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__k")
+        )
+        .select(
+            "__seg",
+            F.col(f"__k.{id_col}").alias(id_col),
+            F.col("__k.__pos").alias("__pos"),
+            F.lit(True).alias("__keep"),
+        )
+    )
+    # keeper is unique per __seg, so the left join never fans out;
+    # blanks (excluded from keeper) surface as misses and are kept
+    kept = parts.join(keeper, ["__seg", id_col, "__pos"], "left").where(
+        is_blank | F.col("__keep").isNotNull()
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__seg"))).alias("__ps")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("__ps"), lambda s: s.getField("__seg")),
+                delimiter,
+            ).alias(text_col),
+        )
+    )

@@ -2817,3 +2817,88 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         .limit(8)
     )
     return docs.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph dedup (CCNet keep-first), planted-structure gate
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_paragraphs",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, concat_ws(chr(10),
+        'lang: ' || lang,
+        'bucket: ' || CAST(n_chars % 7 AS VARCHAR),
+        substr(text, 1, 60),
+        '',
+        CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+             ELSE 'contact ' || CAST(doc_id AS VARCHAR) END,
+        'promo: offer of the week',
+        'promo: offer of the week') AS text
+      FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM base),
+    parts AS (
+      SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS seg
+      FROM s
+    ),
+    ranked AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM parts WHERE length(trim(seg)) >= 1
+    ),
+    kept AS (
+      SELECT doc_id, pos, seg FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, seg FROM parts WHERE length(trim(seg)) < 1
+    )
+    SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """CCNet-style cross-document paragraph dedup
+    (functions/dedup.py::drop_duplicate_paragraphs): only the globally
+    first occurrence of each distinct paragraph survives (ordered by
+    (doc_id, position) — within-doc repeats removed too), blank lines
+    always kept, documents reassembled in original segment order. The
+    flat word-soup corpus has no newlines, so the gate constructs
+    paragraph-structured documents from table columns — every dedup
+    regime planted and discriminative: a per-language line (massive
+    duplication → one survivor per language), a 7-bucket line (medium),
+    a 60-char text prefix (mostly unique), a blank line (structure —
+    kept in EVERY doc), an every-third-doc newsletter footer vs a
+    unique contact line, and a promo line duplicated WITHIN each doc
+    (its global keeper doc retains exactly one copy; all other docs
+    lose both). The oracle replays the identical construction but
+    dedups via an INDEPENDENT formulation (row_number window keep
+    rn=1) — cross-checking the engine's skew-safe shape
+    (min(struct(id,pos)) keeper agg with map-side partials + 3-column
+    semi-join; see the operator docstring for why a window over the
+    segment key would be a hot-partition trap at 100 TB). Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.dedup import drop_duplicate_paragraphs
+
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("lang: "), F.col("lang")),
+            F.concat(
+                F.lit("bucket: "), (F.col("n_chars") % 7).cast("string")
+            ),
+            F.substring("text", 1, 60),
+            F.lit(""),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("subscribe to our newsletter"),
+            ).otherwise(
+                F.concat(F.lit("contact "), F.col("doc_id").cast("string"))
+            ),
+            F.lit("promo: offer of the week"),
+            F.lit("promo: offer of the week"),
+        ).alias("text"),
+    )
+    return drop_duplicate_paragraphs(base, "text", "doc_id")
