@@ -60,6 +60,9 @@ EXTENDED = [
     "join_bucketed_colocated",
     "text_repetition_signals",
     "sim_pq_rerank_topk",
+    # round 10
+    "dedup_paragraphs",
+    "multimodal_jpeg_roundtrip",
 ]
 
 
