@@ -443,3 +443,95 @@ def remove_boilerplate(
             ).alias(text_col),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    add_k: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the CCNet-style
+    perplexity filter (Wenzek et al. 2019) with the n-gram LM trained
+    on the corpus itself instead of an external KenLM: every document
+    gets the mean log-probability of its bigrams under the add-k
+    smoothed corpus model,
+
+        P(w2 | w1) = (C(w1 w2) + k) / (C(w1 ·) + k · V),
+
+    where ``C(w1 ·)`` is w1's count as a bigram context and ``V`` is
+    the vocabulary size over the scored documents (derived from the
+    bigram-type table: docs with < 2 tokens contribute no bigrams and
+    are absent from the output). Low ``avg_logp`` = improbable word
+    sequences = gibberish/noise — sort ascending and cut the tail, or
+    bucket into the CCNet head/middle/tail thirds.
+
+    Returns ``(id, n_bigrams, avg_logp)``. Cross-engine determinism:
+    each bigram's log-probability is rounded to 6 decimals and summed
+    in DECIMAL (exact, order-independent), the per-doc mean is ONE
+    IEEE division, rounded to ``round_to`` — the registry hash rules.
+
+    Plan at scale: one corpus explode feeds the (id, bigram) count
+    (the only corpus-sized exchange, map-side partials); the model —
+    bigram counts, context counts, vocab — is all derived from that
+    aggregate, so training adds NO second corpus pass; scoring joins
+    the per-doc bigram types back to the model keyed by bigram (AQE
+    broadcasts the model when it is small) and reassembles per doc.
+    The bigram-type table is cut from its lineage with a LAZY
+    localCheckpoint (the established composed-frame boundary): its
+    three consumers — context counts, vocabulary, and the model join
+    — otherwise each re-derive it and the corpus is exploded three
+    times (verified: 3 parquet scans without the boundary, 1 with).
+    The checkpointed table is model-sized (distinct bigram types),
+    not corpus-sized.
+    """
+    bg = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("__g")
+    )
+    docbg = bg.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__tf"))
+    cnt = (
+        docbg.groupBy("__g")
+        .agg(F.sum("__tf").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = cnt.select(
+        F.explode(
+            F.array(
+                F.substring_index("__g", " ", 1),
+                F.substring_index("__g", " ", -1),
+            )
+        ).alias("__w")
+    ).agg(F.count_distinct("__w").alias("__v"))
+    ctx = cnt.groupBy(
+        F.substring_index("__g", " ", 1).alias("__w1")
+    ).agg(F.sum("__c").alias("__cc"))
+    model = (
+        cnt.join(ctx, F.substring_index(cnt["__g"], " ", 1) == ctx["__w1"])
+        .crossJoin(vocab)
+        .select(
+            "__g",
+            F.round(
+                F.log(
+                    (F.col("__c") + F.lit(add_k))
+                    / (F.col("__cc") + F.lit(add_k) * F.col("__v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("__logp"),
+        )
+    )
+    return (
+        docbg.join(model, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__tf") * F.col("__logp")).cast("double")
+                / F.sum("__tf"),
+                round_to,
+            ).alias("avg_logp"),
+        )
+    )

@@ -2902,3 +2902,56 @@ def dedup_paragraphs(spark, sf_dir):
         ).alias("text"),
     )
     return drop_duplicate_paragraphs(base, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (the CCNet perplexity filter, corpus-trained)
+# ---------------------------------------------------------------------------
+
+_LM_TOKS = TOKENS_SQL.format(t="text")
+
+@query(
+    "text_bigram_lm_score",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_LM_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      FROM tok WHERE len(t) >= 2
+    ),
+    docbg AS (SELECT doc_id, g, count(*) AS tf FROM bg GROUP BY 1, 2),
+    cnt AS (SELECT g, sum(tf) AS c FROM docbg GROUP BY g),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM (
+      SELECT split_part(g, ' ', 1) AS w FROM cnt
+      UNION SELECT split_part(g, ' ', 2) FROM cnt)),
+    ctx AS (SELECT split_part(g, ' ', 1) AS w1, sum(c) AS cc FROM cnt GROUP BY 1),
+    model AS (
+      SELECT cnt.g,
+             CAST(round(ln((c + 0.5) / (cc + 0.5 * v)), 6) AS DECIMAL(18,6)) AS logp
+      FROM cnt JOIN ctx ON split_part(cnt.g, ' ', 1) = ctx.w1 CROSS JOIN vocab
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(d.tf * m.logp) AS DOUBLE) / sum(d.tf), 4) AS avg_logp
+    FROM docbg d JOIN model m ON d.g = m.g
+    GROUP BY d.doc_id
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM document scoring
+    (functions/text.py::bigram_lm_scores) — the CCNet perplexity
+    filter with the n-gram model trained on the corpus itself: every
+    doc's mean log-probability under the add-0.5-smoothed bigram
+    model, P(w2|w1) = (C(w1w2)+k)/(C(w1·)+k·V). One corpus-sized
+    exchange total: the (doc, bigram) count feeds bigram counts,
+    context counts, AND the vocabulary (training adds no second
+    corpus pass); scoring joins doc bigram types back to the model.
+    Per-bigram log-probs are rounded to 6 decimals and summed in
+    DECIMAL so the per-doc mean is order-independent across engines
+    (registry hash rules); the oracle restates the identical model
+    and smoothing. Docs with < 2 tokens have no bigrams and are
+    absent by contract. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.text import bigram_lm_scores
+
+    d = load_table(spark, "documents", sf_dir)
+    return bigram_lm_scores(d, "text", "doc_id")

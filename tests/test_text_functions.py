@@ -222,3 +222,98 @@ def test_repetition_signals_zero_shuffle(spark):
     out = tx.repetition_signals(df, "text", "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_scores (CCNet-style corpus-trained LM filter)
+# ---------------------------------------------------------------------------
+
+
+def _lm_reference(docs, k=0.5):
+    """Pure-Python model: add-k smoothed bigram LM trained on the
+    corpus, per-doc mean log-prob (log terms rounded to 6 decimals,
+    as the operator's cross-engine contract specifies)."""
+    import math
+    from collections import Counter
+
+    bg, per = Counter(), {}
+    for did, text in docs:
+        toks = text.lower().split()
+        grams = Counter(zip(toks, toks[1:]))
+        if grams:
+            per[did] = grams
+            bg.update(grams)
+    ctx = Counter()
+    vocab = set()
+    for (w1, w2), c in bg.items():
+        ctx[w1] += c
+        vocab.update((w1, w2))
+    v = len(vocab)
+    out = {}
+    for did, grams in per.items():
+        n = sum(grams.values())
+        s = sum(
+            tf * round(math.log((bg[g] + k) / (ctx[g[0]] + k * v)), 6)
+            for g, tf in grams.items()
+        )
+        out[did] = (n, s / n)
+    return out
+
+
+def test_bigram_lm_matches_reference(spark):
+    from hrtech_etl_spark.functions.text import bigram_lm_scores
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "a b"),
+        (3, "c c c"),
+        (4, "solo"),  # < 2 tokens -> absent from output
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_scores(df, "text", "doc_id").collect()
+    }
+    want = _lm_reference(docs)
+    assert set(got) == set(want) == {1, 2, 3}
+    for did, (n, avg) in want.items():
+        assert got[did][0] == n
+        # both sides round log terms to 6 decimals; the final mean is
+        # rounded half-up at 4 by Spark vs unrounded here
+        assert abs(got[did][1] - avg) <= 1.5e-4, (did, got[did], avg)
+
+
+def test_bigram_lm_more_probable_doc_scores_higher(spark):
+    from hrtech_etl_spark.functions.text import bigram_lm_scores
+
+    # doc 1 repeats the corpus-dominant bigram; doc 2 is one-off
+    docs = [(1, "x y x y x y x y"), (2, "q r"), (3, "x y")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in bigram_lm_scores(df, "text", "doc_id").collect()
+    }
+    assert got[1] > got[2]
+    assert got[3] > got[2]
+
+
+def test_bigram_lm_single_scan_plan(spark, sf_dir):
+    """The corpus is exploded ONCE: the model table's lazy
+    localCheckpoint boundary keeps the ctx/vocab/model consumers from
+    re-deriving it (3 parquet scans without it)."""
+    from hrtech_etl_spark.functions.text import bigram_lm_scores
+    from hrtech_etl_spark.sources.testdata import load_table
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    df = bigram_lm_scores(d, "text", "doc_id")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    marker = plan.find("Initial Plan")
+    if marker != -1:
+        plan = plan[:marker]
+    lower = plan.lower()
+    scans = [
+        ln for ln in lower.splitlines() if "scan" in ln and "parquet" in ln
+    ]
+    assert len(scans) == 1, plan
