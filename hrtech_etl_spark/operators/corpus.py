@@ -605,3 +605,36 @@ def shuffled_shards(
     return df.withColumn("shuffle_key", h).withColumn(
         "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
     )
+
+
+def leakage_safe_split(
+    labels: DataFrame,
+    *,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    val_frac: float = 0.2,
+    seed: int = 11,
+    buckets: int = 100,
+) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates: the
+    split is decided by a seeded hash of the CLUSTER label (from
+    :func:`hrtech_etl_spark.functions.dedup.near_dup_clusters`), not
+    of the document id — so a document and all its near-twins land on
+    the same side of the boundary by construction (Lee et al. 2021's
+    finding: random doc-level splits put near-copies of training data
+    into validation and inflate eval). ``val_frac`` is quantized to
+    ``buckets`` (hash mod buckets < val_frac·buckets → 'val'); the
+    seeded portable hash makes the assignment reproducible across
+    engines and epochs, and a different ``seed`` yields a fresh
+    split with zero data movement. Purely columnar — no shuffle
+    beyond what produced the labels."""
+    cut = int(round(val_frac * buckets))
+    h = F.pmod(
+        portable_hash(F.col(cluster_col).cast("string"), seed=seed),
+        F.lit(buckets),
+    )
+    return labels.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.when(h < cut, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )

@@ -406,3 +406,37 @@ def test_concat_split_packing_rejects_null_lengths(spark):
     all_null = spark.createDataFrame([(1, None), (2, None)], schema)
     with pytest.raises(Exception, match="negative or NULL n_tokens|ASSERT"):
         concat_split_packing(all_null, "doc_id", "n_tokens", 64).collect()
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Same cluster -> same split, ALWAYS; split values well-formed;
+    a different seed reassigns clusters, never splits them."""
+    from hrtech_etl_spark.operators.corpus import leakage_safe_split
+    from pyspark.sql import functions as F
+
+    labels = spark.createDataFrame(
+        [(i, i % 17) for i in range(200)], "id long, cluster long"
+    )
+    for seed in (11, 12):
+        out = leakage_safe_split(labels, seed=seed, val_frac=0.3)
+        per_cluster = (
+            out.groupBy("cluster")
+            .agg(F.count_distinct("split").alias("n"))
+            .collect()
+        )
+        assert all(r["n"] == 1 for r in per_cluster)
+        splits = {r["split"] for r in out.select("split").distinct().collect()}
+        assert splits <= {"train", "val"}
+    # val_frac=0 -> everything train; val_frac=1 -> everything val
+    assert (
+        leakage_safe_split(labels, val_frac=0.0)
+        .where(F.col("split") == "val")
+        .count()
+        == 0
+    )
+    assert (
+        leakage_safe_split(labels, val_frac=1.0)
+        .where(F.col("split") == "train")
+        .count()
+        == 0
+    )
