@@ -1,0 +1,239 @@
+"""Distributed BPE tokenizer: train merges on the corpus, encode with
+them — the byte-pair-encoding of Sennrich et al. 2016 ("Neural Machine
+Translation of Rare Words with Subword Units"), built Spark-first.
+
+Scale shape (the part that matters at 100 TB):
+
+- **Training never iterates over the corpus.** ONE corpus pass builds
+  the word-TYPE frequency table (vocabulary-sized — millions of rows,
+  not billions); every merge round then runs on that small table:
+  adjacent-pair counts (one keyed aggregate with map-side partials),
+  a single-ROW bounded collect for the argmax (like the PQ codebook —
+  a trained artifact lives on the driver), and a JVM-side fold that
+  applies the merge to each word's symbol array (``F.aggregate``, no
+  Python). The word table is re-checkpointed each round so plan depth
+  stays O(1) instead of O(rounds).
+- **Encoding is one Arrow pass.** Merge ranks broadcast in the UDF
+  closure; each document's words encode inside a pandas UDF batch
+  (sequential greedy merging is inherently per-word Python — the
+  documented slow-path exception), with a per-batch word cache so
+  repeated words encode once.
+- **Lossless by construction**: merges only concatenate adjacent
+  symbols, so ``decode(encode(text))`` reproduces the
+  whitespace-normalized text exactly — the registry entry asserts
+  this in-plan for every document.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hrtech_etl_spark.functions.text import tokens
+
+#: end-of-word marker appended as a standalone symbol (Sennrich-style);
+#: chosen to be absent from whitespace-tokenized words in practice.
+END_OF_WORD = "</w>"
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE merge rule (a, b) → a+b exhaustively, left-to-right
+    and non-overlapping, to a symbol array — a JVM-side fold, no UDF.
+    State: (acc, pending); pending==a and next==b → emit merged."""
+    merged = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("p"),
+    )
+
+    def step(st: Column, s: Column) -> Column:
+        hit = (
+            st["p"].isNotNull() & (st["p"] == F.lit(a)) & (s == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.struct(
+                F.array_append(st["acc"], F.lit(merged)).alias("acc"),
+                F.lit(None).cast("string").alias("p"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    st["p"].isNotNull(), F.array_append(st["acc"], st["p"])
+                )
+                .otherwise(st["acc"])
+                .alias("acc"),
+                s.alias("p"),
+            )
+        )
+
+    def fin(st: Column) -> Column:
+        return F.when(
+            st["p"].isNotNull(), F.array_append(st["acc"], st["p"])
+        ).otherwise(st["acc"])
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """Array of (a, b) structs for adjacent symbol pairs."""
+    n = F.greatest(F.size(syms) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(syms, 1, n),
+        F.slice(syms, 2, n),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+
+
+def bpe_word_table(
+    docs: DataFrame, text_col: str, *, end_of_word: str = END_OF_WORD
+) -> DataFrame:
+    """The ONE corpus pass: whitespace-lowercase word-type frequency
+    table with each word exploded into initial symbols
+    (chars + end-of-word marker): ``(word, freq, syms)``."""
+    word = F.explode(
+        F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    ).alias("word")
+    wt = docs.select(word).groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    # substring with a COLUMN start position needs the SQL expr form
+    return wt.withColumn(
+        "syms",
+        F.concat(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            F.array(F.lit(end_of_word)),
+        ),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    num_merges: int = 50,
+    min_count: int = 2,
+    end_of_word: str = END_OF_WORD,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merge rules from the corpus.
+
+    Deterministic: the argmax tie-break is (count DESC, a ASC, b ASC).
+    Stops early when no adjacent pair reaches ``min_count``. Returns
+    the ordered merge list — a bounded driver-side artifact (the
+    tokenizer model), exactly like the PQ codebook contract.
+    """
+    words = bpe_word_table(docs, text_col, end_of_word=end_of_word)
+    words = words.localCheckpoint()  # cut the corpus lineage once
+    merges: list[tuple[str, str]] = []
+    for r in range(num_merges):
+        best = (
+            words.select(
+                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("pr")
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+        if (r + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def _encode_word(word: str, ranks: dict, eow: str) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly apply the
+    lowest-ranked applicable merge, exhaustively left-to-right — the
+    same application order training used."""
+    syms = list(word) + [eow]
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    end_of_word: str = END_OF_WORD,
+) -> DataFrame:
+    """Encode documents with a trained merge list → ``(id, tokens,
+    n_tokens, n_words)``. One Arrow pass; merge ranks ride the UDF
+    closure (bounded — the tokenizer model); a per-batch cache
+    encodes each distinct word once."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text) -> tuple[list[str], int, int]:
+            words = (text or "").lower().split()
+            toks: list[str] = []
+            for w in words:
+                t = cache.get(w)
+                if t is None:
+                    t = _encode_word(w, ranks, end_of_word)
+                    cache[w] = t
+                toks.extend(t)
+            return toks, len(toks), len(words)
+
+        for pdf in batches:
+            enc_all = [enc(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": [e[0] for e in enc_all],
+                    "n_tokens": [e[1] for e in enc_all],
+                    "n_words": [e[2] for e in enc_all],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def bpe_decode_column(tokens_col: Column, *, end_of_word: str = END_OF_WORD) -> Column:
+    """Reconstruct whitespace-normalized text from BPE tokens (JVM
+    expression): concatenate and turn end-of-word markers back into
+    single spaces."""
+    return F.trim(
+        F.replace(
+            F.array_join(tokens_col, ""), F.lit(end_of_word), F.lit(" ")
+        )
+    )

@@ -3028,3 +3028,71 @@ def corpus_leakage_safe_split(spark, sf_dir):
         labels, id_col="id", cluster_col="cluster", val_frac=0.2, seed=11,
         buckets=10,
     ).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: corpus-trained merges + lossless encode (rows-only gate)
+# ---------------------------------------------------------------------------
+
+@query("corpus_bpe_tokenize")
+def corpus_bpe_tokenize(spark, sf_dir):
+    """Distributed BPE tokenizer end to end (operators/bpe.py):
+    train merge rules on the corpus (ONE corpus pass to the word-TYPE
+    table, then vocabulary-sized merge rounds with a bounded 1-row
+    argmax collect per round — the trained-artifact contract of
+    pq_codebook), then encode every document through the Arrow
+    mapInPandas kernel with the merge ranks broadcast in the closure.
+    Like `sim_pq_trained_recall` this entry is DELIBERATELY rows-only
+    — the merge list is engine-specific training output no SQL oracle
+    can restate — but it asserts its own correctness bar in-plan and
+    FAILS below it: (1) LOSSLESSNESS — bpe_decode(bpe_encode(text))
+    must equal the whitespace-normalized lowercased text for EVERY
+    document (exact string equality, zero tolerance), and
+    (2) COMPRESSION — total BPE tokens must be strictly fewer than
+    the unmerged symbol count (chars + one end-of-word per word),
+    proving the merges actually apply. Declared output: per-language
+    (lang, n_docs, total_words, total_tokens, tokens_per_word) — the
+    tokenizer-throughput summary a corpus pipeline reports. Training
+    determinism (argmax tie-break count DESC then lexicographic) is
+    unit-tested against the hand-computed Sennrich et al. example in
+    tests/test_bpe.py."""
+    from hrtech_etl_spark.operators import bpe
+
+    d = load_table(spark, "documents", sf_dir)
+    merges = bpe.bpe_train(d, "text", num_merges=30)
+    if len(merges) < 10:
+        raise AssertionError(
+            f"expected a usable merge table, got {len(merges)} merges"
+        )
+    enc = bpe.bpe_encode(d, "text", "doc_id", merges).localCheckpoint(
+        eager=False
+    )
+    chk = enc.join(d.select("doc_id", "text", "lang"), "doc_id")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    bad = chk.where(
+        bpe.bpe_decode_column(F.col("tokens")) != norm
+    ).count()
+    if bad:
+        raise AssertionError(f"{bad} documents failed the BPE round-trip")
+    totals = chk.agg(
+        F.sum("n_tokens").alias("tok"),
+        F.sum(
+            F.length(F.regexp_replace(norm, " ", "")) + F.col("n_words")
+        ).alias("base"),
+    ).collect()[0]
+    if not totals["tok"] < totals["base"]:
+        raise AssertionError(
+            f"no compression: {totals['tok']} tokens vs {totals['base']} "
+            "unmerged symbols"
+        )
+    return (
+        chk.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words"), 4
+            ).alias("tokens_per_word"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""BPE tokenizer (operators/bpe.py): hand-computed Sennrich example,
+merge-fold semantics, encode/decode round-trip properties."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.operators import bpe
+
+SENNRICH = (
+    "low low low low low lower lower "
+    "newest newest newest newest newest newest "
+    "widest widest widest"
+)
+
+
+def test_sennrich_merge_sequence(spark):
+    """The canonical example from Sennrich et al. 2016: es, est,
+    est</w>, lo, low are the first five merges."""
+    docs = spark.createDataFrame([(1, SENNRICH)], "doc_id long, text string")
+    merges = bpe.bpe_train(docs, "text", num_merges=5)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+
+def test_encode_matches_training_segmentation(spark):
+    docs = spark.createDataFrame([(1, SENNRICH)], "doc_id long, text string")
+    merges = bpe.bpe_train(docs, "text", num_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # 'lowest' was never a training word, but its pieces were
+    assert bpe._encode_word("lowest", ranks, "</w>") == ["low", "est</w>"]
+    assert bpe._encode_word("low", ranks, "</w>") == ["low</w>"]
+    # unseen characters stay as singleton symbols
+    assert bpe._encode_word("xyz", ranks, "</w>") == ["x", "y", "z", "</w>"]
+
+
+def test_merge_fold_nonoverlapping(spark):
+    """One rule applied exhaustively left-to-right: aaaa + (a,a) →
+    aa aa; aaa → aa a."""
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],), (["b"],), ([],)],
+        "syms array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            bpe._merge_fold(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert got == [["aa", "aa"], ["aa", "a"], ["b"], []]
+
+
+def test_train_deterministic_tiebreak(spark):
+    """All pair counts equal → lexicographically smallest pair wins."""
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    merges = bpe.bpe_train(docs, "text", num_merges=1, min_count=1)
+    assert merges == [("a", "b")]
+
+
+def test_encode_empty_and_null(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "  "), (4, "ok")],
+        "doc_id long, text string",
+    )
+    enc = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"], r["n_words"])
+        for r in bpe.bpe_encode(docs, "text", "doc_id", []).collect()
+    }
+    assert enc[1] == ([], 0, 0)
+    assert enc[2] == ([], 0, 0)
+    assert enc[3] == ([], 0, 0)
+    assert enc[4] == (["o", "k", "</w>"], 3, 1)
+
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=6)
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_text, min_size=1, max_size=5), n_merges=st.integers(0, 12))
+def test_roundtrip_property(spark, texts, n_merges):
+    """decode(encode(x)) == whitespace-normalized x for ANY corpus and
+    ANY number of trained merges — merges only concatenate."""
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe.bpe_train(df, "text", num_merges=n_merges, min_count=1)
+    enc = bpe.bpe_encode(df, "text", "doc_id", merges)
+    got = {
+        r["doc_id"]: r["rt"]
+        for r in enc.select(
+            "doc_id", bpe.bpe_decode_column(F.col("tokens")).alias("rt")
+        ).collect()
+    }
+    for did, text in docs:
+        assert got[did] == " ".join(text.split())
