@@ -63,6 +63,10 @@ EXTENDED = [
     # round 10
     "dedup_paragraphs",
     "multimodal_jpeg_roundtrip",
+    "text_bigram_lm_score",
+    "corpus_leakage_safe_split",
+    "corpus_bpe_tokenize",
+    "corpus_weighted_sample",
 ]
 
 

@@ -638,3 +638,50 @@ def leakage_safe_split(
         F.col(cluster_col),
         F.when(h < cut, F.lit("val")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    strata_cols: Sequence[str] = (),
+    seed: int = 13,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis exponential-key method (A-ES, Inf. Proc. Letters 2006):
+    each row draws u ∈ (0, 1] from the seeded portable hash of its id
+    and is ranked by the key −ln(u)/w — taking the k smallest keys is
+    an exact weighted sample without replacement. This is the
+    quality-weighted corpus subsampling primitive (sample training
+    docs proportionally to a quality score) — one pass, one window
+    per stratum, reproducible across engines and epochs (a new seed
+    resamples with zero data movement; same contract as
+    :func:`shuffled_shards`).
+
+    The ranking uses the better-conditioned log key
+    ``ln(−ln u) − ln w`` (monotone in −ln(u)/w), rounded to 6 decimals
+    with the id as tiebreak so the selected SET is deterministic and
+    engine-portable (u is never 0 or 1: the 32-bit hash h maps to
+    (h+1)/(2^32+1)). Rows with NULL or non-positive weight are
+    excluded — a zero-weight row must never be sampled.
+
+    Adds ``sample_rank`` (1..k). Runs as a WindowGroupLimit plan: the
+    per-stratum top-k prunes before the final sort."""
+    from pyspark.sql import Window as W
+
+    u = (portable_hash(F.col(id_col).cast("string"), seed=seed) + 1) / F.lit(
+        4294967297.0
+    )
+    key = F.round(
+        F.log(-F.log(u)) - F.log(F.col(weight_col).cast("double")), 6
+    )
+    w = W.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -3096,3 +3096,52 @@ def corpus_bpe_tokenize(spark, sf_dir):
             ).alias("tokens_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_H = portable_hash_sql("CAST(doc_id AS VARCHAR)", seed=13)
+
+@query(
+    "corpus_weighted_sample",
+    sql=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             round(ln(-ln(({_WS_H} + 1) / 4294967297.0))
+                   - ln(CAST(n_chars AS DOUBLE)), 6) AS key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY key, doc_id)
+               AS sample_rank
+      FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement per language
+    (operators/corpus.py::weighted_sample_topk — Efraimidis-Spirakis
+    exponential keys): every doc draws u from the seeded portable
+    hash of its id and the 5 smallest -ln(u)/w keys per lang are an
+    EXACT weighted sample without replacement, weight = n_chars (the
+    quality-weighted subsampling shape: longer/better docs
+    proportionally likelier, short ones still possible). Ranked on
+    the better-conditioned log key ln(-ln u) - ln w rounded to 6
+    decimals, id tiebreak, so the selected set is engine-portable;
+    the oracle computes the identical hash, key, and window. Runs as
+    WindowGroupLimit (per-stratum top-k prunes before the sort).
+    Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.corpus import weighted_sample_topk
+
+    d = load_table(spark, "documents", sf_dir)
+    return weighted_sample_topk(
+        d, "n_chars", 5, id_col="doc_id", strata_cols=("lang",), seed=13
+    ).select(
+        "lang", "doc_id", "n_chars", F.col("sample_rank").cast("int")
+    .alias("sample_rank"))

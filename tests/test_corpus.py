@@ -440,3 +440,65 @@ def test_leakage_safe_split_invariants(spark):
         .count()
         == 0
     )
+
+
+def test_weighted_sample_topk(spark):
+    from hrtech_etl_spark.operators.corpus import weighted_sample_topk
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", float(10 + i)) for i in range(40)]
+    rows += [(100, "en", None), (101, "en", 0.0), (102, "en", -3.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "w"])
+
+    out = weighted_sample_topk(
+        df, "w", 3, id_col="doc_id", strata_cols=("lang",), seed=7
+    )
+    got = out.collect()
+    # exactly k per stratum, ranks 1..k, never a null/zero/negative weight
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+        assert r["w"] is not None and r["w"] > 0
+    for lang, picked in by_lang.items():
+        assert len(picked) == 3
+        assert sorted(p["sample_rank"] for p in picked) == [1, 2, 3]
+    # deterministic: same seed -> same set; new seed -> valid resample
+    again = {
+        (r["doc_id"], r["sample_rank"])
+        for r in weighted_sample_topk(
+            df, "w", 3, id_col="doc_id", strata_cols=("lang",), seed=7
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["sample_rank"]) for r in got}
+    other = weighted_sample_topk(
+        df, "w", 3, id_col="doc_id", strata_cols=("lang",), seed=8
+    )
+    assert other.count() == 6
+
+
+def test_weighted_sample_topk_weight_bias(spark):
+    """A-ES correctness signal: a row with overwhelming weight is
+    (near-)always selected; under uniform weights the sample follows
+    the hash order, not the input order."""
+    from hrtech_etl_spark.operators.corpus import weighted_sample_topk
+
+    # one heavy row among 50 light ones; heavy should be picked for
+    # every seed tried (P(miss) ~ (k misses) astronomically small)
+    rows = [(i, 1.0) for i in range(50)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    for seed in range(5):
+        picked = {
+            r["doc_id"]
+            for r in weighted_sample_topk(df, "w", 5, seed=seed).collect()
+        }
+        assert 999 in picked, f"heavy row missed at seed={seed}"
+
+
+def test_weighted_sample_topk_uses_window_group_limit(spark):
+    from hrtech_etl_spark.operators.corpus import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i + 1)) for i in range(10)], ["doc_id", "lang", "w"]
+    )
+    out = weighted_sample_topk(df, "w", 2, strata_cols=("lang",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -298,6 +298,11 @@ def run_ann_stages(spark, meter, args, root) -> None:
             ).alias("embedding"),
         )
     )
+    # A real stored corpus arrives as MANY parquet splits (one task
+    # each); the synthetic crossJoin inherits the single base-file
+    # split, which would serialize the per-vector encode kernel.
+    # Spread it like stored data before measuring.
+    vecs = vecs.repartition(64, "vec_id")
     n_vecs = n_vec_base * args.vec_copies
     print(
         f"vectors: {n_vec_base} base x {args.vec_copies} = {n_vecs:,}",
