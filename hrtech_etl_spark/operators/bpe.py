@@ -111,6 +111,89 @@ def bpe_word_table(
     )
 
 
+def _apply_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Python twin of :func:`_merge_fold`: apply (a, b) → a+b
+    exhaustively, left-to-right, non-overlapping."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_local(
+    word_freqs: list[tuple[str, int]],
+    num_merges: int,
+    min_count: int,
+    end_of_word: str,
+) -> list[tuple[str, str]]:
+    """Driver-side trainer over the collected word-TYPE frequency
+    table — byte-for-byte the same merges as the distributed loop
+    (same pair counting over the same non-overlapping fold, same
+    (count DESC, a ASC, b ASC) argmax), but each round touches only
+    the word types containing the merged pair, with a
+    lazy-invalidation heap for the argmax."""
+    import heapq
+
+    words = [(list(w) + [end_of_word], f) for w, f in word_freqs]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, freq) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + freq
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-n, a, b) for (a, b), n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        while heap:
+            negn, a, b = heap[0]
+            if pair_counts.get((a, b), 0) != -negn:
+                heapq.heappop(heap)  # stale entry
+                continue
+            best = (a, b, -negn)
+            break
+        if best is None or best[2] < min_count:
+            break
+        a, b, _n = best
+        merges.append((a, b))
+        changed: set[tuple[str, str]] = set()
+        for idx in list(pair_words.get((a, b), ())):
+            syms, freq = words[idx]
+            old: dict[tuple[str, str], int] = {}
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                old[p] = old.get(p, 0) + 1
+            syms = _apply_merge(syms, a, b)
+            words[idx] = (syms, freq)
+            new: dict[tuple[str, str], int] = {}
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                new[p] = new.get(p, 0) + 1
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    pair_counts[p] = pair_counts.get(p, 0) + d * freq
+                    changed.add(p)
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                if p in new:
+                    pair_words.setdefault(p, set()).add(idx)
+                elif p in old and p in pair_words:
+                    pair_words[p].discard(idx)
+        for p in changed:
+            if p in pair_counts:
+                heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
@@ -119,6 +202,7 @@ def bpe_train(
     min_count: int = 2,
     end_of_word: str = END_OF_WORD,
     checkpoint_every: int = 8,
+    max_collect: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merge rules from the corpus.
 
@@ -126,8 +210,37 @@ def bpe_train(
     Stops early when no adjacent pair reaches ``min_count``. Returns
     the ordered merge list — a bounded driver-side artifact (the
     tokenizer model), exactly like the PQ codebook contract.
+
+    Two physical strategies, same merges either way:
+
+    - **collected** (word-type count ≤ ``max_collect``): ONE corpus
+      pass aggregates the word-TYPE table; the (word, freq) pairs —
+      vocabulary-sized, NOT corpus-sized — collect to the driver and
+      train there with incremental pair-count updates (only word
+      types containing the merged pair are touched per round) and a
+      lazy-invalidation heap. This is how production tokenizer
+      trainers run: the distributed engine does the corpus-scale
+      count, the bounded model fits on one node. 30 merge rounds cost
+      milliseconds instead of 30 Spark jobs.
+    - **distributed** (more word types than ``max_collect``, or
+      ``max_collect=0``): every round is one keyed aggregate with
+      map-side partials over the word table + a 1-ROW argmax collect,
+      and the merge applies as a JVM-side fold. Unbounded vocabulary,
+      O(rounds) jobs.
+
+    ``tests/test_bpe.py`` asserts both strategies produce identical
+    merge lists on the same corpus.
     """
     words = bpe_word_table(docs, text_col, end_of_word=end_of_word)
+    if max_collect:
+        head = words.select("word", "freq").limit(max_collect + 1).collect()
+        if len(head) <= max_collect:
+            return _train_local(
+                [(r["word"], r["freq"]) for r in head],
+                num_merges,
+                min_count,
+                end_of_word,
+            )
     words = words.localCheckpoint()  # cut the corpus lineage once
     merges: list[tuple[str, str]] = []
     for r in range(num_merges):

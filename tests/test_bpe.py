@@ -100,3 +100,23 @@ def test_roundtrip_property(spark, texts, n_merges):
     }
     for did, text in docs:
         assert got[did] == " ".join(text.split())
+
+
+def test_local_and_distributed_training_identical(spark):
+    """The collected (driver-side) trainer and the distributed loop
+    must learn the IDENTICAL merge list — same pair counting over the
+    same non-overlapping fold, same (count DESC, a ASC, b ASC)
+    argmax."""
+    texts = [
+        (1, SENNRICH),
+        (2, "the quick brown fox jumps over the lazy dog the the"),
+        (3, "aaaa aaa aa a abab ababab"),
+        (4, "mississippi mississippi banana bananas"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    local = bpe.bpe_train(docs, "text", num_merges=25, min_count=2)
+    dist = bpe.bpe_train(
+        docs, "text", num_merges=25, min_count=2, max_collect=0
+    )
+    assert local == dist
+    assert len(local) >= 10
