@@ -1316,3 +1316,106 @@ def drop_duplicate_paragraphs(
             ).alias(text_col),
         )
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 20,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication stats per document — the
+    character-level analogue of suffix-array dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``k``-char substring occurring ``min_dup``+ times ANYWHERE in the
+    corpus (across documents or repeated within one) marks its span
+    duplicated; overlapping/adjacent marked spans merge into maximal
+    runs. Returns one row per document that contains at least one
+    duplicated run: ``(id, n_spans, dup_chars, dup_frac)`` — the
+    per-document duplication profile a curation pipeline thresholds on
+    (e.g. drop docs with dup_frac > 0.5, or feed the spans to a
+    cut-and-rejoin pass).
+
+    Plan at scale (the explode is O(total chars) — the same corpus-
+    sized working set a suffix array costs, expressed as three
+    skew-tolerant stages):
+
+    1. positions explode BEFORE the substring is materialized (each
+       shingle row narrows immediately to ``(id, pos, xxhash64)`` —
+       20 bytes — so nothing wide ever shuffles);
+    2. the duplicated-shingle set comes from an algebraic count
+       (map-side partials collapse a viral shingle to one row per
+       partition before the exchange — no hot window partition), and
+       survivors are marked with an inner join that AQE turns into a
+       broadcast when the dup set is small and a skew-split shuffle
+       join when it is not;
+    3. only marked rows (typically a small fraction) reach the
+       per-document interval merge: one exchange on ``id``, reused by
+       the island window AND the final aggregate.
+
+    Shingles are compared by 64-bit hash, not string (same collision
+    contract as :func:`hashed_shingles`).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    t, i = text_col, id_col
+    sh = (
+        docs.where(F.length(t) >= k)
+        .select(
+            F.col(i),
+            F.length(t).alias("__n"),
+            F.explode(F.expr(f"sequence(1, length({t}) - {k} + 1)")).alias(
+                "__pos"
+            ),
+            F.col(t),
+        )
+        .select(
+            i,
+            "__n",
+            "__pos",
+            F.xxhash64(F.expr(f"substring({t}, __pos, {k})")).alias("__h"),
+        )
+    )
+    dup = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_dup)
+        .select("__h")
+    )
+    hits = sh.join(dup, "__h").drop("__h")
+
+    from pyspark.sql import Window as W
+
+    w_prev = (
+        W.partitionBy(i)
+        .orderBy("__pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = F.max("__pos").over(w_prev)
+    marked = hits.select(
+        i,
+        "__n",
+        "__pos",
+        F.when(prev.isNull() | (F.col("__pos") > prev + k), 1)
+        .otherwise(0)
+        .alias("__brk"),
+    )
+    w_run = (
+        W.partitionBy(i).orderBy("__pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        i, "__n", "__pos", F.sum("__brk").over(w_run).alias("__isl")
+    )
+    spans = islands.groupBy(i, "__isl").agg(
+        (F.max("__pos") - F.min("__pos") + k).alias("__span"),
+        F.max("__n").alias("__n"),
+    )
+    return spans.groupBy(i).agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("__span").alias("dup_chars"),
+        F.round(
+            F.sum("__span").cast("double") / F.max("__n"), 6
+        ).alias("dup_frac"),
+    )
