@@ -12,6 +12,8 @@ ratios), document fingerprinting (see
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -534,4 +536,104 @@ def bigram_lm_scores(
                 round_to,
             ).alias("avg_logp"),
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n: int = 10,
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Lucene variant: ``idf = ln(1 +
+    (N - df + 0.5)/(df + 0.5))``) of the top-``n`` documents for a
+    bag-of-terms query — the classic relevance ranking a curation or
+    search pipeline runs over the corpus.
+
+    Scale shape — a short query term list is a BOUNDED artifact, so
+    nothing per-(doc, term) ever shuffles:
+
+    - one corpus pass explodes tokens, filters to the query terms
+      BEFORE any exchange, and aggregates per-term tf's as
+      conditional counts in ONE groupBy(id) (map-side partials);
+    - N and avgdl come from a scalar aggregate over the full corpus
+      (second column-pruned scan), df per term from a 1-row aggregate
+      of the per-doc frame; both ride a broadcast cross join;
+    - the score is an EXPLICIT fixed-order sum of per-term
+      contributions (not a float aggregate over shuffled rows), so it
+      is bit-deterministic and the DuckDB oracle reproduces it
+      exactly; top-n runs as TakeOrderedAndProject.
+
+    Returns ``(id, score)`` with ``score`` rounded to 6 decimals,
+    ordered by (score DESC, id); ties in the rounded score keep
+    deterministic id order.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.sum(F.size("__toks")).cast("double") / F.count(F.lit(1))
+        ).alias("__avgdl"),
+    )
+    exploded = base.select(
+        id_col,
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("__term"),
+    ).where(F.col("__term").isin(*terms))
+    per_doc = exploded.groupBy(id_col).agg(
+        F.max("__dl").alias("__dl"),
+        *[
+            F.sum(
+                F.when(F.col("__term") == t, 1).otherwise(0)
+            ).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # per_doc feeds BOTH the score probe and the df aggregate; without
+    # a boundary, column pruning makes the two subtrees canonically
+    # different (the df branch drops __dl) and the corpus tokenizes
+    # twice. The frame is narrow (matched docs x small ints) — the
+    # repo-standard lazy checkpoint computes it once.
+    per_doc = per_doc.localCheckpoint(eager=False)
+    dfs = per_doc.agg(
+        *[
+            F.sum(
+                F.when(F.col(f"__tf_{i}") > 0, 1).otherwise(0)
+            ).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ]
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats)).crossJoin(
+        F.broadcast(dfs)
+    )
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)
+        )
+        contrib = idf * (tf * (k1 + 1.0)) / (
+            tf
+            + k1
+            * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        joined.select(
+            id_col, F.round(score, 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(n)
     )

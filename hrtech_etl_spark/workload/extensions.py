@@ -3203,3 +3203,81 @@ def dedup_substring_spans(spark, sf_dir):
     the final aggregate. Green at sf0.001/0.01/0.1."""
     d = load_table(spark, "documents", sf_dir)
     return dd.duplicate_span_stats(d, "text", "doc_id", k=20, min_dup=2)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson/Lucene idf variant)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "merge", "query")
+_BM25_K1, _BM25_B, _BM25_N = 1.2, 0.75, 10
+
+def _bm25_oracle_sql() -> str:
+    terms = _BM25_TERMS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n             ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    # EXACT float-op order of functions/text.py::bm25_topk: each
+    # contribution is ln(1 + (n-df+0.5)/(df+0.5)) * (tf*(k1+1)) /
+    # (tf + k1*(1 - b + b*dl/avgdl)), summed left-to-right
+    contribs = " + ".join(
+        f"ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {_BM25_K1 + 1.0})"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f" + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    toks = "str_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+      FROM base
+    ),
+    perdoc AS (
+      SELECT doc_id, max(dl) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+      WHERE term IN ({in_list})
+      GROUP BY doc_id
+    ),
+    dfs AS (SELECT {df_cols} FROM perdoc),
+    scored AS (
+      SELECT doc_id, round({contribs}, 6) AS score
+      FROM perdoc, stats, dfs
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM scored
+    ) WHERE r <= {_BM25_N}
+    """
+
+@query("text_bm25_topk", sql=_bm25_oracle_sql())
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval for the bag-of-terms query (dup, merge,
+    query) — functions/text.py::bm25_topk, Robertson/Lucene idf. The
+    query term list is a bounded artifact, so per-term tf's are
+    conditional counts in ONE groupBy(doc_id) (nothing per-(doc,term)
+    shuffles); N/avgdl and the per-term df's ride broadcast cross
+    joins; the score is an explicit fixed-order sum of per-term
+    contributions, bit-identical in the DuckDB oracle (same float-op
+    association, same left-to-right add), and top-10 executes as
+    TakeOrderedAndProject. 'dup' is a rare discriminative term
+    (df≈25/500 at sf0.01), merge/query are common — the ranking
+    exercises the idf spread. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.text import bm25_topk
+
+    d = load_table(spark, "documents", sf_dir)
+    return bm25_topk(
+        d, "text", "doc_id", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, n=_BM25_N
+    )

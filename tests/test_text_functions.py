@@ -317,3 +317,44 @@ def test_bigram_lm_single_scan_plan(spark, sf_dir):
         ln for ln in lower.splitlines() if "scan" in ln and "parquet" in ln
     ]
     assert len(scans) == 1, plan
+
+
+def test_bm25_topk_hand_computed(spark):
+    import math
+
+    from hrtech_etl_spark.functions.text import bm25_topk
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_topk(df, "text", "doc_id", ["apple", "cherry"], n=10)
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    # doc 4 (NULL) excluded everywhere; doc 2/3 match 'cherry',
+    # doc 1 matches 'apple' twice
+    assert set(got) == {1, 2, 3}
+
+    def bm25(tf, dfreq, n_docs, dl, avgdl, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    n_docs, avgdl = 3, (3 + 2 + 4) / 3.0
+    assert got[1] == round(bm25(2, 1, n_docs, 3, avgdl), 6)
+    assert got[3] == round(bm25(3, 2, n_docs, 4, avgdl), 6)
+    assert got[2] == round(bm25(1, 2, n_docs, 2, avgdl), 6)
+    # rare 'apple' with tf=2 outranks common 'cherry'
+    order = [r["doc_id"] for r in out.collect()]
+    assert order[0] == 1
+
+
+def test_bm25_topk_validation(spark):
+    from hrtech_etl_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, "text", "doc_id", [])
+    with pytest.raises(ValueError):
+        bm25_topk(df, "text", "doc_id", ["a", "a"])
