@@ -685,3 +685,62 @@ def weighted_sample_topk(
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    cap: bool = True,
+) -> DataFrame:
+    """Temperature-based stratum mixing (the multilingual sampling of
+    mT5 / XLM-R: sample stratum *l* with probability proportional to
+    ``p_l^alpha``): compute each stratum's share from its corpus
+    count, flatten the distribution with the ``alpha`` exponent
+    (``alpha=1`` keeps natural proportions, ``alpha→0`` approaches
+    uniform — low-resource strata get boosted), convert to integer
+    targets ``floor(total * q_l / Z + 0.5)``, and draw exactly those
+    counts per stratum via :func:`mixture_sample` (same seeded
+    portable-hash rank, nested-sample contract, one shuffle).
+
+    The stratum histogram is a BOUNDED artifact (#strata rows — one
+    tiny aggregate collects to the driver, the recipe computes there;
+    same contract as the PQ codebook / BPE merge table). With
+    ``cap=True`` a stratum never over-draws its population (targets
+    clamp to the stratum size; no redistribution — see
+    :func:`mixture_sample`). ``alpha=0.5`` uses ``sqrt``, which is
+    IEEE-correctly-rounded in every engine, so the integer targets —
+    and therefore the sampled row SET — are exactly reproducible in a
+    SQL oracle."""
+    import math
+
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    hist = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    n = {r[strata_col]: r["__c"] for r in hist}
+    if not n:
+        raise ValueError("temperature_mixture: no non-null strata")
+    tot = sum(n.values())
+    if alpha == 0.5:
+        q = {s: math.sqrt(c / tot) for s, c in n.items()}
+    else:
+        q = {s: (c / tot) ** alpha for s, c in n.items()}
+    z = sum(q[s] for s in sorted(q))
+    targets = {
+        s: int(math.floor(total * q[s] / z + 0.5)) for s in sorted(n)
+    }
+    if cap:
+        targets = {s: min(t, n[s]) for s, t in targets.items()}
+    targets = {s: t for s, t in targets.items() if t > 0}
+    return mixture_sample(df, strata_col, targets, id_col=id_col, seed=seed)

@@ -3281,3 +3281,55 @@ def text_bm25_topk(spark, sf_dir):
     return bm25_topk(
         d, "text", "doc_id", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, n=_BM25_N
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language mixing (mT5 / XLM-R alpha-sampling)
+# ---------------------------------------------------------------------------
+
+_TMIX_RANK = portable_hash_sql("'3:' || CAST(doc_id AS VARCHAR)")
+
+@query(
+    "corpus_temperature_mix",
+    sql=f"""
+    WITH n AS (
+      SELECT lang, count(*) AS c FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    tot AS (SELECT sum(c) AS t FROM n),
+    q AS (SELECT lang, c, sqrt(CAST(c AS DOUBLE) / t) AS q FROM n, tot),
+    z AS (SELECT sum(q) AS z FROM q),
+    tgt AS (
+      SELECT lang, least(CAST(floor(300 * q / z + 0.5) AS BIGINT), c) AS tgt
+      FROM q, z
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY {_TMIX_RANK}, doc_id
+             ) AS rn
+      FROM documents WHERE lang IS NOT NULL
+    )
+    SELECT doc_id, lang, n_chars
+    FROM ranked JOIN tgt USING (lang) WHERE rn <= tgt
+    """,
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-flattened language mixture, total=300 at alpha=0.5
+    (operators/corpus.py::temperature_mixture — the mT5/XLM-R
+    multilingual sampling): per-language targets floor(300*q_l/Z+0.5)
+    with q_l = sqrt(share), capped at the language's population, then
+    the exact per-language draws via the seeded portable-hash rank of
+    mixture_sample. alpha=0.5 makes the flattening a sqrt — IEEE
+    correctly-rounded in BOTH engines, so the integer targets and the
+    sampled row SET replay exactly in the oracle (the bounded stratum
+    histogram is computed driver-side, the trained-artifact contract).
+    Low-resource langs get boosted vs natural proportions; at
+    sf0.001 the caps engage (total exceeds some strata). Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.corpus import temperature_mixture
+
+    d = load_table(spark, "documents", sf_dir)
+    return temperature_mixture(
+        d, "lang", total=300, alpha=0.5, id_col="doc_id", seed=3
+    ).select("doc_id", "lang", "n_chars")

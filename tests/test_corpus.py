@@ -502,3 +502,41 @@ def test_weighted_sample_topk_uses_window_group_limit(spark):
     out = weighted_sample_topk(df, "w", 2, strata_cols=("lang",))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_temperature_mixture_targets_and_caps(spark):
+    import math
+
+    from hrtech_etl_spark.operators.corpus import temperature_mixture
+
+    # 80 en / 15 fr / 5 de
+    rows = (
+        [(i, "en") for i in range(80)]
+        + [(100 + i, "fr") for i in range(15)]
+        + [(200 + i, "de") for i in range(5)]
+        + [(999, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture(df, "lang", total=50, alpha=0.5, seed=1)
+    got = (
+        out.groupBy("lang").count().collect()
+    )
+    counts = {r["lang"]: r["count"] for r in got}
+    q = {s: math.sqrt(c / 100) for s, c in {"en": 80, "fr": 15, "de": 5}.items()}
+    z = sum(q[s] for s in sorted(q))
+    expect = {
+        s: min(int(math.floor(50 * q[s] / z + 0.5)), c)
+        for s, c in {"en": 80, "fr": 15, "de": 5}.items()
+    }
+    assert counts == {s: t for s, t in expect.items() if t > 0}
+    # flattening: de's share of the sample exceeds its corpus share
+    assert counts["de"] / 50 > 5 / 100
+    # cap engages when total exceeds a stratum's population
+    capped = temperature_mixture(df, "lang", total=1000, alpha=0.5, seed=1)
+    by = {r["lang"]: r["count"] for r in capped.groupBy("lang").count().collect()}
+    assert by["de"] == 5 and by["fr"] == 15
+
+    with pytest.raises(ValueError):
+        temperature_mixture(df, "lang", total=0)
+    with pytest.raises(ValueError):
+        temperature_mixture(df, "lang", total=10, alpha=1.5)
