@@ -3333,3 +3333,63 @@ def corpus_temperature_mix(spark, sf_dir):
     return temperature_mixture(
         d, "lang", total=300, alpha=0.5, id_col="doc_id", seed=3
     ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Chained streaming aggregation (multiple stateful operators, append mode)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_chained_agg",
+    sql="""
+    WITH l1 AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)
+                            * 1000000) AS w10,
+             event_type, count(*) AS n10,
+             sum(CAST(value AS DECIMAL(18,4))) AS dtot
+      FROM events GROUP BY 1, 2
+    )
+    SELECT make_timestamp(CAST(floor(epoch(w10) / 3600) * 3600 AS BIGINT)
+                          * 1000000) AS window_start,
+           event_type, CAST(sum(n10) AS BIGINT) AS n,
+           max(n10) AS peak_10min,
+           CAST(round(sum(dtot), 2) AS DOUBLE) AS total_value
+    FROM l1 GROUP BY 1, 2
+    """,
+)
+def stream_chained_agg(spark, sf_dir):
+    """REAL chained streaming aggregation under the oracle gate —
+    Spark's multiple-stateful-operators support: ONE append-mode query
+    holding TWO window-aggregation states (10-minute tumbling counts
+    per event_type, re-windowed over the first aggregation's window
+    column into hourly total/peak/decimal-sum rollups —
+    workload/streaming.py::chained_window_agg), drained availableNow
+    into a memory sink. Append mode only emits windows the watermark
+    has passed, so the drive stages a far-future flush SENTINEL as
+    micro-batch 2 (maxFilesPerTrigger=1): its watermark advance closes
+    every real window while its own window stays open forever and
+    never reaches the sink — the drained result equals the batch
+    rollup the oracle computes over the sentinel-free table, exactly.
+    Value sums stay DECIMAL through level 1 and round once at the end
+    (bit-agreement across stream, batch twin, and DuckDB). Green at
+    sf0.001/0.01/0.1."""
+    import tempfile
+    import uuid
+
+    from hrtech_etl_spark.streaming.pipelines import run_available_now
+    from hrtech_etl_spark.workload.streaming import (
+        _staged_event_stream,
+        chained_window_agg,
+    )
+
+    name = f"chained_agg_{uuid.uuid4().hex[:8]}"
+    with _staged_event_stream(
+        spark, sf_dir, flush_sentinel=True, max_files_per_trigger=1
+    ) as stream:
+        run_available_now(
+            chained_window_agg(stream),
+            checkpoint=tempfile.mkdtemp(prefix="ck_chained_agg_"),
+            output_mode="append",
+            memory_table=name,
+        )
+    return spark.table(name)

@@ -18,14 +18,31 @@ from hrtech_etl_spark.sources.testdata import load_table
 from hrtech_etl_spark.workload.registry import dec, dsum, query, sql_dsum
 
 
+#: Far-future event time written by the flush sentinel (2030-01-01
+#: UTC). Its watermark advance closes every real window; its OWN
+#: window can never close, so it is invisible in append-mode output.
+FLUSH_SENTINEL_NANOS = 1_893_456_000 * 1_000_000_000
+
+
 @contextlib.contextmanager
-def _staged_event_stream(spark, sf_dir):
+def _staged_event_stream(
+    spark, sf_dir, *, flush_sentinel=False, max_files_per_trigger=None
+):
     """readStream over the events parquet, ts decoded like load_table.
 
     events.ts is parquet TIMESTAMP(NANOS); the stream schema reads it
     as raw nanos (legacy long path) and converts. Session-scoped conf:
     saved/restored so later parquet reads decode normally. File streams
-    take directories; the single file is symlink-staged into one."""
+    take directories; the single file is symlink-staged into one.
+
+    ``flush_sentinel=True`` stages ONE extra single-row parquet whose
+    event time is :data:`FLUSH_SENTINEL_NANOS` (far future). For
+    append-mode stateful queries, processing it advances the watermark
+    past every real window, so ALL real results flush to the sink —
+    while the sentinel's own window stays open forever and never
+    appears in output. The file is written after the symlink (newer
+    mtime), so with ``max_files_per_trigger=1`` the real data is
+    micro-batch 1 and the sentinel micro-batch 2."""
     import os
     import tempfile
 
@@ -43,7 +60,31 @@ def _staged_event_stream(spark, sf_dir):
         raw_schema = spark.read.parquet(src).schema
         stage_dir = tempfile.mkdtemp(prefix="stream_events_")
         os.symlink(src, os.path.join(stage_dir, "events.parquet"))
-        stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+        if flush_sentinel:
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            t = papq.read_table(src).slice(0, 1)
+            i = t.schema.get_field_index("ts")
+            fld = t.schema.field(i)
+            if pa.types.is_timestamp(fld.type):
+                unit = fld.type.unit
+                div = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
+                arr = pa.array(
+                    [FLUSH_SENTINEL_NANOS // div], type=pa.int64()
+                ).cast(fld.type)
+            else:
+                arr = pa.array([FLUSH_SENTINEL_NANOS], type=fld.type)
+            papq.write_table(
+                t.set_column(i, fld, arr),
+                os.path.join(stage_dir, "zz_flush_sentinel.parquet"),
+            )
+        reader = spark.readStream.schema(raw_schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        stream = reader.parquet(stage_dir)
         if isinstance(raw_schema["ts"].dataType, T.LongType):
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -248,3 +289,38 @@ def stream_stateful_running_stats(spark, sf_dir):
             memory_table=name,
         )
     return spark.table(name)
+
+
+def chained_window_agg(e, *, watermark="2 hours"):
+    """TWO chained event-time aggregations — Spark's
+    multiple-stateful-operators support (append mode): 10-minute
+    tumbling counts per event_type, re-aggregated into hourly
+    (total, peak-10-minute, exact-decimal value sum) rows by windowing
+    over the FIRST aggregation's window column. Runs identically over
+    a batch frame (watermark=None) or a watermarked stream — the
+    streaming drive keeps both operators' state in the same query, the
+    canonical multi-level rollup a metrics pipeline runs.
+
+    The value sum stays DECIMAL through level 1 and only rounds to
+    double at the end, so batch, stream, and the DuckDB oracle agree
+    bit-for-bit."""
+    if watermark is not None:
+        e = e.withWatermark("ts", watermark)
+    l1 = e.groupBy(
+        F.window("ts", "10 minutes").alias("w10"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n10"), F.sum(dec("value")).alias("dtot"))
+    return (
+        l1.groupBy(F.window("w10", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum("n10").alias("n"),
+            F.max("n10").alias("peak_10min"),
+            F.round(F.sum("dtot"), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "peak_10min",
+            "total_value",
+        )
+    )

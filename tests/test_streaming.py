@@ -807,3 +807,24 @@ def test_static_enrich_agg_multi_batch_parity(
     assert _rows(got, "window_start", "segment") == _rows(
         want, "window_start", "segment"
     )
+
+
+def test_chained_window_agg_stream_matches_batch(spark, sf_dir):
+    """The REAL two-stateful-operator append drive (10-min counts
+    re-windowed hourly) equals the batch twin; the flush sentinel
+    never leaks into output."""
+    import datetime
+
+    from hrtech_etl_spark.workload import REGISTRY
+    from hrtech_etl_spark.workload.streaming import chained_window_agg
+
+    streamed = REGISTRY["stream_chained_agg"].fn(spark, sf_dir)
+    want = chained_window_agg(
+        load_table(spark, "events", sf_dir), watermark=None
+    )
+    key = ["window_start", "event_type"]
+    assert _rows(streamed, *key) == _rows(want, *key)
+    assert streamed.count() > 0
+    # sentinel window (2030) must be withheld by append mode
+    mx = streamed.agg(F.max("window_start")).collect()[0][0]
+    assert mx.year < 2030
