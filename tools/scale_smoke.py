@@ -253,6 +253,26 @@ def run_doc_stages(spark, meter, args, root) -> None:
         flush=True,
     )
 
+    # Exact substring duplication over the cloned corpus is the
+    # WORST case for duplicate_span_stats: every 20-gram occurs in
+    # all copies, so the dup set is every distinct shingle and every
+    # shingle row survives to the per-doc interval merge (dup_frac=1
+    # for all docs). Exercises the shuffle-join fallback (dup set too
+    # big to broadcast) and the doc-id window at full fan-in.
+    def substring_stats() -> tuple:
+        st = dd.duplicate_span_stats(corpus, "text", "doc_id", k=20)
+        return partition_stats(st)
+
+    (ss_rows, ss_peak), ss_dt = meter.run(
+        "substring-span stats", substring_stats
+    )
+    print(
+        f"  {n_corpus} docs -> {ss_rows} profiled, all-duplicate "
+        f"worst case ({n_corpus / ss_dt:,.0f} docs/s; "
+        f"peak partition rows={ss_peak:,})",
+        flush=True,
+    )
+
     shards = shuffled_shards(corpus, "doc_id", seed=7, n_shards=64)
     per_shard, _ = meter.run(
         "shuffle+shard",
