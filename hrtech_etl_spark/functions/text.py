@@ -637,3 +637,79 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def unigram_kl_divergence(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    round_to: int = 8,
+) -> DataFrame:
+    """Corpus-drift diagnostic: per group (language, source, crawl
+    snapshot...), the KL divergence ``D_KL(P_group || P_corpus)`` of
+    add-one-smoothed unigram distributions over the corpus vocabulary
+    — "how far is this slice's token distribution from the mixture",
+    the standard check before/after re-weighting a training mix.
+
+    ``p = (c_gt + 1) / (tot_g + V)``, ``q = (c_t + 1) / (tot + V)``,
+    ``KL = Σ_vocab p·ln(p/q)`` — the sum runs over the FULL vocabulary
+    for every group (absent terms contribute at count 0), so smoothed
+    KL is a true divergence (≥ 0).
+
+    Scale shape: ONE corpus tokenize pass aggregates (group, term)
+    counts — vocabulary-sized, not corpus-sized — behind a lazy
+    checkpoint; vocabulary totals, group totals, and V all derive
+    from that small frame; the per-(group, term) grid is a broadcast
+    cross join of two bounded sides. Float determinism: each term's
+    contribution is computed with a fixed op order and quantized to
+    DECIMAL(38, 12) BEFORE the per-group sum, so the commutative
+    decimal sum is independent of row order and a SQL oracle
+    reproduces the value bit-for-bit — no fold over a collected
+    vocabulary array needed. (Scale 12, NOT deeper: Spark casts
+    double→decimal through the shortest 17-significant-digit repr
+    while DuckDB expands the full binary value, so the two only agree
+    below ~15 significant digits — contributions reach magnitude ~30,
+    leaving 12 fractional digits safely inside the unambiguous zone.)
+
+    Returns ``(group_col, n_terms int, kl double)`` where n_terms is
+    the count of vocabulary terms PRESENT in the group."""
+    cl = (
+        docs.where(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.filter(tokens(F.col(text_col)), lambda x: x != "")
+            ).alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = cl.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    groups = cl.groupBy("__g").agg(F.sum("__c").alias("__totg"))
+    scalars = vocab.agg(
+        F.count(F.lit(1)).alias("__v"), F.sum("__ct").alias("__tot")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(scalars))
+        .join(cl, ["__g", "__t"], "left")
+        .withColumn("__cgt", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    p = (F.col("__cgt") + 1.0) / (F.col("__totg") + F.col("__v"))
+    q = (F.col("__ct") + 1.0) / (F.col("__tot") + F.col("__v"))
+    contrib = (p * F.log(p / q)).cast("decimal(38,12)")
+    return (
+        grid.groupBy("__g")
+        .agg(
+            F.sum(F.when(F.col("__cgt") > 0, 1).otherwise(0))
+            .cast("int")
+            .alias("n_terms"),
+            F.round(F.sum(contrib), round_to).cast("double").alias("kl"),
+        )
+        .withColumnRenamed("__g", group_col)
+        .select(group_col, "n_terms", "kl")
+    )

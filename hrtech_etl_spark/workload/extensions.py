@@ -3393,3 +3393,60 @@ def stream_chained_agg(spark, sf_dir):
             memory_table=name,
         )
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: per-language unigram KL divergence vs the mixture
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_kl_divergence",
+    sql="""
+    WITH cl AS (
+      SELECT lang AS g, term, count(*) AS c FROM (
+        SELECT lang, unnest(list_filter(
+                 str_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))
+               AS term
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+      ) GROUP BY 1, 2
+    ),
+    vocab AS (SELECT term, sum(c) AS ct FROM cl GROUP BY term),
+    groups AS (SELECT g, sum(c) AS totg FROM cl GROUP BY g),
+    scalars AS (SELECT count(*) AS v, sum(ct) AS tot FROM vocab),
+    grid AS (
+      SELECT gr.g, vb.term, gr.totg, vb.ct, sc.v, sc.tot,
+             coalesce(cl.c, 0) AS cgt
+      FROM groups gr CROSS JOIN vocab vb CROSS JOIN scalars sc
+      LEFT JOIN cl ON cl.g = gr.g AND cl.term = vb.term
+    ),
+    contrib AS (
+      SELECT g, cgt,
+             CAST(((cgt + 1.0) / (totg + v))
+                  * ln(((cgt + 1.0) / (totg + v))
+                       / ((ct + 1.0) / (tot + v)))
+                  AS DECIMAL(38,12)) AS dc
+      FROM grid
+    )
+    SELECT g AS lang,
+           CAST(sum(CASE WHEN cgt > 0 THEN 1 ELSE 0 END) AS INT) AS n_terms,
+           CAST(round(sum(dc), 8) AS DOUBLE) AS kl
+    FROM contrib GROUP BY g
+    """,
+)
+def text_kl_divergence(spark, sf_dir):
+    """Per-language corpus drift: KL(P_lang || P_corpus) of
+    add-one-smoothed unigram distributions over the full vocabulary
+    (functions/text.py::unigram_kl_divergence) — the mixture
+    diagnostic a curation pipeline tracks when re-weighting languages
+    or sources. One tokenize pass to the vocabulary-sized (lang, term)
+    count frame behind a lazy checkpoint; totals/V derive from it;
+    the (lang × vocab) grid is a broadcast cross join. Each term's
+    contribution p·ln(p/q) is quantized to DECIMAL(38,12) before the
+    commutative per-group sum, so the value replays bit-for-bit in
+    DuckDB regardless of row order (see the operator docstring for
+    why scale 12 is the portable quantization). Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.text import unigram_kl_divergence
+
+    d = load_table(spark, "documents", sf_dir)
+    return unigram_kl_divergence(d, "text", "lang")

@@ -358,3 +358,42 @@ def test_bm25_topk_validation(spark):
         bm25_topk(df, "text", "doc_id", [])
     with pytest.raises(ValueError):
         bm25_topk(df, "text", "doc_id", ["a", "a"])
+
+
+def test_unigram_kl_divergence_hand_computed(spark):
+    from hrtech_etl_spark.functions.text import unigram_kl_divergence
+
+    docs = [
+        (1, "a a b", "x"),
+        (2, "a b b c", "y"),
+        (3, None, "x"),
+        (4, "a", None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, src string")
+    out = {
+        r["src"]: (r["n_terms"], r["kl"])
+        for r in unigram_kl_divergence(df, "text", "src").collect()
+    }
+    # vocab {a,b,c}: V=3, tot=7; x: a2 b1 (totg 3), y: a1 b2 c1 (totg 4)
+    def kl(counts, totg, V=3, tot=7, q_counts={"a": 3, "b": 3, "c": 1}):
+        s = 0.0
+        for t in ("a", "b", "c"):
+            p = (counts.get(t, 0) + 1.0) / (totg + V)
+            q = (q_counts[t] + 1.0) / (tot + V)
+            s += round(p * math.log(p / q), 12)
+        return round(s, 8)
+
+    assert out["x"] == (2, kl({"a": 2, "b": 1}, 3))
+    assert out["y"] == (3, kl({"a": 1, "b": 2, "c": 1}, 4))
+    # smoothed KL is a true divergence
+    assert out["x"][1] >= 0 and out["y"][1] >= 0
+
+
+def test_unigram_kl_divergence_zero_for_identical_slices(spark):
+    from hrtech_etl_spark.functions.text import unigram_kl_divergence
+
+    rows = [(i, "alpha beta gamma", "g%d" % (i % 2)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = unigram_kl_divergence(df, "text", "src").collect()
+    # both slices have the SAME distribution as the mixture -> KL = 0
+    assert all(abs(r["kl"]) < 1e-9 for r in out)
