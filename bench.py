@@ -67,6 +67,10 @@ EXTENDED = [
     "corpus_leakage_safe_split",
     "corpus_bpe_tokenize",
     "corpus_weighted_sample",
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "corpus_temperature_mix",
+    "text_kl_divergence",
 ]
 
 

@@ -454,6 +454,7 @@ def bigram_lm_scores(
     *,
     add_k: float = 0.5,
     round_to: int = 4,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Corpus-trained bigram language-model scoring — the CCNet-style
     perplexity filter (Wenzek et al. 2019) with the n-gram LM trained
@@ -470,7 +471,10 @@ def bigram_lm_scores(
     sequences = gibberish/noise — sort ascending and cut the tail, or
     bucket into the CCNet head/middle/tail thirds.
 
-    Returns ``(id, n_bigrams, avg_logp)``. Cross-engine determinism:
+    Returns ``(id, *carry_cols, n_bigrams, avg_logp)`` —
+    ``carry_cols`` (id-functional attributes like language) ride the
+    existing per-doc aggregation instead of costing a second
+    corpus-sized join. Cross-engine determinism:
     each bigram's log-probability is rounded to 6 decimals and summed
     in DECIMAL (exact, order-independent), the per-doc mean is ONE
     IEEE division, rounded to ``round_to`` — the registry hash rules.
@@ -489,10 +493,15 @@ def bigram_lm_scores(
     The checkpointed table is model-sized (distinct bigram types),
     not corpus-sized.
     """
+    carry = [F.col(c) for c in carry_cols]
     bg = docs.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("__g")
+        F.col(id_col),
+        *carry,
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("__g"),
     )
-    docbg = bg.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__tf"))
+    docbg = bg.groupBy(id_col, *carry_cols, "__g").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
     cnt = (
         docbg.groupBy("__g")
         .agg(F.sum("__tf").alias("__c"))
@@ -527,7 +536,7 @@ def bigram_lm_scores(
     )
     return (
         docbg.join(model, "__g")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry_cols)
         .agg(
             F.sum("__tf").alias("n_bigrams"),
             F.round(
@@ -713,3 +722,38 @@ def unigram_kl_divergence(
         .withColumnRenamed("__g", group_col)
         .select(group_col, "n_terms", "kl")
     )
+
+
+def ccnet_quality_buckets(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    n_buckets: int = 3,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2019): rank every
+    document inside its group (language) by the corpus-trained bigram
+    LM score (:func:`bigram_lm_scores`) and cut the group into
+    ``n_buckets`` equal tiles — bucket 1 ("head") is the most fluent
+    third, the tail is the gibberish end a curation pipeline drops or
+    down-weights.
+
+    The group column rides the LM aggregation via ``carry_cols`` (no
+    second corpus join); the tiling is one ntile window per group with
+    a deterministic (score DESC, id) order, so bucket assignments are
+    reproducible across engines. Returns
+    ``(id, group, n_bigrams, avg_logp, bucket int)``; docs with < 2
+    tokens have no bigrams and are absent, per the LM contract."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.sql import Window as W
+
+    scored = bigram_lm_scores(
+        docs, text_col, id_col, add_k=add_k, carry_cols=(group_col,)
+    )
+    w = W.partitionBy(group_col).orderBy(
+        F.col("avg_logp").desc(), F.col(id_col)
+    )
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -2910,9 +2910,10 @@ def dedup_paragraphs(spark, sf_dir):
 
 _LM_TOKS = TOKENS_SQL.format(t="text")
 
-@query(
-    "text_bigram_lm_score",
-    sql=f"""
+#: Shared CTE chain of the corpus-trained bigram LM — the model the
+#: score entry AND the CCNet bucket entry both replay (kept as one
+#: constant so the two oracles can never drift apart).
+_LM_MODEL_CTES = f"""
     WITH tok AS (SELECT doc_id, {_LM_TOKS} AS t FROM documents),
     bg AS (
       SELECT doc_id,
@@ -2929,12 +2930,20 @@ _LM_TOKS = TOKENS_SQL.format(t="text")
       SELECT cnt.g,
              CAST(round(ln((c + 0.5) / (cc + 0.5 * v)), 6) AS DECIMAL(18,6)) AS logp
       FROM cnt JOIN ctx ON split_part(cnt.g, ' ', 1) = ctx.w1 CROSS JOIN vocab
-    )
-    SELECT d.doc_id,
-           CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
-           round(CAST(sum(d.tf * m.logp) AS DOUBLE) / sum(d.tf), 4) AS avg_logp
-    FROM docbg d JOIN model m ON d.g = m.g
-    GROUP BY d.doc_id
+    ),
+    scores AS (
+      SELECT d.doc_id,
+             CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(d.tf * m.logp) AS DOUBLE) / sum(d.tf), 4) AS avg_logp
+      FROM docbg d JOIN model m ON d.g = m.g
+      GROUP BY d.doc_id
+    )"""
+
+@query(
+    "text_bigram_lm_score",
+    sql=f"""
+    {_LM_MODEL_CTES}
+    SELECT doc_id, n_bigrams, avg_logp FROM scores
     """,
 )
 def text_bigram_lm_score(spark, sf_dir):
@@ -3450,3 +3459,38 @@ def text_kl_divergence(spark, sf_dir):
 
     d = load_table(spark, "documents", sf_dir)
     return unigram_kl_divergence(d, "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail quality bucketing (LM-score terciles per lang)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_ccnet_buckets",
+    sql=f"""
+    {_LM_MODEL_CTES}
+    SELECT s.doc_id, doc.lang, s.n_bigrams, s.avg_logp,
+           CAST(ntile(3) OVER (
+             PARTITION BY doc.lang ORDER BY s.avg_logp DESC, s.doc_id
+           ) AS INT) AS bucket
+    FROM scores s JOIN documents doc USING (doc_id)
+    """,
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2019 —
+    functions/text.py::ccnet_quality_buckets): every document ranked
+    inside its language by the corpus-trained bigram-LM score and cut
+    into terciles, bucket 1 = the fluent head, 3 = the gibberish tail
+    a pipeline drops or down-weights. The language rides the LM's
+    per-doc aggregation via carry_cols (NO second corpus join on the
+    Spark side — the oracle joins documents only because its scores
+    CTE, shared verbatim with text_bigram_lm_score via
+    _LM_MODEL_CTES, is doc-only); the tiling is one ntile window per
+    language over the deterministic (score DESC, doc_id) order.
+    Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.text import ccnet_quality_buckets
+
+    d = load_table(spark, "documents", sf_dir)
+    return ccnet_quality_buckets(d, "text", "doc_id", "lang").select(
+        "doc_id", "lang", "n_bigrams", "avg_logp", "bucket"
+    )

@@ -397,3 +397,33 @@ def test_unigram_kl_divergence_zero_for_identical_slices(spark):
     out = unigram_kl_divergence(df, "text", "src").collect()
     # both slices have the SAME distribution as the mixture -> KL = 0
     assert all(abs(r["kl"]) < 1e-9 for r in out)
+
+
+def test_ccnet_quality_buckets(spark):
+    from hrtech_etl_spark.functions.text import ccnet_quality_buckets
+
+    # 9 en docs: 3 fluent (repeated common bigrams), 3 middling,
+    # 3 gibberish (unique bigrams) + one 1-token doc (absent)
+    rows = []
+    for i in range(3):
+        rows.append((i, "the cat sat on the mat the cat sat", "en"))
+    for i in range(3, 6):
+        rows.append((i, "the cat ran to a %d tree quickly" % i, "en"))
+    for i in range(6, 9):
+        rows.append((i, "zq%d xv%d qqj%d wpf%d vvk%d" % (i, i, i, i, i), "en"))
+    rows.append((99, "single", "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           ccnet_quality_buckets(df, "text", "doc_id", "lang").collect()}
+    assert 99 not in out  # < 2 tokens -> no bigrams
+    assert len(out) == 9
+    buckets = [out[i]["bucket"] for i in range(9)]
+    # 3 tiles of 3; fluent docs in the head, gibberish in the tail
+    assert sorted(buckets) == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    assert all(out[i]["bucket"] == 1 for i in range(3))
+    assert all(out[i]["bucket"] == 3 for i in range(6, 9))
+    # scores are monotone with buckets
+    assert out[0]["avg_logp"] > out[6]["avg_logp"]
+
+    with pytest.raises(ValueError):
+        ccnet_quality_buckets(df, "text", "doc_id", "lang", n_buckets=1)
