@@ -697,3 +697,61 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def achlioptas_matrix(
+    *, out_dim: int = 8, dim: int = 64, seed: int = 5
+) -> list[list[int]]:
+    """Sparse random-projection matrix (Achlioptas 2003): entries
+    ∈ {+1, −1, 0} with probabilities {1/6, 1/6, 2/3}, derived from md5
+    of ``(seed, out_row, in_dim)`` — fully deterministic constants, no
+    stored model, renderable identically into Spark expressions and
+    oracle SQL (the :func:`srp_bucket` sign-table contract, extended
+    to three-valued sparse entries)."""
+    import hashlib
+
+    m: list[list[int]] = []
+    for j in range(out_dim):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(1 if h % 6 == 0 else (-1 if h % 6 == 1 else 0))
+        m.append(row)
+    return m
+
+
+def random_projection(
+    embeddings: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with the sparse
+    Achlioptas matrix: ``y_j = sqrt(3/out_dim) · Σ_d x_d · r_jd`` with
+    r from :func:`achlioptas_matrix` — the standard cheap projection
+    before clustering/ANN at scale (2/3 of the terms vanish, and the
+    matrix is seed-derived constants, so there is NO model to ship).
+
+    Pure per-row expression — one scan, zero shuffles, columnar
+    codegen. Each output coordinate is an EXPLICIT left-associated
+    chain over the ~dim/3 non-zero entries (the PQ unrolled-sum
+    contract), so a SQL oracle replays the float ops bit-for-bit.
+    Returns ``(id, y0..y{out_dim-1})`` rounded to ``round_to``."""
+    import math
+
+    m = achlioptas_matrix(out_dim=out_dim, dim=dim, seed=seed)
+    scale = math.sqrt(3.0 / out_dim)
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        acc = F.lit(0.0)
+        for d in range(dim):
+            if m[j][d] == 1:
+                acc = acc + F.element_at(F.col(vec_col), d + 1).cast("double")
+            elif m[j][d] == -1:
+                acc = acc - F.element_at(F.col(vec_col), d + 1).cast("double")
+        cols.append(F.round(F.lit(scale) * acc, round_to).alias(f"y{j}"))
+    return embeddings.select(*cols)

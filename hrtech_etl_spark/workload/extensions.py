@@ -3494,3 +3494,89 @@ def text_ccnet_buckets(spark, sf_dir):
     return ccnet_quality_buckets(d, "text", "doc_id", "lang").select(
         "doc_id", "lang", "n_bigrams", "avg_logp", "bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse random projection (Johnson-Lindenstrauss / Achlioptas)
+# ---------------------------------------------------------------------------
+
+def _rp_oracle_sql() -> str:
+    import math
+
+    from hrtech_etl_spark.functions.similarity import achlioptas_matrix
+
+    m = achlioptas_matrix(out_dim=8, dim=64, seed=5)
+    scale = repr(math.sqrt(3.0 / 8))
+    outs = []
+    for j in range(8):
+        terms = "0.0"
+        for d in range(64):
+            if m[j][d] == 1:
+                terms += f" + v[{d + 1}]"
+            elif m[j][d] == -1:
+                terms += f" - v[{d + 1}]"
+        outs.append(f"round({scale} * ({terms}), 6) AS y{j}")
+    sel = ",\n           ".join(outs)
+    vd = VEC_DOUBLE.format(v="embedding")
+    return f"""
+    SELECT vec_id,
+           {sel}
+    FROM (SELECT vec_id, {vd} AS v FROM embeddings)
+    """
+
+@query("sim_random_projection", sql=_rp_oracle_sql())
+def sim_random_projection(spark, sf_dir):
+    """Sparse random projection 64-d -> 8-d
+    (functions/similarity.py::random_projection — Achlioptas 2003
+    Johnson-Lindenstrauss): seed-derived {+1,-1,0} matrix (2/3 of
+    entries vanish), y_j = sqrt(3/8) * the explicit left-associated
+    sum over the non-zero coordinates — a pure per-row expression,
+    one scan, ZERO shuffles, no stored model. The oracle renders the
+    identical constants and term order, so values match bit-for-bit.
+    This is the cheap pre-clustering/pre-ANN reduction for
+    billion-vector corpora. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.similarity import random_projection
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return random_projection(e, "embedding", "vec_id", out_dim=8, dim=64, seed=5)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape, decimal-exact threshold)
+# ---------------------------------------------------------------------------
+
+_Q17_BODY = """
+    SELECT count(*) AS n_small,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND CAST(l.l_quantity AS DECIMAL(18,4)) * 5
+          * (SELECT count(*) FROM {lineitem} l2
+             WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4)))
+             FROM {lineitem} l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+@query(
+    "agg_correlated_subquery",
+    sql=_Q17_BODY.format(lineitem="lineitem", part="part"),
+)
+def agg_correlated_subquery(spark, sf_dir):
+    """TPC-H Q17 shape through Catalyst's correlated-subquery
+    DECORRELATION: small-quantity orders — lineitems of one brand
+    whose quantity is below 20% of that part's average — and the
+    yearly revenue they represent. The predicate is written as two
+    CORRELATED SCALAR SUBQUERIES over lineitem (count and sum per
+    part); Catalyst decorrelates them into a per-part aggregate
+    joined back (no per-row re-scan — verify with .explain: one
+    Aggregate + join, not a nested loop). The 20%-of-average
+    threshold is restated exactly in integers/decimals
+    (5·q·count < sum) so no engine's float `avg` order can flip a
+    boundary row. Identical SQL text runs on both engines (only the
+    table names bind differently). Green at sf0.001/0.01/0.1."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "q17_lineitem"
+    )
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("q17_part")
+    return spark.sql(_Q17_BODY.format(lineitem="q17_lineitem", part="q17_part"))

@@ -98,3 +98,66 @@ def test_lsh_multiprobe_improves_recall(spark):
     multi = [r["vec_id"] for r in sim.lsh_multiprobe_topk(e, q, k=10, n_probes=3).collect()]
     again = [r["vec_id"] for r in sim.lsh_multiprobe_topk(e, q, k=10, n_probes=3).collect()]
     assert multi == again
+
+
+def test_random_projection_matches_numpy(spark):
+    """Exact replication of the seeded Achlioptas projection in numpy
+    — the strongest possible check of matrix derivation, fold order,
+    and scaling."""
+    import math
+
+    import numpy as np
+
+    from hrtech_etl_spark.functions.similarity import (
+        achlioptas_matrix,
+        random_projection,
+    )
+
+    rng = np.random.RandomState(42)
+    vecs = [(i, [float(np.float32(x)) for x in rng.randn(64)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: [r[f"y{j}"] for j in range(8)]
+           for r in random_projection(df, "embedding", "vec_id").collect()}
+    m = achlioptas_matrix(out_dim=8, dim=64, seed=5)
+    scale = math.sqrt(3.0 / 8)
+    for i, v in vecs:
+        for j in range(8):
+            acc = 0.0
+            for d in range(64):
+                if m[j][d] == 1:
+                    acc += v[d]
+                elif m[j][d] == -1:
+                    acc -= v[d]
+            assert out[i][j] == round(scale * acc, 6), (i, j)
+    # sparsity is near the 1/3 design point
+    nz = sum(1 for row in m for e in row if e != 0)
+    assert 0.2 < nz / (8 * 64) < 0.5
+
+
+def test_random_projection_preserves_distances_roughly(spark):
+    """JL property smoke: projected pairwise distances correlate with
+    the originals (k=16 for a tighter bound)."""
+    import numpy as np
+
+    from hrtech_etl_spark.functions.similarity import random_projection
+
+    # clustered data: iid Gaussian distances CONCENTRATE in 64-d (all
+    # pairs ~sqrt(2d)), leaving nothing to correlate — real corpora
+    # (and this test) have cluster structure with varying distances
+    rng = np.random.RandomState(7)
+    centers = rng.randn(5, 64) * np.arange(1, 6)[:, None]
+    X = np.array([centers[i % 5] + 0.3 * rng.randn(64) for i in range(30)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(df, "embedding", "vec_id", out_dim=16).collect()
+    Y = np.array([[r[f"y{j}"] for j in range(16)]
+                  for r in sorted(out, key=lambda r: r["vec_id"])])
+    d_orig, d_proj = [], []
+    for a in range(0, 30, 3):
+        for b in range(a + 1, 30, 7):
+            d_orig.append(np.linalg.norm(X[a] - X[b]))
+            d_proj.append(np.linalg.norm(Y[a] - Y[b]))
+    corr = np.corrcoef(d_orig, d_proj)[0, 1]
+    assert corr > 0.5, corr
