@@ -716,8 +716,6 @@ def temperature_mixture(
     IEEE-correctly-rounded in every engine, so the integer targets —
     and therefore the sampled row SET — are exactly reproducible in a
     SQL oracle."""
-    import math
-
     if total <= 0:
         raise ValueError(f"total must be positive, got {total}")
     if not 0.0 < alpha <= 1.0:
@@ -731,6 +729,18 @@ def temperature_mixture(
     n = {r[strata_col]: r["__c"] for r in hist}
     if not n:
         raise ValueError("temperature_mixture: no non-null strata")
+    targets = temperature_targets(n, total=total, alpha=alpha, cap=cap)
+    return mixture_sample(df, strata_col, targets, id_col=id_col, seed=seed)
+
+
+def temperature_targets(
+    n: dict, *, total: int, alpha: float = 0.5, cap: bool = True
+) -> dict:
+    """The pure recipe step of :func:`temperature_mixture`: stratum
+    histogram → integer per-stratum targets (property-tested on its
+    own in tests/test_corpus.py)."""
+    import math
+
     tot = sum(n.values())
     if alpha == 0.5:
         q = {s: math.sqrt(c / tot) for s, c in n.items()}
@@ -742,5 +752,4 @@ def temperature_mixture(
     }
     if cap:
         targets = {s: min(t, n[s]) for s, t in targets.items()}
-    targets = {s: t for s, t in targets.items() if t > 0}
-    return mixture_sample(df, strata_col, targets, id_col=id_col, seed=seed)
+    return {s: t for s, t in targets.items() if t > 0}

@@ -540,3 +540,38 @@ def test_temperature_mixture_targets_and_caps(spark):
         temperature_mixture(df, "lang", total=0)
     with pytest.raises(ValueError):
         temperature_mixture(df, "lang", total=10, alpha=1.5)
+
+
+def test_temperature_targets_properties():
+    """Pure-recipe invariants over random histograms (no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hrtech_etl_spark.operators.corpus import temperature_targets
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        counts=st.lists(st.integers(1, 10_000), min_size=1, max_size=8),
+        total=st.integers(1, 5_000),
+        alpha=st.sampled_from([0.2, 0.3, 0.5, 0.7, 1.0]),
+    )
+    def check(counts, total, alpha):
+        n = {f"s{i}": c for i, c in enumerate(counts)}
+        t = temperature_targets(n, total=total, alpha=alpha, cap=False)
+        # rounding keeps the total within half a unit per stratum
+        assert abs(sum(t.values()) - total) <= max(1, len(n) // 2 + 1)
+        # monotone: a larger stratum never gets a smaller target
+        items = sorted(n.items(), key=lambda kv: kv[1])
+        for (s1, c1), (s2, c2) in zip(items, items[1:]):
+            if c1 < c2:
+                assert t.get(s1, 0) <= t.get(s2, 0)
+        # alpha=1 reproduces natural proportions (+-1 rounding)
+        if alpha == 1.0:
+            tot = sum(n.values())
+            for s, c in n.items():
+                assert abs(t.get(s, 0) - total * c / tot) <= 1
+        # capping never exceeds populations
+        tc = temperature_targets(n, total=total, alpha=alpha, cap=True)
+        assert all(tc[s] <= n[s] for s in tc)
+
+    check()

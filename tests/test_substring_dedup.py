@@ -71,3 +71,65 @@ def test_min_dup_threshold_and_validation(spark):
 def test_short_and_null_texts_excluded(spark):
     rows = [(1, "short"), (2, None), (3, "x" * 19)]
     assert _stats(spark, rows, k=20, min_dup=1) == {}
+
+
+def test_duplicate_span_stats_property_vs_python(spark):
+    """Randomized cross-check against a direct Python reference:
+    tiny alphabet strings force heavy shingle collisions; the Spark
+    interval-merge must equal brute-force span computation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 4
+
+    def reference(texts, k=K, min_dup=2):
+        from collections import Counter
+
+        occ = Counter()
+        for t in texts.values():
+            if t and len(t) >= k:
+                for i in range(len(t) - k + 1):
+                    occ[t[i : i + k]] += 1
+        out = {}
+        for doc, t in texts.items():
+            if not t or len(t) < k:
+                continue
+            pos = [
+                i
+                for i in range(len(t) - k + 1)
+                if occ[t[i : i + k]] >= min_dup
+            ]
+            if not pos:
+                continue
+            spans = []
+            for p in pos:  # merge [p, p+k-1] intervals (sorted)
+                if spans and p <= spans[-1][1] + 1:
+                    spans[-1][1] = max(spans[-1][1], p + k - 1)
+                else:
+                    spans.append([p, p + k - 1])
+            dup = sum(b - a + 1 for a, b in spans)
+            out[doc] = (len(spans), dup, round(dup / len(t), 6))
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=30),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        tmap = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            list(tmap.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_spans"], r["dup_chars"], r["dup_frac"])
+            for r in duplicate_span_stats(
+                df, "text", "doc_id", k=K, min_dup=2
+            ).collect()
+        }
+        assert got == reference(tmap)
+
+    check()
