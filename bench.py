@@ -71,6 +71,9 @@ EXTENDED = [
     "text_bm25_topk",
     "corpus_temperature_mix",
     "text_kl_divergence",
+    "text_ccnet_buckets",
+    "sim_random_projection",
+    "agg_correlated_subquery",
 ]
 
 
