@@ -3580,3 +3580,64 @@ def agg_correlated_subquery(spark, sf_dir):
     )
     load_table(spark, "part", sf_dir).createOrReplaceTempView("q17_part")
     return spark.sql(_Q17_BODY.format(lineitem="q17_lineitem", part="q17_part"))
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema read over drifting parquet slices
+# ---------------------------------------------------------------------------
+
+@query(
+    "etl_schema_evolution",
+    sql=f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_priority,
+           {sql_dsum("o_totalprice")} AS total_price,
+           count(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END)
+             AS priority_present
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def etl_schema_evolution(spark, sf_dir):
+    """Schema drift across a data lake's parquet generations, read as
+    ONE table: the entry writes two slices of orders — even orderkeys
+    with the full schema, odd orderkeys WITHOUT o_orderpriority (an
+    'old writer' that predates the column) — then reads both
+    directories in a single `mergeSchema=true` scan. Spark unions the
+    footers' schemas; rows from the old slice surface the new column
+    as NULL (never a silent misalignment — parquet fields bind BY
+    NAME). Declared output aggregates presence: per status, row
+    count, rows carrying the evolved column, exact decimal price sum,
+    and non-null priority count — the oracle replays the same
+    semantics from the ORIGINAL table with parity CASEs, so the gate
+    proves merged-read values equal the pre-split source exactly.
+    At 100 TB this is the everyday reality of month-over-month
+    parquet generations; the merge costs footer reads only, not data
+    rewrites. Green at sf0.001/0.01/0.1."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from hrtech_etl_spark.workload.registry import dsum
+
+    o = load_table(spark, "orders", sf_dir)
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    new = o.where(F.col("o_orderkey") % 2 == 0)
+    old = o.where(F.col("o_orderkey") % 2 == 1).drop("o_orderpriority")
+    new.write.mode("overwrite").parquet(os.path.join(root, "gen2"))
+    old.write.mode("overwrite").parquet(os.path.join(root, "gen1"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "gen1"), os.path.join(root, "gen2"))
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0)
+        ).alias("n_with_priority"),
+        dsum("o_totalprice").alias("total_price"),
+        F.count("o_orderpriority").alias("priority_present"),
+    )

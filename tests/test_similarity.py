@@ -161,3 +161,19 @@ def test_random_projection_preserves_distances_roughly(spark):
             d_proj.append(np.linalg.norm(Y[a] - Y[b]))
     corr = np.corrcoef(d_orig, d_proj)[0, 1]
     assert corr > 0.5, corr
+
+
+def test_random_projection_zero_shuffle_plan(spark):
+    from hrtech_etl_spark.functions.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        random_projection(df, "embedding", "vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
