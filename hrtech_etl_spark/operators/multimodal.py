@@ -9,8 +9,10 @@ source uses, extended with per-asset metadata. Decode is tiered:
   from-spec codec in ``operators/jpeg.py``, PCM WAV audio,
   concatenated-PPM raw video streams): ``real_media_features``,
   ``real_resize``, ``real_frame_sample``.
-- Remaining COMPRESSED formats (PNG/progressive JPEG/MP4/...) need
-  Pillow/ffmpeg, which this environment lacks: those paths raise
+- Self-describing formats decode for REAL ... including PNG via the
+  pure-stdlib codec in ``operators/png.py`` (DEFLATE is stdlib zlib).
+- Remaining COMPRESSED formats (progressive JPEG/WebP/MP3/MP4/...)
+  need Pillow/ffmpeg, which this environment lacks: those paths raise
   ``NotImplementedError`` behind the same injectable-kernel contract,
   so a real model/codec swaps in without touching the plumbing.
 - The oracle-checked default kernels remain the deterministic fakes
@@ -89,8 +91,9 @@ def attach_fake_media(
 
 # ---------------------------------------------------------------------------
 # Real codecs — pure numpy/stdlib, for self-describing formats
-# (P6 PPM, 24-bit BMP, baseline JPEG — operators/jpeg.py — and PCM
-# WAV). Remaining compressed formats (PNG/progressive JPEG/MP4/...)
+# (P6 PPM, 24-bit BMP, baseline JPEG — operators/jpeg.py — PNG —
+# operators/png.py — and PCM WAV). Remaining compressed formats
+# (progressive JPEG/WebP/MP3/MP4/...)
 # genuinely need Pillow/ffmpeg, which this environment lacks: those
 # still raise NotImplementedError, with the injectable-kernel contract
 # unchanged. Everything below is deterministic byte math, so features
@@ -193,10 +196,12 @@ def decode_wav(content: bytes):
 
 def decode_image(content: bytes):
     """Decode a self-describing image payload (magic-byte sniffed):
-    P6 PPM, 24-bit BMP, or baseline JPEG (pure-numpy codec in
+    P6 PPM, 24-bit BMP, baseline JPEG (pure-numpy codec in
     operators/jpeg.py — sequential DCT, any sampling up to 2×2,
-    restart intervals). Progressive JPEG and other compressed formats
-    (PNG/WebP/...) still need an injected kernel."""
+    restart intervals), or PNG (pure-stdlib codec in
+    operators/png.py — all filters, palette/tRNS). Progressive JPEG
+    and other compressed formats (WebP/...) still need an injected
+    kernel."""
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[:2] == b"BM":
@@ -205,8 +210,12 @@ def decode_image(content: bytes):
         from hrtech_etl_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from hrtech_etl_spark.operators.png import decode_png
+
+        return decode_png(content)
     raise NotImplementedError(
-        "undecodable image format (PNG/WebP/progressive JPEG need a "
+        "undecodable image format (WebP/progressive JPEG need a "
         "real codec); inject a kernel via media_features(..., kernel=...)"
     )
 

@@ -3641,3 +3641,98 @@ def etl_schema_evolution(spark, sf_dir):
         dsum("o_totalprice").alias("total_price"),
         F.count("o_orderpriority").alias("priority_present"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG lossless codec conformance (operators/png.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_png_roundtrip",
+    sql="""
+    SELECT d.doc_id, g.width, g.height, g.lossless, g.decoded_md5
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8) d
+    JOIN (VALUES
+      (0, 11, 9, true, 'e11475de188fbe61d45254765c1be842'),
+      (1, 14, 10, true, '48170d19f88e51290d0d35c1d2bb4127'),
+      (2, 17, 11, true, '58e51b9ffeeb2be4dc1e85e9d24573ab'),
+      (3, 20, 12, true, '7eae37ccc665a13217c7a67004c74ffb'),
+      (4, 23, 9, true, '1c59debbcda9c545f0cb12e0d514ba7d'),
+      (5, 11, 10, true, '31d2cd48cd1b9be3aaaa1f04c194cc3d'),
+      (6, 14, 11, true, '5927abe7f86ea51c623f0fe8b61a6ed5'),
+      (7, 17, 12, true, 'ae33eb7ba156f1f5ad86950b20e93299')
+    ) AS g(doc_id, width, height, lossless, decoded_md5)
+    ON d.doc_id = g.doc_id
+    """,
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """Conformance gate for the pure-stdlib PNG codec
+    (operators/png.py — the LOSSLESS compressed-image tier, sibling of
+    the JPEG gate): for the 8 lowest doc_ids, a deterministic RGB
+    gradient derived from the id is ENCODED (adaptive per-row filter
+    choice over None/Sub/Up/Paeth) and DECODED back inside an Arrow
+    mapInPandas kernel on the executors. PNG is lossless, so the gate
+    asserts decode(encode(img)) == img EXACTLY (`lossless`) and pins
+    the md5 of the decoded pixels — which equals the md5 of the
+    source, a pure function of doc_id. Unlike the JPEG gate, NO
+    compressed byte count is pinned: DEFLATE output is
+    zlib-version-dependent, while every pinned value here is
+    container-independent. Filters, palette/tRNS expansion, chunk
+    CRCs, hand-built foreign streams, and error paths are unit-tested
+    in tests/test_png.py. Green at sf0.001/0.01/0.1."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id long, width int, height int, lossless boolean, "
+        "decoded_md5 string"
+    )
+
+    def run(batches):
+        from hrtech_etl_spark.operators.png import decode_png, encode_png
+
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h = 9 + d % 4
+                w = 11 + 3 * (d % 5)
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        np.clip(20 + 3 * xx + 5 * d, 0, 255),
+                        np.clip(60 + 2 * yy + 3 * d, 0, 255),
+                        np.clip(10 + xx * yy // 4 + 2 * d, 0, 255),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                dec = decode_png(encode_png(img))
+                recs.append(
+                    (
+                        d,
+                        w,
+                        h,
+                        bool(np.array_equal(dec, img)),
+                        hashlib.md5(dec.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "lossless",
+                    "decoded_md5",
+                ],
+            )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .orderBy("doc_id")
+        .limit(8)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(run, schema=out_schema)

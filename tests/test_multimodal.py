@@ -225,14 +225,29 @@ def test_real_kernels_through_spark_plumbing(spark):
 
 
 def test_compressed_formats_still_gated():
-    """PNG (and other undecodable formats) stay behind the
-    injectable-kernel gate; baseline JPEG now decodes natively
-    (operators/jpeg.py), so it resizes for real — a truncated JPEG is
-    a data error (ValueError), not a missing-codec error."""
+    """WebP (and other undecodable formats) stay behind the
+    injectable-kernel gate; baseline JPEG and PNG now decode natively
+    (operators/jpeg.py, operators/png.py), so truncated streams are
+    DATA errors (ValueError), not missing-codec errors."""
     with pytest.raises(NotImplementedError):
-        mm.real_media_features(b"\x89PNG\r\n\x1a\n....")
+        mm.real_media_features(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(ValueError):
         mm.real_resize(b"\xff\xd8\xff\xe0JFIF", 2, 2)  # truncated JPEG
+    with pytest.raises(ValueError):
+        mm.real_resize(b"\x89PNG\r\n\x1a\n....", 2, 2)  # truncated PNG
+
+
+def test_png_decodes_natively():
+    import numpy as np
+
+    from hrtech_etl_spark.operators.png import encode_png
+
+    img = np.full((8, 10, 3), 120, dtype=np.uint8)
+    out = mm.real_resize(encode_png(img), 5, 4)
+    decoded = mm.decode_ppm(out)
+    assert decoded.shape == (4, 5, 3)
+    # PNG is lossless: resize of a constant image stays exact
+    assert np.abs(decoded.astype(int) - 120).max() == 0
 
 
 def test_jpeg_resizes_natively():
