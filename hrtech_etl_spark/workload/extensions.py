@@ -3736,3 +3736,104 @@ def multimodal_png_roundtrip(spark, sf_dir):
         .select("doc_id")
     )
     return docs.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# PCM WAV audio features conformance (the audio tier of multimodal)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_wav_features",
+    sql="""
+    SELECT d.doc_id, g.n_samples, g.rms, g.peak, g.zcr, g.pcm_md5
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8) d
+    JOIN (VALUES
+      (0, 800, 0.459605, 0.737, 0.05375, 'f098c532123349cf3f0e684120f9bdb1'),
+      (1, 840, 0.460292, 0.794189, 0.061905, '7bf953e6c156498f09bdcf06bfc32ce3'),
+      (2, 880, 0.458956, 0.834656, 0.069318, 'da821a7f0dad1d8ce90140dc304f9982'),
+      (3, 920, 0.457871, 0.849731, 0.077174, 'b64e77444727b35d3c81327be2e975aa'),
+      (4, 960, 0.459816, 0.841309, 0.084375, '8520e6836c76ccbca6344fd7759c9df7'),
+      (5, 1000, 0.458846, 0.809784, 0.054, '42c97bebf2321d1351b7e20d74f9c788'),
+      (6, 1040, 0.459457, 0.754272, 0.061538, '5b0b221bfc8c13bb50c6912047fa07b5'),
+      (7, 800, 0.459606, 0.782043, 0.07, 'bf49a4832ef866a0a549b251a6207178')
+    ) AS g(doc_id, n_samples, rms, peak, zcr, pcm_md5)
+    ON d.doc_id = g.doc_id
+    """,
+)
+def multimodal_wav_features(spark, sf_dir):
+    """Conformance gate for the AUDIO tier (PCM WAV through the
+    stdlib `wave` decoder + the real feature kernel in
+    operators/multimodal.py): for the 8 lowest doc_ids, a
+    deterministic two-harmonic 16-bit PCM tone derived from the id is
+    written as a WAV container, decoded, and featured inside the
+    Arrow mapInPandas kernel. Pinned golden values are chosen for
+    environment robustness: the decoded-PCM md5 (pure integer math —
+    proves container parse + sample scaling exactly) plus rms / peak
+    / zero-crossing rate rounded to 6 (elementary IEEE arithmetic
+    with numpy's stable pairwise summation); the rfft-based spectral
+    centroid is deliberately NOT pinned (FFT last-ulp drift across
+    numpy builds). Green at sf0.001/0.01/0.1."""
+    import hashlib
+    import io
+    import wave as wavmod
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id long, n_samples int, rms double, peak double, "
+        "zcr double, pcm_md5 string"
+    )
+
+    def run(batches):
+        from hrtech_etl_spark.operators.multimodal import (
+            decode_wav,
+            real_media_features,
+        )
+
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                sr = 8000
+                n = 800 + 40 * (d % 7)
+                t = np.arange(n) / sr
+                f0 = 220.0 + 30 * (d % 5)
+                x = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(
+                    2 * np.pi * 2 * f0 * t + 0.5 * d
+                )
+                pcm = np.clip(np.round(x * 32767), -32768, 32767).astype(
+                    "<i2"
+                )
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sr)
+                    wf.writeframes(pcm.tobytes())
+                data = buf.getvalue()
+                xs, _sr = decode_wav(data)
+                feats = real_media_features(data)
+                md5 = hashlib.md5(
+                    np.round(xs * 32768.0).astype("<i2").tobytes()
+                ).hexdigest()
+                recs.append((d, n, feats[1], feats[2], feats[4], md5))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "rms",
+                    "peak",
+                    "zcr",
+                    "pcm_md5",
+                ],
+            )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .orderBy("doc_id")
+        .limit(8)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(run, schema=out_schema)
