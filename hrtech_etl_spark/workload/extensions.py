@@ -3837,3 +3837,92 @@ def multimodal_wav_features(spark, sf_dir):
         .select("doc_id")
     )
     return docs.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Raw-video frame sampling conformance (the video tier of multimodal)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_video_frames",
+    sql="""
+    SELECT d.doc_id, g.n_frames, g.n_sampled, g.frames_md5
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8) d
+    JOIN (VALUES
+      (0, 6, 2, '7a7dce8298c8b92b154ad73006bb1ca5'),
+      (1, 7, 3, '426e167a735c223cef88cea35bd56de3'),
+      (2, 8, 3, '12da26791eb27e1f4fbcd939488bccce'),
+      (3, 9, 3, '9be293907a946366e07b3ed586ed5c83'),
+      (4, 10, 4, 'cad610b1bfc649dee010f1b250ac512c'),
+      (5, 6, 2, 'a6e02b5fadd3cd437b01b98fe86afd78'),
+      (6, 7, 3, 'bd443d9c570b99b2490e022008c34630'),
+      (7, 8, 3, '3dcec455be0781117b811ff88027f4d4')
+    ) AS g(doc_id, n_frames, n_sampled, frames_md5)
+    ON d.doc_id = g.doc_id
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """Conformance gate for the VIDEO tier (concatenated-PPM raw
+    streams through operators/multimodal.py::real_frame_sample): per
+    doc_id, a deterministic multi-frame stream (6-10 frames of
+    id-derived gradients) is assembled, every 3rd frame is sampled,
+    each sampled frame is DECODED back, and the md5-of-frame-md5s is
+    pinned — pure integer math, environment-independent. This closes
+    the gated coverage of all four media tiers (uncompressed image,
+    lossy JPEG, lossless PNG, PCM audio, raw video — each with its
+    own registry gate running the identical Arrow mapInPandas
+    plumbing real media batches use). Green at sf0.001/0.01/0.1."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id long, n_frames int, n_sampled int, frames_md5 string"
+    )
+
+    def run(batches):
+        from hrtech_etl_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+            real_frame_sample,
+        )
+
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n_frames = 6 + d % 5
+                h, w = 6 + d % 3, 8 + d % 4
+                frames = []
+                for f in range(n_frames):
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [
+                            (10 * f + xx + 2 * d) % 256,
+                            (20 + 5 * f + yy) % 256,
+                            (xx * yy + f + d) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    frames.append(encode_ppm(img))
+                sampled = real_frame_sample(b"".join(frames), 3)
+                md5 = hashlib.md5(
+                    b"".join(
+                        hashlib.md5(decode_ppm(fr).tobytes()).digest()
+                        for fr in sampled
+                    )
+                ).hexdigest()
+                recs.append((d, n_frames, len(sampled), md5))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "n_frames", "n_sampled", "frames_md5"],
+            )
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .orderBy("doc_id")
+        .limit(8)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(run, schema=out_schema)
