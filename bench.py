@@ -74,6 +74,10 @@ EXTENDED = [
     "text_ccnet_buckets",
     "sim_random_projection",
     "agg_correlated_subquery",
+    "etl_schema_evolution",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_features",
+    "multimodal_video_frames",
 ]
 
 

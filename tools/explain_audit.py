@@ -61,6 +61,15 @@ DEFAULT = [
     "join_fuzzy_editdist",
     "etl_table_diff",
     "scalar_variant_json",
+    # round 10
+    "dedup_substring_spans",
+    "text_bm25_topk",
+    "corpus_temperature_mix",
+    "text_kl_divergence",
+    "text_ccnet_buckets",
+    "sim_random_projection",
+    "agg_correlated_subquery",
+    "corpus_weighted_sample",
 ]
 
 
