@@ -1,4 +1,6 @@
-"""Time-series resampling: bucket → densify → forward-fill.
+"""Time-series resampling and sessionization.
+
+Resampling: bucket → densify → forward-fill.
 
 The hypertable/gap-fill shape (TimescaleDB's ``time_bucket_gapfill`` +
 ``locf``, InfluxDB's ``fill(previous)``): raw events collapse into
@@ -110,3 +112,75 @@ def resample_forward_fill(
         F.last("__v_obs", ignorenulls=True).over(w).alias("value"),
         F.col("__v_obs").isNotNull().alias("is_observed"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: float,
+    order_cols: tuple[str, ...] = (),
+    value_col: str | None = None,
+    round_to: int = 2,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-key event runs
+    split wherever consecutive events are more than ``gap_seconds``
+    apart — the batch twin of the streaming session window
+    (``workload/streaming.py`` drives the stateful form; this is the
+    backfill/replay form every clickstream warehouse also needs).
+
+    Time is compared as epoch seconds WITH the fractional part
+    (``CAST(ts AS DOUBLE)`` — micros/1e6 in IEEE double, the same
+    computation DuckDB's ``epoch(ts)`` performs), so the gap predicate
+    is engine-portable at sub-second resolution. Rows with a NULL key
+    or NULL timestamp are dropped (sessionization is undefined for
+    them). ``order_cols`` break timestamp ties so the running session
+    counter is deterministic.
+
+    Output: (key, session_seq, n_events, started_at, ended_at,
+    duration_sec[, total_value]) — ``session_seq`` is 1-based per key
+    in time order; ``total_value`` is the engine-portable decimal sum
+    of ``value_col`` rounded once at the end.
+
+    Scale shape: ONE Exchange total (plan-contract-tested). The lag
+    flag and the running sum share one partitioning+sort, and the
+    (key, session) rollup's ClusteredDistribution is already satisfied
+    by hash(key) — key partitioning co-locates every (key, session)
+    group — so the final aggregate reuses the window exchange instead
+    of reshuffling. Nothing is driver-side and no state grows beyond a
+    partition's sort buffer, so the plan survives a 100x scale-up on
+    the key exchange alone.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    ep = F.col(ts_col).cast("double")
+    prev = F.lag(ep).over(w)
+    is_new = (
+        F.when(prev.isNull() | (ep - prev > F.lit(float(gap_seconds))), 1)
+        .otherwise(0)
+    )
+    runs = (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("__ep", ep)
+        .withColumn(
+            "session_seq",
+            F.sum(is_new)
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("int"),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("started_at"),
+        F.max(ts_col).alias("ended_at"),
+        F.round(F.max("__ep") - F.min("__ep"), 6).alias("duration_sec"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), round_to)
+            .cast("double")
+            .alias("total_value")
+        )
+    return runs.groupBy(key_col, "session_seq").agg(*aggs)

@@ -3926,3 +3926,63 @@ def multimodal_video_frames(spark, sf_dir):
         .select("doc_id")
     )
     return docs.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sessionize",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value, epoch(ts) AS ep
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    flag AS (
+      SELECT user_id, event_id, ts, value, ep,
+             CASE WHEN lag(ep) OVER w IS NULL
+                    OR ep - lag(ep) OVER w > 43200.0 THEN 1 ELSE 0 END AS b
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(b) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS session_seq
+      FROM flag
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS started_at, max(ts) AS ended_at,
+           round(max(ep) - min(ep), 6) AS duration_sec,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization of the event stream
+    (operators/timeseries.py::sessionize — gaps-and-islands): per-user
+    event runs split at >12h inactivity, rolled up to per-session
+    (n_events, start, end, duration, decimal value sum). The batch
+    twin of the streaming session window already gated as
+    stream_session_window; warehouses need BOTH (replays/backfills run
+    this form). Time portability: the gap predicate compares
+    CAST(ts AS DOUBLE) epoch seconds WITH sub-second fraction — the
+    identical micros/1e6 IEEE computation as DuckDB's epoch(ts), and
+    (ts, event_id) totally orders ties so the running session counter
+    replays exactly. ONE window exchange serves both the lag flag and
+    the running sum; the rollup partial-aggregates before its own
+    exchange. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.timeseries import sessionize
+
+    e = load_table(spark, "events", sf_dir)
+    return sessionize(
+        e,
+        "user_id",
+        "ts",
+        gap_seconds=43200.0,
+        order_cols=("event_id",),
+        value_col="value",
+    )

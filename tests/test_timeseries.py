@@ -84,3 +84,84 @@ def test_null_values_do_not_dilute_or_observe(spark):
     assert got[0] == (10.0, True)
     assert got[1] == (10.0, False)
     assert got[2] == (30.0, True)
+
+
+# ---------------------------------------------------------------------------
+# sessionize (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_hand_checked(spark):
+    from hrtech_etl_spark.operators.timeseries import sessionize
+
+    rows = [
+        # user 1: 3 events within 10 min, then a 2h gap, then 1 event
+        (1, 101, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (1, 102, datetime(2024, 1, 1, 0, 5, 0), 2.0),
+        (1, 103, datetime(2024, 1, 1, 0, 10, 0), 3.0),
+        (1, 104, datetime(2024, 1, 1, 2, 10, 1), 4.0),
+        # user 2: single event; NULL user / NULL ts rows are dropped
+        (2, 201, datetime(2024, 1, 1, 1, 0, 0), 10.0),
+        (None, 301, datetime(2024, 1, 1, 1, 0, 0), 99.0),
+        (2, 202, None, 99.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = sessionize(
+        df, "user_id", "ts",
+        gap_seconds=3600.0, order_cols=("event_id",), value_col="value",
+    )
+    got = {
+        (r.user_id, r.session_seq): (
+            r.n_events, r.duration_sec, r.total_value
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): (3, 600.0, 6.0),
+        (1, 2): (1, 0.0, 4.0),
+        (2, 1): (1, 0.0, 10.0),
+    }
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    """An exactly-gap_seconds spacing does NOT split (strict >)."""
+    from hrtech_etl_spark.operators.timeseries import sessionize
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (1, 2, datetime(2024, 1, 1, 1, 0, 0), 1.0),   # == 3600s later
+        (1, 3, datetime(2024, 1, 1, 2, 0, 0, 1), 1.0),  # 3600.000001s
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = sessionize(df, "user_id", "ts", gap_seconds=3600.0)
+    seqs = sorted(r.session_seq for r in out.collect())
+    assert seqs == [1, 2]
+
+
+def test_sessionize_single_window_exchange(spark):
+    """Plan contract: ONE Exchange for the whole operator. The lag
+    flag and the running counter are two Window operators (the sum
+    consumes the lag's output) but share one partitioning+sort, and
+    the (key, session) rollup's ClusteredDistribution is already
+    satisfied by hash(key) — key partitioning co-locates every
+    (key, session) group — so the final aggregate reuses the window
+    exchange instead of reshuffling."""
+    from hrtech_etl_spark.operators.timeseries import sessionize
+
+    rows = [(1, i, datetime(2024, 1, 1, 0, i, 0), 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = sessionize(df, "user_id", "ts", order_cols=("event_id",),
+                     gap_seconds=60.0)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    marker = plan.find("Initial Plan")
+    if marker != -1:
+        plan = plan[:marker]
+    lower = plan.lower()
+    n_exchange = sum(
+        1
+        for ln in lower.splitlines()
+        if "exchange" in ln and "reused" not in ln
+    )
+    assert n_exchange == 1, plan
+    assert lower.count("sort [") <= 1, plan
