@@ -3986,3 +3986,83 @@ def events_sessionize(spark, sf_dir):
         order_cols=("event_id",),
         value_col="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS / NOT EXISTS (TPC-H Q21 join shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_exists_notexists",
+    sql="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def join_exists_notexists(spark, sf_dir):
+    """TPC-H Q21's join shape on this schema (lineitem has no
+    receiptdate, so 'late' is l_returnflag = 'R'): suppliers who were
+    the SOLE returning supplier on a finished multi-supplier order.
+    Two correlated subqueries — EXISTS (another supplier on the same
+    order) and NOT EXISTS (another supplier who also returned) —
+    expressed as the decorrelation Catalyst itself would emit: a
+    LEFT SEMI and a LEFT ANTI self-join on l_orderkey, each carrying
+    the l_suppkey <> l_suppkey residual as a non-equi join condition
+    (the equi key still drives the shuffle/broadcast, so no
+    cross-product sneaks in; AQE picks broadcast for the pruned probe
+    sides at small SF and shuffled-hash at scale). The 100-row
+    supplier dim broadcasts. LIMIT 20 is total-ordered
+    (numwait DESC, s_name) so the cut is engine-portable. Green at
+    sf0.001/0.01/0.1."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l3")
+
+    waiting = (
+        l1.join(
+            o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
