@@ -1419,3 +1419,99 @@ def duplicate_span_stats(
             F.sum("__span").cast("double") / F.max("__n"), 6
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (LBFS/rsync-style, fixed boundary rule)
+# ---------------------------------------------------------------------------
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 8,
+    divisor: int = 61,
+    seed: int = 0,
+) -> DataFrame:
+    """Split every document into content-defined chunks: a chunk ends
+    at position ``p`` when the portable hash of the ``window``-char
+    substring ENDING at ``p`` is ``0 mod divisor`` (expected chunk
+    length ≈ ``divisor``), plus always at end-of-document. Because
+    boundaries depend only on local content, an insertion near the
+    front of a near-duplicate document shifts every byte offset yet
+    the chunk stream re-synchronizes right after the edit — the
+    LBFS/rsync/backup-dedup property that makes chunk-level dedup
+    robust where fixed-size blocks are not. (FastCDC's min/max chunk
+    clamp is deliberately out of scope: the clamp makes each boundary
+    depend on the previous ACCEPTED boundary — sequential per
+    document — while this fixed rule is per-position independent and
+    hence embarrassingly parallel.)
+
+    Returns one row per chunk: ``(id, chunk_idx, start, chunk_len,
+    chunk_md5)`` — 1-based ``start``, md5 identity for corpus-level
+    dedup. Documents shorter than ``window`` become a single chunk;
+    NULL/empty text yields no rows.
+
+    Plan at scale: the position explode narrows to ``(id, pos)``
+    immediately (boundary filter runs map-side BEFORE any shuffle, so
+    only ~n/divisor boundary rows per doc survive); chunk starts come
+    from one lag window on ``id``; chunk text is cut by rejoining the
+    narrow ends table to the docs scan on ``id`` — the wide text
+    column crosses exactly one exchange, once, and every hash is a
+    JVM-side expression replayed verbatim by the DuckDB oracle.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if divisor < 2:
+        raise ValueError(f"divisor must be >= 2, got {divisor}")
+    from pyspark.sql import Window as W
+
+    t, i = text_col, id_col
+    base = docs.where(F.col(t).isNotNull() & (F.length(t) >= 1)).select(
+        F.col(i), F.length(t).alias("__n"), F.col(t)
+    )
+    long_ends = (
+        base.where(F.col("__n") >= window)
+        .select(
+            i,
+            "__n",
+            F.explode(F.expr(f"sequence({window}, length({t}))")).alias(
+                "__pos"
+            ),
+            F.col(t),
+        )
+        .where(
+            (F.col("__pos") == F.col("__n"))
+            | (
+                portable_hash(
+                    F.expr(f"substring({t}, __pos - {window - 1}, {window})"),
+                    seed=seed,
+                )
+                % divisor
+                == 0
+            )
+        )
+        .select(i, "__pos")
+    )
+    short_ends = base.where(F.col("__n") < window).select(
+        i, F.col("__n").alias("__pos")
+    )
+    ends = long_ends.unionByName(short_ends)
+    w = W.partitionBy(i).orderBy("__pos")
+    bounds = ends.select(
+        i,
+        F.col("__pos").alias("__e"),
+        (F.coalesce(F.lag("__pos").over(w), F.lit(0)) + 1).alias("__s"),
+        F.row_number().over(w).alias("chunk_idx"),
+    )
+    return bounds.join(base.select(i, t), i).select(
+        i,
+        "chunk_idx",
+        F.col("__s").cast("int").alias("start"),
+        (F.col("__e") - F.col("__s") + 1).cast("int").alias("chunk_len"),
+        F.md5(F.expr(f"substring({t}, __s, __e - __s + 1)")).alias(
+            "chunk_md5"
+        ),
+    )

@@ -4066,3 +4066,90 @@ def join_exists_notexists(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup profile (LBFS/rsync chunk dedup)
+# ---------------------------------------------------------------------------
+
+_CDC_W, _CDC_D = 8, 61
+_CDC_H = portable_hash_sql(
+    f"substr(text, pos - {_CDC_W - 1}, {_CDC_W})"
+)
+
+@query(
+    "dedup_cdc_chunks",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, source, text, length(text) AS n
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+    ),
+    ends AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, n, text,
+               unnest(generate_series({_CDC_W}, n)) AS pos
+        FROM d WHERE n >= {_CDC_W}
+      ) WHERE pos = n OR {_CDC_H} % {_CDC_D} = 0
+      UNION ALL
+      SELECT doc_id, n AS pos FROM d WHERE n < {_CDC_W}
+    ),
+    ch AS (
+      SELECT doc_id, pos AS e,
+             coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+               + 1 AS s
+      FROM ends
+    ),
+    cx AS (
+      SELECT ch.doc_id, d.source, e - s + 1 AS len,
+             md5(substr(d.text, CAST(s AS INT), CAST(e - s + 1 AS INT)))
+               AS h
+      FROM ch JOIN d USING (doc_id)
+    ),
+    gc AS (SELECT h, count(*) AS c FROM cx GROUP BY h)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+           round(CAST(sum(len) AS DOUBLE) / count(*), 4) AS avg_len,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           round(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM cx JOIN gc USING (h) GROUP BY source
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup profile per source
+    (functions/dedup.py::content_defined_chunks — the LBFS/rsync
+    boundary rule: a chunk ends where the portable hash of the 8-char
+    window is 0 mod 61, expected chunk ≈ 61 chars). Chunk identity is
+    md5 of the chunk text; a chunk instance is 'duplicated' when its
+    hash occurs >= 2 times CORPUS-WIDE. Output per source: n_chunks,
+    avg_len (one exact-int division), n_dup, dup_frac. This is the
+    chunk-granularity dedup complement to document-level MinHash and
+    substring-span profiling: insertions shift offsets but the chunk
+    stream re-syncs, so shared passages dedup across near-identical
+    docs regardless of position. Boundary decisions are
+    per-position independent (no FastCDC clamp — documented trade in
+    the operator), so the explode runs map-side and only ~n/61
+    boundary rows per doc ever shuffle; the global chunk-count is an
+    algebraic aggregate. Green at sf0.001/0.01/0.1."""
+    d = load_table(spark, "documents", sf_dir)
+    chunks = dd.content_defined_chunks(
+        d, "text", "doc_id", window=_CDC_W, divisor=_CDC_D
+    )
+    counts = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    joined = chunks.join(counts, "chunk_md5").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.round(
+            F.sum("chunk_len").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_len"),
+        F.sum(F.when(F.col("__c") >= 2, 1).otherwise(0)).alias("n_dup"),
+        F.round(
+            F.sum(F.when(F.col("__c") >= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
