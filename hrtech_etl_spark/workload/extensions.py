@@ -4153,3 +4153,96 @@ def dedup_cdc_chunks(spark, sf_dir):
             6,
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct-count window (cumulative unique users per type/day)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_cumulative_distinct",
+    sql="""
+    WITH pd AS (
+      -- DuckDB's date_trunc('day') yields DATE; Spark's yields
+      -- TIMESTAMP — cast so the canonical value forms agree
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND ts IS NOT NULL
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events
+      FROM pd GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT DISTINCT event_type, day,
+             count(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_users
+      FROM pd
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           CAST(c.cum_users
+                - coalesce(lag(c.cum_users) OVER (
+                    PARTITION BY d.event_type ORDER BY d.day), 0)
+                AS BIGINT) AS new_users,
+           CAST(c.cum_users AS BIGINT) AS cum_users
+    FROM daily d JOIN cum c USING (event_type, day)
+    """,
+)
+def window_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per (event_type, day) — the running
+    count-distinct window Spark does NOT support natively
+    (COUNT(DISTINCT) OVER raises). The engine form is the
+    first-occurrence decomposition every warehouse uses at scale: a
+    user contributes to cum_users on exactly their min-day, so
+    new_users = count of first-occurrences per day and cum_users is a
+    plain running SUM — two shrinking aggregates plus a window over
+    the tiny (type, day) grid, no per-row distinct state. The oracle
+    derives the SAME numbers the opposite way, from DuckDB's native
+    count(DISTINCT) OVER — two genuinely independent derivations
+    value-matching is the point of the gate. At 100 TB the
+    decomposition is also the only shape that works: distinct state
+    per window frame is unbounded, while min-day is an algebraic
+    aggregate. Green at sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    pd_ = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    first = pd_.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("day")
+    )
+    new = first.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    daily = pd_.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = daily.join(new, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "n_events",
+        F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        "n_events",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
