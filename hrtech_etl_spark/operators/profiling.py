@@ -102,3 +102,66 @@ def profile_sql(table: str, cols: list[str]) -> str:
             f"CAST(max({c}) AS VARCHAR) AS max_val FROM {table}"
         )
     return " UNION ALL ".join(branches)
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust per-group anomaly profile: median, MAD (median absolute
+    deviation), and the count/fraction of values farther than
+    ``k * MAD`` from the median — the outlier detector that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers it is
+    trying to find (50% breakdown point). The data-quality gate a
+    training pipeline runs per source/type before trusting a feed.
+
+    Portability contract: the median and MAD are ROUNDED to
+    ``round_to`` decimals before the threshold comparison, so the
+    outlier rule is a pure function of (value, rounded stats) and
+    replays exactly in the DuckDB oracle (both engines interpolate
+    quantiles as lower + (higher-lower)*frac in IEEE doubles; rounding
+    removes the residual ULP exposure at the comparison boundary).
+
+    Plan: two shrinking percentile aggregates over the group key plus
+    one re-join of the raw rows (AQE broadcasts the per-group stats —
+    rows = |groups|, dimension-sized); exact percentiles sort within
+    the aggregation buffer per group. At 100 TB swap
+    ``F.percentile`` for ``percentile_approx`` at the call site if
+    group cardinality x values per group exceeds executor memory —
+    the operator shape is unchanged.
+    """
+    e = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(group_col, value_col)
+    med = e.groupBy(group_col).agg(
+        F.round(F.percentile(value_col, F.lit(0.5)), round_to).alias("med")
+    )
+    dev = e.join(med, group_col).withColumn(
+        "__ad", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.min("med").alias("med"),
+        F.round(F.percentile("__ad", F.lit(0.5)), round_to).alias("mad"),
+    )
+    flagged = dev.drop("med").join(mad, group_col)
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med").alias("median"),
+        F.min("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("__ad") > F.lit(float(k)) * F.col("mad"), 1)
+            .otherwise(0)
+        ).alias("n_outliers"),
+        F.round(
+            F.sum(
+                F.when(F.col("__ad") > F.lit(float(k)) * F.col("mad"), 1)
+                .otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            round_to,
+        ).alias("outlier_frac"),
+    )

@@ -4246,3 +4246,56 @@ def window_cumulative_distinct(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD outlier profile)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_anomaly_mad",
+    sql="""
+    WITH e AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM e GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(value - med) AS ad
+      FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT dev.event_type, min(med.med) AS med,
+             round(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev JOIN med USING (event_type) GROUP BY dev.event_type
+    )
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           min(m.med) AS median, min(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.ad > 3.0 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN d.ad > 3.0 * m.mad THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS outlier_frac
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust per-type anomaly profile of event values
+    (operators/profiling.py::mad_outlier_stats): median, MAD, and the
+    count/fraction beyond 3*MAD — the 50%-breakdown-point outlier
+    detector a pipeline runs per feed before trusting it (mean/stddev
+    z-scores get dragged by the very outliers they hunt). Median and
+    MAD are rounded to 6 decimals BEFORE the threshold compare, so
+    the flag is a pure function of (value, rounded stats) and the
+    DuckDB oracle (quantile_cont — the same lower+(higher-lower)*frac
+    interpolation as Spark's exact percentile) replays it bit-for-bit.
+    Exact percentiles here; the 100 TB swap is percentile_approx at
+    the call site with the operator shape unchanged. Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.profiling import mad_outlier_stats
+
+    e = load_table(spark, "events", sf_dir)
+    return mad_outlier_stats(e, "event_type", "value", k=3.0)

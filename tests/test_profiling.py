@@ -98,3 +98,47 @@ def test_exotic_column_names(spark):
 
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# mad_outlier_stats
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_hand_checked(spark):
+    """median/MAD stay put under contamination (the point of MAD) and
+    the 3*MAD rule flags exactly the planted spikes."""
+    from pyspark.sql import functions as F
+
+    from hrtech_etl_spark.operators.profiling import mad_outlier_stats
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0, -900.0]
+    # median = 12, deviations = [2,1,0,1,2,988,912] -> MAD = 2
+    # threshold 3*2=6 -> outliers: 1000 and -900
+    rows = [("a", v) for v in vals] + [("b", 5.0), ("b", None), (None, 1.0)]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    out = {r.grp: r for r in mad_outlier_stats(df, "grp", "value").collect()}
+    assert set(out) == {"a", "b"}
+    a = out["a"]
+    assert (a.n, a.median, a.mad, a.n_outliers) == (7, 12.0, 2.0, 2)
+    assert abs(a.outlier_frac - round(2 / 7, 6)) < 1e-12
+    b = out["b"]  # single value: MAD 0, nothing beyond 0 deviation
+    assert (b.n, b.median, b.mad, b.n_outliers) == (1, 5.0, 0.0, 0)
+
+
+def test_mad_beats_zscore_under_contamination(spark):
+    """The same spike that hides from a 3-sigma z-score (it inflates
+    sigma) is caught by 3*MAD."""
+    from hrtech_etl_spark.operators.profiling import mad_outlier_stats
+
+    vals = [float(v) for v in range(100, 121)] + [10_000.0] * 3
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], ["grp", "value"]
+    )
+    row = mad_outlier_stats(df, "grp", "value").collect()[0]
+    assert row.n_outliers == 3
+    import statistics
+
+    mu, sigma = statistics.mean(vals), statistics.pstdev(vals)
+    z_flagged = sum(1 for v in vals if abs(v - mu) > 3 * sigma)
+    assert z_flagged == 0, "z-score should MISS the spikes here"
