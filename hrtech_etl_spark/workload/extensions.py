@@ -4299,3 +4299,149 @@ def events_anomaly_mad(spark, sf_dir):
 
     e = load_table(spark, "events", sf_dir)
     return mad_outlier_stats(e, "event_type", "value", k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair co-occurrence (a-priori support + lift)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_market_basket",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+    f AS (SELECT p, count(*) AS fp FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           round(CAST(support * n_orders AS DOUBLE) / (fa.fp * fb.fp), 6)
+             AS lift
+    FROM pairs
+    JOIN f fa ON fa.p = part_a
+    JOIN f fb ON fb.p = part_b
+    CROSS JOIN n
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def agg_market_basket(spark, sf_dir):
+    """Market-basket pair co-occurrence over orders (the a-priori
+    candidate-pair count): parts appearing in the same order, pair
+    support + lift = support * n_orders / (freq_a * freq_b), top-20
+    total-ordered (support DESC, part_a, part_b). Scale shape: the
+    self-join is keyed on the order — pairs per order are C(lines, 2)
+    and lineitem baskets are bounded (max 13 lines here), so the
+    blow-up is basket-bounded exactly like the LSH bucket joins
+    (a basket-size cap is the valve for pathological feeds); pair
+    counts partial-aggregate map-side; the part-frequency joins ride
+    AQE broadcast; lift is all-integer until ONE division. Green at
+    sf0.001/0.01/0.1."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = op.agg(F.countDistinct("o").alias("n_orders"))
+    f = op.groupBy("p").agg(F.count(F.lit(1)).alias("fp"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    fa = f.select(F.col("p").alias("part_a"), F.col("fp").alias("fa"))
+    fb = f.select(F.col("p").alias("part_b"), F.col("fp").alias("fb"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(n)
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("fa") * F.col("fb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_transition_matrix",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+    ),
+    tr AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM tr
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user
+    stream: lag over (user, time) pairs each event with its
+    predecessor, counts aggregate per (prev, next), and the row
+    probability is ONE integer-exact division (count / row total via
+    a window over the 5x5 matrix) rounded once. The
+    behavioral-sequence statistic that feeds session modeling and
+    next-event prediction baselines; (ts, event_id) totally orders
+    ties so the lag pairing is engine-portable. One exchange on
+    user_id for the lag, shrinking aggregates after. Green at
+    sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = W.partitionBy("prev_type")
+    return tr.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_row), 6
+        ).alias("prob"),
+    )
