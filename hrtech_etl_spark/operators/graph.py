@@ -1,0 +1,105 @@
+"""Iterative graph analytics on DataFrames: PageRank.
+
+The engine already has pointer-jumping connected components
+(:mod:`hrtech_etl_spark.functions.dedup` — near-dup clusters); this
+module adds the other canonical iterative fixpoint, PageRank, as a
+driver-side loop over declarative join+aggregate steps — the shape
+Spark executes iterative algorithms in (GraphX/Pregel compile to the
+same join-agg rounds). Reference analog: none (the reference moves
+records); SURVEY §2.10 north-star surface — link-graph quality
+weighting is a standard corpus-curation signal (quality ∝ centrality
+of a page in the web graph).
+
+Engine-portability contract (the gated entry replays bit-for-bit in
+DuckDB's recursive CTE): per-edge contributions ``pr/out_degree`` are
+IEEE doubles cast to DECIMAL(38,12) BEFORE the per-node sum — the
+portable-float-sum idiom — so the only order-sensitive reduction is
+exact and commutative; the damping update is scalar IEEE arithmetic,
+identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 8,
+    damping: float = 0.85,
+    round_to: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list, fixed iteration count.
+
+    ``pr_{t+1}(v) = (1-d)/N + d * Σ_{u→v} pr_t(u) / out_deg(u)``
+
+    Nodes are ``src ∪ dst``. Dangling nodes (no out-edges) LEAK their
+    mass — the simple formulation early web-scale systems shipped;
+    symmetrize the edge list (or add self-loops) if strict
+    mass-conservation matters, as the gated co-occurrence entry does.
+    Multi-edges contribute multiply (weighted multigraph semantics);
+    ``.distinct()`` the edge list first for simple-graph semantics.
+
+    Scale shape: the edge list and degree table materialize ONCE
+    behind a lazy localCheckpoint (8 iterations must not re-execute
+    the upstream edge derivation — the lineage-re-execution lesson);
+    each iteration is one equi-join on ``src`` (AQE handles skew: a
+    viral node's contributions partial-aggregate map-side after the
+    join projects them narrow) plus one shrinking groupBy on ``dst``;
+    the rank vector (|V| rows) re-checkpoints lazily per iteration so
+    the plan stays linear in iterations, never exponential.
+
+    Returns ``(node, pagerank)`` with ``pagerank`` rounded once at
+    the end.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+
+    e = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select("__d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()  # bounded driver-side scalar (|V| is the
+    # algorithm's N — one count, same contract as the PQ codebook)
+    teleport = (1.0 - damping) / float(n_nodes)
+
+    pr = nodes.select("node", F.lit(1.0 / float(n_nodes)).alias("pr"))
+    out_edges = e.join(deg, "__s")
+    for _ in range(iterations):
+        contribs = out_edges.join(
+            pr, out_edges["__s"] == pr["node"]
+        ).select(
+            F.col("__d").alias("node"),
+            (F.col("pr") / F.col("__deg"))
+            .cast("decimal(38,12)")
+            .alias("__share"),
+        )
+        sums = contribs.groupBy("node").agg(
+            F.sum("__share").cast("double").alias("__in")
+        )
+        pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("node", F.round("pr", round_to).alias("pagerank"))

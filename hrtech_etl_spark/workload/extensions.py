@@ -4445,3 +4445,94 @@ def events_transition_matrix(spark, sf_dir):
             F.col("n").cast("double") / F.sum("n").over(w_row), 6
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative fixpoint) over the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_pagerank",
+    sql="""
+    WITH RECURSIVE
+    op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e2 AS (
+      SELECT a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT pa AS s, pb AS d FROM e2
+              UNION ALL SELECT pb, pa FROM e2),
+    deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr AS (
+      SELECT 0 AS it, v, CAST(1.0 AS DOUBLE) / n AS pr FROM nodes, nn
+      UNION ALL
+      SELECT agg.it + 1, agg.v,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * CAST(agg.s AS DOUBLE)
+      FROM (
+        SELECT pr.it AS it, e.d AS v,
+               sum(CAST(pr.pr / deg.dg AS DECIMAL(38,12))) AS s
+        FROM pr
+        JOIN edges e ON pr.v = e.s
+        JOIN deg ON deg.s = pr.v
+        WHERE pr.it < 8
+        GROUP BY 1, 2
+      ) agg, nn
+    )
+    SELECT v AS part, round(pr, 10) AS pagerank
+    FROM pr WHERE it = 8
+    ORDER BY pagerank DESC, v LIMIT 30
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank, 8 iterations at damping 0.85, over the symmetrized
+    part co-occurrence graph (parts sharing an order — the
+    agg_market_basket edge set doubled so every node has out-edges
+    and no mass leaks). operators/graph.py::pagerank runs the
+    iterative fixpoint as a driver loop of join+aggregate rounds —
+    the GraphX/Pregel execution shape — with the edge list, node set,
+    and each rank vector behind lazy localCheckpoints so 8 iterations
+    never re-execute the basket self-join and the plan stays linear.
+    Cross-engine exactness: per-edge shares pr/deg are IEEE doubles
+    cast DECIMAL(38,12) BEFORE the commutative per-node sum (the
+    portable-float-sum idiom); the damping update is scalar IEEE,
+    stated in the oracle as CAST(1.0 AS DOUBLE) - CAST(0.85 AS
+    DOUBLE) to replicate Python's 1.0 - 0.85 bit-for-bit. The DuckDB
+    twin is a recursive CTE carrying (iteration, node, pr). Top-30
+    total-ordered (pagerank DESC, part). Corpus-curation relevance:
+    link-graph centrality is a standard quality-weighting signal.
+    Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e2 = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+    edges = e2.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        e2.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=8, damping=0.85, round_to=10)
+        .select(F.col("node").alias("part"), "pagerank")
+        .orderBy(F.desc("pagerank"), "part")
+        .limit(30)
+    )

@@ -1,0 +1,77 @@
+"""pagerank: hand-checked fixpoints, pure-Python reference parity,
+documented dangling-leak semantics, validation."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from hrtech_etl_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, iterations=8, damping=0.85):
+    """Reference replicating the operator's portability contract:
+    shares are doubles quantized to DECIMAL(38,12) (HALF_UP on the
+    shortest repr — Spark's double->decimal cast), summed exactly,
+    then one scalar IEEE damping update."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    teleport = (1.0 - damping) / float(n)
+    pr = {v: 1.0 / float(n) for v in nodes}
+    q = Decimal("1e-12")
+    for _ in range(iterations):
+        acc = {v: Decimal(0) for v in nodes}
+        for s, d in edges:
+            share = Decimal(repr(pr[s] / out[s])).quantize(
+                q, rounding=ROUND_HALF_UP
+            )
+            acc[d] += share
+        pr = {
+            v: teleport + damping * float(acc[v]) for v in nodes
+        }
+    return pr
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r.node: r.pagerank for r in pagerank(df, **kw).collect()}
+
+
+def test_cycle_is_uniform_fixpoint(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]
+    got = _run(spark, edges, iterations=5)
+    for v in (1, 2, 3):
+        assert got[v] == round(1.0 / 3.0, 10), got
+
+
+def test_matches_python_reference(spark):
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1),
+        (2, 4), (3, 4), (5, 1), (1, 5), (5, 4),
+    ]
+    got = _run(spark, edges, iterations=8)
+    want = _py_pagerank(edges, iterations=8)
+    assert set(got) == set(want)
+    for v, p in want.items():
+        assert got[v] == round(p, 10), (v, got[v], p)
+
+
+def test_dangling_mass_leaks_as_documented(spark):
+    got = _run(spark, [(1, 2)], iterations=1)
+    # N=2, teleport=0.075: node 1 gets teleport only, node 2 gets
+    # teleport + 0.85 * 0.5; the dangling node's mass is NOT recycled
+    assert got[1] == round(0.075, 10)
+    assert got[2] == round(0.075 + 0.85 * 0.5, 10)
+    assert got[1] + got[2] < 1.0
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
