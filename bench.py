@@ -78,6 +78,14 @@ EXTENDED = [
     "multimodal_png_roundtrip",
     "multimodal_wav_features",
     "multimodal_video_frames",
+    "events_sessionize",
+    "join_exists_notexists",
+    "dedup_cdc_chunks",
+    "window_cumulative_distinct",
+    "events_anomaly_mad",
+    "agg_market_basket",
+    "events_transition_matrix",
+    "graph_pagerank",
 ]
 
 

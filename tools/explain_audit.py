@@ -70,6 +70,15 @@ DEFAULT = [
     "sim_random_projection",
     "agg_correlated_subquery",
     "corpus_weighted_sample",
+    # round 10, session 3
+    "events_sessionize",
+    "join_exists_notexists",
+    "dedup_cdc_chunks",
+    "window_cumulative_distinct",
+    "events_anomaly_mad",
+    "agg_market_basket",
+    "events_transition_matrix",
+    "graph_pagerank",
 ]
 
 

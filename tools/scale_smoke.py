@@ -42,10 +42,12 @@ that adds stages with data volume is broken at 100 TB), and peak
 partition rows grow ~linearly (no single-partition collapse).
 
     python tools/scale_smoke.py [--sf-dir DIR] [--copies N]
-        [--vec-copies N] [--only docs,ann]
+        [--vec-copies N] [--graph-copies N] [--only docs,ann,cdc,graph]
 
-``--only`` selects stage groups (``docs`` = 1-5, ``ann`` = 6) so the
-vector path can be scaled independently of the 1M-doc dedup stages.
+``--only`` selects stage groups (``docs`` = 1-5, ``ann`` = 6,
+``cdc`` = content-defined chunking over the replicated corpus,
+``graph`` = PageRank over a replicated co-occurrence graph) so each
+path can be scaled independently of the 1M-doc dedup stages.
 """
 
 from __future__ import annotations
@@ -113,6 +115,7 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=20)
     ap.add_argument("--batch-size", type=int, default=5_000)
     ap.add_argument("--vec-copies", type=int, default=50)
+    ap.add_argument("--graph-copies", type=int, default=5)
     ap.add_argument("--only", default="docs,ann")
     args = ap.parse_args()
     groups = {g.strip() for g in args.only.split(",") if g.strip()}
@@ -125,6 +128,10 @@ def main() -> None:
             run_doc_stages(spark, meter, args, root)
         if "ann" in groups:
             run_ann_stages(spark, meter, args, root)
+        if "cdc" in groups:
+            run_cdc_stage(spark, meter, args, root)
+        if "graph" in groups:
+            run_graph_stages(spark, meter, args, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -368,6 +375,108 @@ def run_ann_stages(spark, meter, args, root) -> None:
     print(
         f"  ADC scan of {n_vecs:,} stored codes -> shortlist 100 -> "
         f"exact rerank top-10 ({n_vecs / dt:,.0f} vec/s)",
+        flush=True,
+    )
+
+
+def run_cdc_stage(spark, meter, args, root) -> None:
+    # --- content-defined chunking over the replicated corpus ---------
+    from hrtech_etl_spark.functions.dedup import content_defined_chunks
+
+    docs = load_table(spark, "documents", args.sf_dir).select(
+        "doc_id", "text"
+    )
+    n_base = docs.count()
+    corpus = docs.crossJoin(
+        spark.range(args.copies).select(F.col("id").alias("__copy"))
+    ).select(
+        (F.col("doc_id") + F.col("__copy") * STRIDE).alias("doc_id"),
+        "text",
+    )
+    n_corpus = n_base * args.copies
+
+    def chunk_profile():
+        ch = content_defined_chunks(corpus, "text", "doc_id")
+        return partition_stats(ch)
+
+    (n_chunks, peak), dt = meter.run("cdc chunk+hash", chunk_profile)
+    print(
+        f"  {n_corpus:,} docs -> {n_chunks:,} chunks "
+        f"({n_corpus / dt:,.0f} docs/s, {n_chunks / dt:,.0f} chunks/s; "
+        f"peak partition rows={peak:,})",
+        flush=True,
+    )
+    # every chunk of a replica collides with its twin across copies:
+    # the dup fraction must approach 1 as copies grow
+    def dup_frac():
+        ch = content_defined_chunks(corpus, "text", "doc_id")
+        counts = ch.groupBy("chunk_md5").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        row = (
+            ch.join(counts, "chunk_md5")
+            .agg(
+                (
+                    F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).alias("f")
+            )
+            .collect()[0]
+        )
+        return float(row["f"])
+
+    frac, dt = meter.run("cdc corpus dup-frac", dup_frac)
+    print(
+        f"  dup chunk fraction {frac:.4f} "
+        f"(expect ~1.0 at copies={args.copies})",
+        flush=True,
+    )
+
+
+def run_graph_stages(spark, meter, args, root) -> None:
+    # --- PageRank over a replicated co-occurrence graph --------------
+    # replicas are disconnected copies with strided node ids: job and
+    # stage counts must stay FLAT as --graph-copies grows (the driver
+    # loop is fixed at 8 iterations; only partition row counts scale)
+    from hrtech_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", args.sf_dir).where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e2 = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+    edges = e2.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        e2.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    scaled = edges.crossJoin(
+        spark.range(args.graph_copies).select(F.col("id").alias("__copy"))
+    ).select(
+        (F.col("src") + F.col("__copy") * STRIDE).alias("src"),
+        (F.col("dst") + F.col("__copy") * STRIDE).alias("dst"),
+    )
+    n_edges = edges.count() * args.graph_copies
+
+    def rank():
+        pr = pagerank(scaled, iterations=8)
+        return partition_stats(pr)
+
+    (n_nodes, peak), dt = meter.run("graph pagerank 8 iters", rank)
+    print(
+        f"  {n_edges:,} edges, {n_nodes:,} nodes ranked "
+        f"({n_edges * 8 / dt:,.0f} edge-visits/s; "
+        f"peak partition rows={peak:,})",
         flush=True,
     )
 
