@@ -4536,3 +4536,229 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.desc("pagerank"), "part")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shape multiway star join (local-supplier revenue by nation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_star_multiway",
+    sql="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def join_star_multiway(spark, sf_dir):
+    """TPC-H Q5's snowflake join shape on this schema: revenue by
+    nation where the ordering customer and the line's supplier sit in
+    the SAME nation, nations restricted to one region. Exercises the
+    multiway join-reordering path: two fact tables (lineitem, orders)
+    plus three dims (supplier 100 rows, nation 25, region 5). The
+    non-equi-free plan Catalyst picks: date-pruned orders⨝lineitem
+    shuffle join on the order key (co-locatable by bucketing at
+    scale), then BROADCAST hash joins for supplier/nation/region and
+    the customer nation-match — the c_nationkey = s_nationkey
+    residual rides the c_custkey equi key, so no cross product.
+    Revenue in exact DECIMAL (order-independent), one IEEE cast after
+    the sum. Green at sf0.001/0.01/0.1."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression from exact decimal moments
+# ---------------------------------------------------------------------------
+
+def _ols_oracle_sql() -> str:
+    """OLS of l_extendedprice on l_quantity per (returnflag,
+    linestatus), assembled from EXACT decimal moment sums so the only
+    IEEE arithmetic is the identical final scalar expression in both
+    engines (regr_slope/regr_intercept themselves accumulate floats
+    in engine-specific order — not portable)."""
+    return """
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+@query("agg_groupwise_ols", sql=_ols_oracle_sql())
+def agg_groupwise_ols(spark, sf_dir):
+    """Group-wise least-squares fit (price explained by quantity per
+    returnflag×linestatus): slope, intercept, R². The scale shape is
+    ONE partial-aggregating pass collecting the five moment sums —
+    the same single-exchange profile as any groupBy — with the fit
+    itself a scalar epilogue; no second scan, no per-group collect.
+    Cross-engine exactness: the moments are DECIMAL sums (associative
+    → shuffle-order-independent), and both engines then evaluate the
+    IDENTICAL IEEE expression over those six equal doubles, so slope /
+    intercept / R² agree bit-for-bit before the final round. Spark's
+    own regr_slope/regr_r2 exist but accumulate doubles in partition
+    order — the moments formulation is the portable (and at 100 TB,
+    the deterministic-rerun) form. Green at sf0.001/0.01/0.1."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qd = F.col("l_quantity").cast("decimal(18,4)")
+    pd_ = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        m.select(
+            "l_returnflag",
+            "l_linestatus",
+            n.cast("bigint").alias("n_rows"),
+            F.round(slope, 6).alias("slope"),
+            F.round((sy - slope * sx) / n, 4).alias("intercept"),
+            F.round(
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("r2"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (engine-portable bucketing, no width_bucket)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_histogram_bins",
+    sql="""
+    WITH b AS (
+      SELECT least(greatest(CAST(floor(l_extendedprice / 5000.0) AS INT), 0),
+                   23) AS bucket,
+             l_extendedprice, l_discount
+      FROM lineitem
+    )
+    SELECT bucket,
+           CAST(bucket * 5000 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 5000 AS DOUBLE) AS hi,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS total_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_discount
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram_bins(spark, sf_dir):
+    """Equi-width histogram of extended price (24 × 5000-wide buckets,
+    clamped ends) with per-bucket count / exact total / portable
+    average discount. Bucketing is floor(x / width) clamped with
+    least/greatest — deliberately NOT width_bucket, whose edge
+    semantics differ across engines — so the bucket id is one IEEE
+    division + floor, identical everywhere. Single
+    partial-aggregating exchange on the 24-value bucket key; the scan
+    reads only the two measure columns (projection-pruned). This is
+    the data-profiling primitive behind equi-width zone-map stats at
+    ingest. Green at sf0.001/0.01/0.1."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(23),
+    )
+    return (
+        li.select(
+            bucket.alias("bucket"), "l_extendedprice", "l_discount"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(6,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_discount"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 5000).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * 5000).cast("double").alias("hi"),
+            "n_rows",
+            "total_price",
+            "avg_discount",
+        )
+        .orderBy("bucket")
+    )
