@@ -4762,3 +4762,209 @@ def agg_histogram_bins(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency (interval analytics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_peak_concurrency",
+    sql="""
+    WITH e AS (
+      SELECT event_id, event_type, epoch(ts) AS s
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta, event_id FROM e
+      UNION ALL
+      SELECT event_type, s + 1800.0 AS t, -1 AS delta, event_id FROM e
+    ),
+    run AS (
+      SELECT event_type, t,
+             sum(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      FROM pts
+    ),
+    pk AS (
+      SELECT event_type, t, cur,
+             max(cur) OVER (PARTITION BY event_type) AS peak
+      FROM run
+    )
+    SELECT event_type,
+           CAST(max(cur) AS INT) AS peak_concurrency,
+           round(min(CASE WHEN cur = peak THEN t END), 6) AS first_peak_at
+    FROM pk GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Sweep-line interval concurrency: each event opens a 30-minute
+    interval; per event type, the peak number of simultaneously-open
+    intervals and the first instant it is reached. The classic
+    staffing/sizing analytic (max concurrent sessions), done the
+    scalable way — NOT an interval self-join (quadratic in overlap
+    depth) but the boundary-point decomposition: 2 rows per event
+    (+1 at start, -1 at end), ONE running-sum window per type, then
+    max. Tie semantics are explicit: at an exact boundary the close
+    sorts before the open (delta -1 < +1), so back-to-back intervals
+    never double-count, and event_id totally orders residual ties for
+    a deterministic replay. Time is the same CAST-to-double epoch both
+    engines share; the running sum is integer (exact). Green at
+    sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_id", "event_type", F.col("ts").cast("double").alias("s")
+        )
+    )
+    pts = e.select(
+        "event_type",
+        F.col("s").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionByName(
+        e.select(
+            "event_type",
+            (F.col("s") + F.lit(1800.0)).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    run_w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = pts.select(
+        "event_type", "t", F.sum("delta").over(run_w).alias("cur")
+    )
+    pk = run.withColumn(
+        "peak", F.max("cur").over(W.partitionBy("event_type"))
+    )
+    return (
+        pk.groupBy("event_type")
+        .agg(
+            F.max("cur").cast("int").alias("peak_concurrency"),
+            F.round(
+                F.min(F.when(F.col("cur") == F.col("peak"), F.col("t"))), 6
+            ).alias("first_peak_at"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (posting lists)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_inverted_index",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(str_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    td AS (SELECT DISTINCT term, doc_id FROM tok WHERE term <> '')
+    SELECT term,
+           count(*) AS doc_freq,
+           array_to_string(
+             list_transform(list_sort(list(doc_id))[1:20],
+                            v -> CAST(v AS VARCHAR)), ',') AS postings
+    FROM td GROUP BY term
+    ORDER BY doc_freq DESC, term LIMIT 25
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index build over the corpus: whitespace terms →
+    sorted distinct posting lists (capped at 20 doc ids for the
+    declared output) plus document frequency, top-25 terms
+    total-ordered by (doc_freq DESC, term). The search-engine ingest
+    primitive (and the exact shape of a Lucene segment build as a
+    Spark job): ONE explode pass, distinct (term, doc) pairs
+    partial-aggregated before the term exchange, collect_set bounded
+    per term. At 100 TB the posting lists are the only wide state and
+    they shard cleanly by term hash; the cap keeps the declared
+    result driver-safe while the full lists would stream to a
+    term-bucketed sink. Postings render as comma-joined strings so
+    the value hash is array-free and engine-portable. Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    td = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide n-gram top-k (non-distinct bigrams)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_ngram_topk",
+    sql="""
+    WITH toks AS (
+      SELECT str_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT unnest(
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS bigram
+      FROM toks
+    )
+    SELECT bigram, count(*) AS n_occurrences
+    FROM bg GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram LIMIT 20
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams by raw (non-distinct)
+    occurrence count — the n-gram LM / collocation-mining counting
+    pass (and the counting kernel of Kneser-Ney estimation). Reuses
+    functions.text.word_ngrams — the zip_with-over-shifted-slices
+    construction (O(tokens), not the O(tokens²) element_at-in-lambda
+    trap) shared with the dedup shingles. ONE explode → ONE
+    partial-aggregating exchange on the bigram; the top-20 cut is
+    total-ordered (count DESC, bigram). At 100 TB this is the
+    canonical map-side-combine win: partial counts collapse millions
+    of repeats per partition before the shuffle. Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.text import word_ngrams
+
+    d = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    return (
+        d.select(
+            F.explode(word_ngrams(F.col("text"), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
+    )
