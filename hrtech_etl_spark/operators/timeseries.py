@@ -184,3 +184,61 @@ def sessionize(
             .alias("total_value")
         )
     return runs.groupBy(key_col, "session_seq").agg(*aggs)
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.15,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, final value per
+    key (the streaming-metrics smoother: load averages, rate
+    estimators, drift monitors).
+
+    The recursion ``e_t = (1 - alpha) * e_{t-1} + alpha * x_t`` seeded
+    with ``e_1 = x_1`` is inherently sequential per key — a window
+    frame cannot express it (the closed form replaces the recursion
+    with a pow() sum whose floating-point result differs) — so this is
+    the Arrow-batched ``applyInPandas`` path: keys shard across
+    executors, each group replays its own history in timestamp order
+    inside one Python kernel. The loop is written as the IDENTICAL
+    IEEE expression a recursive-CTE twin evaluates
+    (``(1-a)*prev + a*x``, two multiplies then one add) so the result
+    is bit-reproducible across engines before the final round.
+
+    Scale shape: ONE exchange on the key; per-key state is a single
+    double (no materialized history); the sort is per-group inside the
+    kernel, not a global sort. Skewed keys bound the critical path —
+    the same bound any per-entity replay has.
+
+    Returns one row per key: ``(key, n_events, ewma)``.
+    """
+    import pandas as pd
+
+    one_minus = 1.0 - alpha
+    sort_cols = [ts_col, *order_cols]
+    out_key = key_col
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        e = vals[0]
+        for x in vals[1:]:
+            e = one_minus * e + alpha * x
+        return pd.DataFrame(
+            {
+                out_key: [pdf[key_col].iloc[0]],
+                "n_events": [len(vals)],
+                "ewma": [e],
+            }
+        )
+
+    src = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(key_col, *sort_cols, value_col)
+    return src.groupBy(key_col).applyInPandas(
+        kernel, f"{out_key} bigint, n_events bigint, ewma double"
+    )

@@ -4968,3 +4968,60 @@ def text_ngram_topk(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA (sequential recursion; applyInPandas vs recursive CTE)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_ewma",
+    sql="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, rn, n, CAST(value AS DOUBLE) AS ewma
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT ev.user_id, ev.rn, ev.n,
+             (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * r.ewma
+               + CAST(0.15 AS DOUBLE) * ev.value
+      FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, round(ewma, 6) AS ewma
+    FROM r WHERE rn = n ORDER BY user_id
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Per-user EWMA (alpha 0.15) of event values in time order —
+    the rate-estimator / drift-monitor smoother. The recursion
+    e_t = (1-a)·e_{t-1} + a·x_t is order-dependent and has no window
+    form, so this exercises the engine's per-key sequential-replay
+    path: operators/timeseries.py::ewma shards keys across executors
+    with ONE exchange and replays each key inside an Arrow-batched
+    applyInPandas kernel holding one double of state. The DuckDB twin
+    is a recursive CTE stepping every user one event per iteration;
+    both engines evaluate the literally-identical IEEE expression
+    ((1-a)·prev + a·x, seeded e_1 = x_1), so the smoothed values agree
+    bit-for-bit before the final round — the determinism a replayed
+    100 TB backfill needs. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.timeseries import ewma
+
+    e = load_table(spark, "events", sf_dir)
+    return (
+        ewma(
+            e,
+            "user_id",
+            "ts",
+            "value",
+            alpha=0.15,
+            order_cols=("event_id",),
+        )
+        .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
+        .orderBy("user_id")
+    )

@@ -165,3 +165,55 @@ def test_sessionize_single_window_exchange(spark):
     )
     assert n_exchange == 1, plan
     assert lower.count("sort [") <= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# ewma
+# ---------------------------------------------------------------------------
+
+def test_ewma_hand_checked(spark):
+    from hrtech_etl_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 10.0, 1),
+        (1, datetime(2024, 1, 1, 0, 5), 20.0, 2),
+        (1, datetime(2024, 1, 1, 0, 10), 30.0, 3),
+        (2, datetime(2024, 1, 1, 0, 0), 5.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double, i bigint")
+    out = {
+        r["k"]: (r["n_events"], r["ewma"])
+        for r in ewma(df, "k", "ts", "v", alpha=0.5, order_cols=("i",)).collect()
+    }
+    # k=1: e1=10, e2=0.5*10+0.5*20=15, e3=0.5*15+0.5*30=22.5
+    assert out[1] == (3, 22.5)
+    # single observation: seed only
+    assert out[2] == (1, 5.0)
+
+
+def test_ewma_order_ties_broken_by_order_cols(spark):
+    from hrtech_etl_spark.operators.timeseries import ewma
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, 100.0, 2), (1, t, 0.0, 1)],
+        "k bigint, ts timestamp, v double, i bigint",
+    )
+    # i=1 (v=0) must seed; i=2 (v=100) smooths on top: 0.5*0 + 0.5*100
+    row = ewma(df, "k", "ts", "v", alpha=0.5, order_cols=("i",)).collect()[0]
+    assert row["ewma"] == 50.0
+
+
+def test_ewma_null_ts_and_value_excluded(spark):
+    from hrtech_etl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 10.0, 1),
+            (1, None, 99.0, 2),
+            (1, datetime(2024, 1, 2), None, 3),
+        ],
+        "k bigint, ts timestamp, v double, i bigint",
+    )
+    row = ewma(df, "k", "ts", "v", order_cols=("i",)).collect()[0]
+    assert row["n_events"] == 1 and row["ewma"] == 10.0
