@@ -4810,7 +4810,10 @@ def events_peak_concurrency(spark, sf_dir):
     sorts before the open (delta -1 < +1), so back-to-back intervals
     never double-count, and event_id totally orders residual ties for
     a deterministic replay. Time is the same CAST-to-double epoch both
-    engines share; the running sum is integer (exact). Green at
+    engines share; the running sum is integer (exact). The boundary
+    pair is a per-row GENERATE (explode of a 2-struct array), not a
+    self-union — ONE events scan, plan-audited; the oracle's
+    UNION ALL spells the same point set. Green at
     sf0.001/0.01/0.1."""
     from pyspark.sql import Window as W
 
@@ -4823,17 +4826,19 @@ def events_peak_concurrency(spark, sf_dir):
     )
     pts = e.select(
         "event_type",
-        F.col("s").alias("t"),
-        F.lit(1).alias("delta"),
         "event_id",
-    ).unionByName(
-        e.select(
-            "event_type",
-            (F.col("s") + F.lit(1800.0)).alias("t"),
-            F.lit(-1).alias("delta"),
-            "event_id",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("s") + F.lit(1800.0)).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("event_type", F.col("pt.t").alias("t"), F.col("pt.delta").alias("delta"), "event_id")
     run_w = (
         W.partitionBy("event_type")
         .orderBy("t", "delta", "event_id")
