@@ -449,3 +449,132 @@ def media_frame_sample(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup)
+# ---------------------------------------------------------------------------
+
+def ahash64(content: bytes) -> int:
+    """64-bit average hash (aHash) of a decodable image: Rec.709 luma
+    → 8×8 BLOCK MEANS (true block averaging over floor-partitioned
+    extents, not nearest-neighbor sampling — robust to small jitter)
+    → threshold at the grid mean → row-major bit string, returned as a
+    SIGNED 64-bit int (two's complement) so it lands in a Spark
+    LongType without overflow. Deterministic numpy double math."""
+    import numpy as np
+
+    img = decode_image(content).astype(np.float64)
+    luma = img @ np.array([0.2126, 0.7152, 0.0722])
+    h, w = luma.shape
+    yb = (np.arange(9) * h) // 8
+    xb = (np.arange(9) * w) // 8
+    g = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            g[i, j] = luma[yb[i] : yb[i + 1], xb[j] : xb[j + 1]].mean()
+    bits = (g > g.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def media_phash(
+    df: DataFrame,
+    *,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    kernel: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """(id, media) → (id, phash): Arrow-batched perceptual hashing.
+    Same injectable-kernel contract as media_features — swap in a
+    learned hash with the identical ``bytes → int64`` signature."""
+    kern = kernel or ahash64
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [
+                        kern(bytes(m["content"])) for m in pdf[media_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over 64-bit
+    perceptual hashes — the BANDED form, never all-pairs: the hash
+    splits into ``max_hamming + 1`` contiguous bit segments; by
+    pigeonhole a pair within the threshold has at least one segment
+    with ZERO differing bits — a shared band — so the band-bucket
+    self-join has EXACT recall (the guarantee needs strictly more
+    bands than flipped bits: four 16-bit bands would silently lose
+    hamming-4..10 pairs whose flips spread across all four). Only
+    collided candidates pay the popcount verify. Everything after the
+    Python hashing kernel is JVM expressions (shift/mask/xor/
+    bit_count).
+
+    Scale shape: explode ×(h+1) on the (id, hash) table — 2 longs per
+    row, tiny — one exchange on (band_idx, band_val), verify on the
+    collided pairs only, distinct'd. Identical to the MinHash-LSH
+    band design in functions/dedup.py, specialized to fixed-width
+    integer sketches with a deterministic (not probabilistic) recall
+    floor."""
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if k < 64 % n_bands else 0) for k in range(n_bands)]
+    offsets = [sum(widths[:k]) for k in range(n_bands)]
+    b = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), offsets[k])
+                        .bitwiseAND(F.lit((1 << widths[k]) - 1))
+                        .alias("band_val"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "h", "band.band_idx", "band.band_val")
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )

@@ -5030,3 +5030,103 @@ def ts_ewma(spark, sf_dir):
         .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup via perceptual hash (aHash + banded hamming join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_phash_dedup",
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, g.hamming
+    FROM (VALUES (0, 4, 1), (1, 5, 3), (2, 6, 0), (3, 7, 1))
+         AS g(ia, ib, hamming)
+    JOIN ids a ON a.doc_id = g.ia
+    JOIN ids b ON b.doc_id = g.ib
+    ORDER BY id_a
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Image near-duplicate detection end to end: 12 deterministic
+    P6 PPM fixtures (4 base gradient patterns × 3 variants — exact
+    base, a locally-darkened near-dup, and an inverted far image) are
+    ENCODED to real binary media on the executors, perceptually
+    hashed (operators/multimodal.py::ahash64 — Rec.709 luma → 8×8
+    block means → mean threshold → 64-bit hash) inside an Arrow
+    mapInPandas kernel, and paired by the BANDED hamming join
+    (phash_near_dup_pairs: max_hamming+1 = 11 bit segments, so by
+    pigeonhole recall at the ≤10 threshold is EXACT, popcount verify
+    on collided pairs only — never all-pairs). The gate is
+    discriminative in both directions: the
+    four near-dup pairs land at hamming 0–3 and pass, while ten other
+    band-colliding candidates at hamming 12–16 must be REJECTED by
+    the verify (an all-candidates bug fails the oracle). Pinned pairs
+    are a pure function of doc_id. Green at sf0.001/0.01/0.1."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hrtech_etl_spark.operators.multimodal import (
+        encode_ppm,
+        media_column,
+        media_phash,
+        phash_near_dup_pairs,
+    )
+
+    def gen_img(d: int) -> "np.ndarray":
+        base = d % 4
+        var = d // 4
+        h, w = 40 + 4 * base, 48 + 4 * base
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (30 + 5 * base + xx * 4) % 256
+        g = (70 + 9 * base + yy * 5) % 256
+        b = (base * 40 + (xx + yy) * 3) % 256
+        img = np.stack([r, g, b], axis=2).astype(np.float64)
+        if var == 1:
+            img[: h // 5, : w // 5] = img[: h // 5, : w // 5] * 0.55
+        elif var == 2:
+            img = np.clip(255 - img + 10 * np.sin(xx[..., None] / 3.0), 0, 255)
+        return img.astype(np.uint8)
+
+    def attach(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        encode_ppm(gen_img(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(12)
+    )
+    with_content = d.mapInPandas(
+        attach,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    media = with_content.select(
+        "doc_id",
+        media_column(
+            F.col("content"), F.lit("image/x-portable-pixmap"), F.col("doc_id")
+        ).alias("media"),
+    )
+    hashes = media_phash(media)
+    return (
+        phash_near_dup_pairs(hashes, max_hamming=10)
+        .select(
+            F.col("id_a"), F.col("id_b"), F.col("hamming")
+        )
+        .orderBy("id_a")
+    )
