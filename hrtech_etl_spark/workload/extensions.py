@@ -5130,3 +5130,77 @@ def multimodal_phash_dedup(spark, sf_dir):
         )
         .orderBy("id_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (quantile scoring over entity aggregates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_rfm_segments",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             max(epoch(ts)) AS recency,
+             count(*) AS frequency,
+             sum(CAST(value AS DECIMAL(18,4))) AS monetary_d
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, monetary_d,
+             ntile(5) OVER (ORDER BY recency, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_d, user_id) AS m_score
+      FROM u
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
+           CAST(round(sum(monetary_d), 2) AS DOUBLE) AS total_value
+    FROM s GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) segmentation — the
+    marketing-analytics scoring pass: per-user aggregates, each
+    metric quintile-scored with ntile(5), users rolled up into
+    R×F×M cells. ntile's fill algorithm (first buckets one row
+    larger) is SQL-standard and identical across engines once the
+    order is TOTAL — every window orders by (metric, user_id).
+    Scale note: the three rank windows are unpartitioned, but they
+    run on the per-ENTITY aggregate (|users|, not |events| — the
+    groupBy collapsed the fact table first); at 100 TB the entity
+    table is still the small side by orders of magnitude, and the
+    production variant broadcasts approx-percentile thresholds
+    instead of ranking exactly. The monetary sum is exact DECIMAL, so
+    both the ntile order and the final per-cell total are
+    engine-portable. Green at sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    u = e.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("double")).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary_d"),
+    )
+    s = u.select(
+        "user_id",
+        "monetary_d",
+        F.ntile(5).over(W.orderBy("recency", "user_id")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary_d", "user_id")).alias("m_score"),
+    )
+    return (
+        s.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("monetary_d"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
