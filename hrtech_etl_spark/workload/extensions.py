@@ -5204,3 +5204,65 @@ def events_rfm_segments(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (asymmetric quote/subset duplication)
+# ---------------------------------------------------------------------------
+
+def _containment_oracle_sql() -> str:
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_distinct(list_transform({shingles_sql(k=3)},
+                                          s -> {_PH_S})) AS sh
+      FROM documents
+    ),
+    ex AS MATERIALIZED (
+      SELECT id, unnest(sh) AS shv FROM s WHERE len(sh) > 0
+    ),
+    keep AS (
+      SELECT shv FROM ex GROUP BY shv HAVING count(*) <= 16
+    ),
+    ex2 AS MATERIALIZED (
+      SELECT e.id, e.shv FROM ex e JOIN keep k ON e.shv = k.shv),
+    sizes AS (SELECT id, count(*) AS n_sh FROM ex2 GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM ex2 a JOIN ex2 b ON a.shv = b.shv AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, inter,
+           round(CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) >= 0.5
+    ORDER BY containment DESC, id_a, id_b
+    LIMIT 50
+    """
+
+
+@query("dedup_containment", sql=_containment_oracle_sql())
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle CONTAINMENT pairs (Broder's containment, the
+    quote/subset-duplication detector): |A∩B| / min(|A|,|B|) over
+    hashed 3-gram shingle sets, threshold 0.5 — catches a short doc
+    quoted inside a long one, which union-relative Jaccard
+    structurally misses. functions/dedup.py::shingle_containment_pairs
+    builds candidates from shingle co-occurrence (explode → stop-
+    shingle valve at doc-freq 16 → ONE shingle self-join whose
+    group-by-pair count IS the intersection size) — never all-pairs;
+    the valve bounds fan-out at max_doc_freq² per shingle. Top-50
+    pairs total-ordered (containment DESC, id_a, id_b). The oracle
+    replays the identical hashed-shingle pipeline in DuckDB. Green at
+    sf0.001/0.01/0.1."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        dd.shingle_containment_pairs(
+            d, "text", "doc_id", shingle_k=3, threshold=0.5, max_doc_freq=16
+        )
+        .orderBy(F.desc("containment"), "id_a", "id_b")
+        .limit(50)
+    )
