@@ -86,6 +86,17 @@ EXTENDED = [
     "agg_market_basket",
     "events_transition_matrix",
     "graph_pagerank",
+    # round 10, second half
+    "join_star_multiway",
+    "agg_groupwise_ols",
+    "agg_histogram_bins",
+    "events_peak_concurrency",
+    "text_inverted_index",
+    "text_ngram_topk",
+    "ts_ewma",
+    "multimodal_phash_dedup",
+    "events_rfm_segments",
+    "dedup_containment",
 ]
 
 
