@@ -5266,3 +5266,211 @@ def dedup_containment(spark, sf_dir):
         .orderBy(F.desc("containment"), "id_a", "id_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-SQL surface: TPC-H Q14 (promo revenue share) via spark.sql
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+    SELECT CAST(100.0 AS DOUBLE)
+             * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+                    AS DOUBLE) AS promo_revenue_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@query(
+    "sql_tpch_q14",
+    sql=f"SELECT round(promo_revenue_pct, 6) AS promo_revenue_pct, n_items"
+        f" FROM ({_Q14_SQL})",
+)
+def sql_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promo revenue share) run through the RAW SQL
+    surface: the tables register as temp views and the IDENTICAL ANSI
+    text executes via spark.sql() — demonstrating that the engine's
+    declared queries don't depend on the DataFrame builder API; a
+    reference user can paste SQL. The one dialect difference is the
+    epilogue rounding (outer SELECT); the query text itself is shared
+    verbatim with the DuckDB oracle. Portability: both CASE branches
+    are DECIMAL so each engine forms the same two exact sums, then one
+    IEEE division and scale by 100. Catalyst pushes the shipdate range
+    to the scan and broadcasts the date-pruned side as usual — SQL in,
+    same physical plan out. Green at sf0.001/0.01/0.1."""
+    for t in ("lineitem", "part"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(
+        f"SELECT round(promo_revenue_pct, 6) AS promo_revenue_pct, n_items"
+        f" FROM ({_Q14_SQL})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive predicate join (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_disjunctive_pushdown",
+    sql="""
+    SELECT count(*) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def join_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19's disjunctive join shape: an OR of three
+    (brand, size-range, quantity-range) conjuncts straddling both
+    sides of the part⨝lineitem join. The optimizer test is predicate
+    DECOMPOSITION: the single-side residues of the disjunction —
+    p_brand IN (12,23,34) AND p_size BETWEEN 1 AND 35 on part,
+    l_quantity BETWEEN 1 AND 30 on lineitem — are derivable and
+    Catalyst derives them (CNF extraction), pushing both into the
+    parquet scans so the join probes only candidate rows; the full
+    OR evaluates as the join residual. Verified in the executed plan:
+    both FileScans carry PushedFilters well beyond isnotnull. Exact
+    DECIMAL revenue. Green at sf0.001/0.01/0.1."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return j.where(clause).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (marketing funnel credit assignment)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_attribution_last_touch",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch(ts) AS ep, ts
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    w AS (
+      SELECT *,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER win AS attributed_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ep END IGNORE NULLS)
+               OVER win AS attributed_ep
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT attributed_type,
+           count(*) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS attributed_value
+    FROM w
+    WHERE event_type = 'purchase'
+      AND attributed_ep IS NOT NULL
+      AND ep - attributed_ep <= 604800.0
+    GROUP BY attributed_type ORDER BY attributed_type
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase credits the user's most
+    recent NON-purchase touchpoint within a 7-day lookback — the
+    marketing-attribution primitive (and a per-entity as-of join
+    expressed windowed, without a second table). The carrier is
+    last_value(... IGNORE NULLS) over ROWS UNBOUNDED PRECEDING..1
+    PRECEDING — the same forward-fill idiom as
+    resample_forward_fill, here conditioned to skip other purchases —
+    so ONE key exchange serves both the credited type and its
+    timestamp; the lookback cut compares the shared CAST-to-double
+    epochs. Attributed value is the exact DECIMAL purchase sum per
+    credited channel. Green at sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("double").alias("ep"),
+        "ts",
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nonpurchase_type = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    nonpurchase_ep = F.when(F.col("event_type") != "purchase", F.col("ep"))
+    w = e.select(
+        "event_type",
+        "value",
+        "ep",
+        F.last(nonpurchase_type, ignorenulls=True).over(win).alias(
+            "attributed_type"
+        ),
+        F.last(nonpurchase_ep, ignorenulls=True).over(win).alias(
+            "attributed_ep"
+        ),
+    )
+    return (
+        w.where(
+            (F.col("event_type") == "purchase")
+            & F.col("attributed_ep").isNotNull()
+            & (F.col("ep") - F.col("attributed_ep") <= 604800.0)
+        )
+        .groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("attributed_type")
+    )
