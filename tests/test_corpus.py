@@ -575,3 +575,49 @@ def test_temperature_targets_properties():
         assert all(tc[s] <= n[s] for s in tc)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# span_corruption
+# ---------------------------------------------------------------------------
+
+def test_span_corruption_reconstruction_invariants(spark):
+    """Masked + surviving tokens partition the document: replacing
+    each sentinel in the input with its target span rebuilds the
+    normalized text exactly."""
+    from hrtech_etl_spark.operators.corpus import span_corruption
+
+    rows = [(i, " ".join(f"w{j}" for j in range(1, 20 + i))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_corruption(df, "text", "doc_id", span_len=3, mask_pct=40)
+    for r in out.collect():
+        orig = dict(rows)[r["doc_id"]]
+        # target: sentinel followed by its span tokens
+        spans = {}
+        cur = None
+        for tok in r["target_text"].split():
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in r["input_text"].split():
+            rebuilt.extend(spans[tok] if tok in spans else [tok])
+        assert " ".join(rebuilt) == orig
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+        assert r["n_tokens"] == len(orig.split())
+
+
+def test_span_corruption_deterministic_and_zero_pct(spark):
+    from hrtech_etl_spark.operators.corpus import span_corruption
+
+    df = spark.createDataFrame(
+        [(7, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    a = span_corruption(df, "text", "doc_id").collect()[0]
+    b = span_corruption(df, "text", "doc_id").collect()[0]
+    assert tuple(a) == tuple(b)
+    none = span_corruption(df, "text", "doc_id", mask_pct=0).collect()[0]
+    assert none["n_masked"] == 0 and none["target_text"] == ""
+    assert none["input_text"] == "a b c d e f g h i j"
