@@ -755,3 +755,50 @@ def random_projection(
                 acc = acc - F.element_at(F.col(vec_col), d + 1).cast("double")
         cols.append(F.round(F.lit(scale) * acc, round_to).alias(f"y{j}"))
     return embeddings.select(*cols)
+
+
+def diverse_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    per_label: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Diversity-constrained retrieval: exact cosine top-k subject to a
+    per-label quota — at most ``per_label`` results from any one label
+    (cluster / source / domain). The practical RAG result-diversity
+    rule (the quota form of MMR: instead of an inherently sequential
+    marginal-relevance argmax, diversity is a declarative constraint),
+    so the whole thing stays a scan + one label-partitioned rank
+    window + global top-k: the window prunes as WindowGroupLimit
+    (per-partition running top-``per_label``, nothing materializes the
+    full rank), then TakeOrderedAndProject cuts ``k``. Ties break on
+    id everywhere for determinism."""
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    scored = _spread(embeddings).crossJoin(q).select(
+        F.col(id_col),
+        F.col(label_col),
+        cosine_vs(F.col(vec_col), F.col("__qvec"), F.col("__qn")).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy(label_col).orderBy(F.desc("score"), F.col(id_col))
+    )
+    return (
+        scored.withColumn("__rk", rk)
+        .where(F.col("__rk") <= per_label)
+        .drop("__rk")
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

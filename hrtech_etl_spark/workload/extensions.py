@@ -5543,3 +5543,40 @@ def corpus_span_corruption(spark, sf_dir):
         F.md5(F.col("input_text")).alias("input_md5"),
         F.md5(F.col("target_text")).alias("target_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Diversity-constrained retrieval (per-label quota top-k)
+# ---------------------------------------------------------------------------
+
+_VD_EXT = VEC_DOUBLE.format(v="embedding")
+
+@query(
+    "sim_diverse_topk",
+    sql=f"""
+    WITH q AS (SELECT {_VD_EXT} AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, label, {_VD_EXT} AS v FROM embeddings),
+    s AS (SELECT e.vec_id, e.label, {cosine_sql('e.v', 'q.qv')} AS score
+          FROM e, q),
+    r AS (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY score DESC, vec_id) AS rk
+          FROM s)
+    SELECT vec_id, label, score FROM r WHERE rk <= 2
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def sim_diverse_topk(spark, sf_dir):
+    """Diversity-constrained cosine retrieval
+    (functions/similarity.py::diverse_topk): exact top-10 vs the
+    vec_id=0 query under an at-most-2-per-label quota — the
+    declarative (quota) form of MMR result diversification; the
+    sequential marginal-relevance argmax becomes a label-partitioned
+    rank window that Spark executes as WindowGroupLimit (running
+    top-2 per label, no full rank materialized) followed by
+    TakeOrderedAndProject. One corpus scan, the 1-row query side
+    broadcast with its norm hoisted. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.diverse_topk(e, q, per_label=2, k=10)
