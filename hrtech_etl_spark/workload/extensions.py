@@ -5580,3 +5580,191 @@ def sim_diverse_topk(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     q = e.where(F.col("vec_id") == 0)
     return sim.diverse_topk(e, q, per_label=2, k=10)
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU engagement (distinct-user activity ratios)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_dau_mau",
+    sql="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             date_trunc('month', ts) AS month,
+             user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    dau AS (
+      SELECT month, day, count(DISTINCT user_id) AS dau
+      FROM d GROUP BY month, day
+    ),
+    mau AS (
+      SELECT month, count(DISTINCT user_id) AS mau FROM d GROUP BY month
+    )
+    SELECT CAST(dau.month AS TIMESTAMP) AS month, count(*) AS n_days,
+           CAST(min(dau.dau) AS BIGINT) AS min_dau,
+           CAST(max(dau.dau) AS BIGINT) AS max_dau,
+           CAST(max(mau.mau) AS BIGINT) AS mau,
+           round(CAST(sum(dau.dau) AS DOUBLE) / count(*) / max(mau.mau), 6)
+             AS stickiness
+    FROM dau JOIN mau ON dau.month = mau.month
+    GROUP BY dau.month ORDER BY month
+    """,
+)
+def events_dau_mau(spark, sf_dir):
+    """DAU/MAU engagement profile — the product-analytics staple: per
+    month, the daily-active-user spread, monthly actives, and the
+    stickiness ratio avg(DAU)/MAU. Two exact COUNT(DISTINCT user)
+    aggregations at different grains; Spark expands each to the
+    two-phase distinct plan (partial dedup of (grain, user) before
+    the count exchange — the same shape as a 100 TB engagement job,
+    where the (day,user) dedup is the bulk of the work and
+    partial-aggregates map-side). The month join is tiny and
+    broadcasts. Stickiness divides two already-identical exact
+    numbers, one IEEE division per engine. Green at
+    sf0.001/0.01/0.1."""
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+        "user_id",
+    )
+    dau = e.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = e.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("dau").cast("bigint").alias("min_dau"),
+            F.max("dau").cast("bigint").alias("max_dau"),
+            F.max("mau").cast("bigint").alias("mau"),
+            F.round(
+                F.sum("dau").cast("double")
+                / F.count(F.lit(1))
+                / F.max("mau"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (cumulative-weight rule, no interpolation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_weighted_median",
+    sql="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS x,
+             CAST(l_quantity AS DECIMAL(18,4)) AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, x, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY x, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    )
+    SELECT l_returnflag,
+           min(x) AS weighted_median,
+           CAST(round(max(tw), 2) AS DOUBLE) AS total_weight
+    FROM c WHERE cw * 2 >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """EXACT weighted median (lower weighted median: the smallest x
+    whose cumulative weight reaches half the total) of extended price
+    weighted by quantity, per return flag — the exact-quantile
+    complement to the KLL sketch entry, and deliberately
+    interpolation-free: engines disagree on percentile interpolation,
+    but the cumulative-weight threshold rule is pure comparisons on
+    exact DECIMAL weights, so the answer is a row VALUE both engines
+    pick identically (ties in x totally ordered by (x, wt)). ONE key
+    exchange serves both windows (running and total weight share the
+    partition). Green at sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("wt"),
+    )
+    cw = F.sum("wt").over(
+        W.partitionBy("l_returnflag")
+        .orderBy("x", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tw = F.sum("wt").over(W.partitionBy("l_returnflag"))
+    c = li.select(
+        "l_returnflag", "x", cw.alias("cw"), tw.alias("tw")
+    )
+    return (
+        c.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("x").alias("weighted_median"),
+            F.round(F.max("tw"), 2).cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode (most frequent value, total-ordered ties)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_mode_per_group",
+    sql="""
+    WITH f AS (
+      SELECT l_returnflag, l_quantity AS v, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY cnt DESC, v) AS rk
+      FROM f
+    )
+    SELECT l_returnflag, v AS mode_quantity, CAST(cnt AS BIGINT) AS n_occurrences
+    FROM r WHERE rk = 1 ORDER BY l_returnflag
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Per-group MODE with deterministic tie-break (smallest value
+    wins) — engines' native mode() leaves ties implementation-defined,
+    so the portable form is the two-level reduction: count per
+    (group, value) — partial-aggregated map-side, the only pass over
+    the data — then a rank window over the tiny (group, value)
+    frequency table. The frequency table is the compressed
+    representation (|distinct values| rows, not |rows|), so the window
+    is cheap at any scale. Green at sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    f = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), "v")
+    )
+    return (
+        f.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("v").alias("mode_quantity"),
+            F.col("cnt").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("l_returnflag")
+    )
