@@ -5768,3 +5768,179 @@ def agg_mode_per_group(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality rule profile (single-scan validation sums + unpivot)
+# ---------------------------------------------------------------------------
+
+@query(
+    "etl_data_quality_profile",
+    sql="""
+    WITH s AS (
+      SELECT count(*) AS total,
+        sum(CASE WHEN NOT (value <= 400.0) THEN 1 ELSE 0 END) AS v_upper,
+        sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS v_neg,
+        sum(CASE WHEN event_type NOT IN
+                 ('click','view','purchase','signup') THEN 1 ELSE 0 END)
+          AS v_type,
+        sum(CASE WHEN NOT (CAST(json_extract_string(props, '$.k') AS INT)
+                           BETWEEN 0 AND 80) THEN 1 ELSE 0 END) AS v_props
+      FROM events
+    ),
+    r AS (
+      SELECT 'props_k_range' AS rule, v_props AS n_violations, total FROM s
+      UNION ALL SELECT 'type_known', v_type, total FROM s
+      UNION ALL SELECT 'value_nonneg', v_neg, total FROM s
+      UNION ALL SELECT 'value_upper', v_upper, total FROM s
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           round(CAST(n_violations AS DOUBLE) / total, 6) AS violation_rate
+    FROM r ORDER BY rule
+    """,
+)
+def etl_data_quality_profile(spark, sf_dir):
+    """Declarative data-quality rule profile (the Deequ/dbt-test
+    shape): four validation rules — value ceiling, non-negativity,
+    event-type whitelist, JSON-prop range — evaluated as conditional
+    sums in ONE scan of the fact table, then unpivoted to one row per
+    rule via stack(). The single-pass design is the point at 100 TB:
+    N rules cost one read, not N; adding a rule is adding a column
+    expression. Two rules are violated in this corpus (type_known
+    catches the 'error' events, value_upper the heavy tail) and two
+    pass — the gate pins both directions. NULL comparisons fall to
+    the ELSE branch in both engines (CASE WHEN NULL). Green at
+    sf0.001/0.01/0.1."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = e.agg(
+        F.count(F.lit(1)).alias("total"),
+        viol(~(F.col("value") <= 400.0)).alias("v_upper"),
+        viol(F.col("value") < 0).alias("v_neg"),
+        viol(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup")
+        ).alias("v_type"),
+        viol(~k.between(0, 80)).alias("v_props"),
+    )
+    stacked = agg.select(
+        F.col("total"),
+        F.expr(
+            "stack(4, 'props_k_range', v_props, 'type_known', v_type,"
+            " 'value_nonneg', v_neg, 'value_upper', v_upper)"
+            " AS (rule, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "rule",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.round(
+            F.col("n_violations").cast("double") / F.col("total"), 6
+        ).alias("violation_rate"),
+    ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Triangle count + global clustering coefficient
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_triangle_count",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e AS (
+      SELECT a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.pb = e2.pa
+      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    ),
+    agg AS (
+      SELECT count(*) AS n_nodes,
+             CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT agg.n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           agg.n_wedges,
+           round(3.0 * tri.n_triangles / agg.n_wedges, 6)
+             AS clustering_coeff
+    FROM agg, tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count + global clustering coefficient over the
+    strong (co-occurrence weight ≥ 2) part graph — the second graph
+    kernel next to PageRank, and the standard cohesion metric for
+    link-graph corpus curation. The compact-forward algorithm: edges
+    stored once with pa < pb, wedges from ONE edge-edge join
+    (pb = pa chains give a < b < c, each triangle counted exactly
+    once), closed by a semi-check join on (a, c); the weight-≥ 2
+    prune is the documented densification valve (the raw co-occurrence
+    graph's wedge count grows quadratically in order width). Degrees
+    and wedge totals are exact integers; the coefficient is one IEEE
+    expression both engines share. Green at sf0.001/0.01/0.1."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        agg.crossJoin(tri)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
