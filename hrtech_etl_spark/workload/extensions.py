@@ -5944,3 +5944,142 @@ def graph_triangle_count(spark, sf_dir):
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient (rank-weighted exact sums)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_gini_coefficient",
+    sql="""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS x
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    r AS (
+      SELECT segment, x,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY x, c_custkey) AS i
+      FROM cust
+    ),
+    s AS (
+      SELECT segment, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS t,
+             CAST(sum(i * x) AS DOUBLE) AS sw
+      FROM r GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_customers,
+           round(t, 2) AS total_revenue,
+           round(2.0 * sw / (n * t) - (n + 1.0) / n, 6) AS gini
+    FROM s ORDER BY segment
+    """,
+)
+def agg_gini_coefficient(spark, sf_dir):
+    """Gini concentration of customer revenue per market segment —
+    the inequality/concentration metric behind whale-detection and
+    corpus source-skew reports. The rank formulation
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs each value's GLOBAL rank
+    within its segment — ONE window exchange on the per-customer
+    aggregate (entity-sized, like the RFM entry), totally ordered by
+    (x, custkey) so tied revenues rank identically everywhere. Both
+    Σx and the rank-weighted Σ(i·x) stay exact DECIMAL until the
+    single shared IEEE epilogue. Green at sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    cust = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("x"))
+    )
+    i = F.row_number().over(
+        W.partitionBy("segment").orderBy("x", "c_custkey")
+    )
+    r = cust.select("segment", "x", i.alias("i"))
+    s = r.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("t"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("sw"),
+    )
+    return s.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round("t", 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("sw") / (F.col("n") * F.col("t"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Sliding peak event rate (RANGE frame over epoch seconds)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_peak_rate_window",
+    sql="""
+    WITH e AS (
+      SELECT event_type, event_id, epoch(ts) AS ep
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type, ep,
+             count(*) OVER (PARTITION BY event_type ORDER BY ep
+                            RANGE BETWEEN 3600.0 PRECEDING
+                                      AND CURRENT ROW) AS cnt_1h
+      FROM e
+    ),
+    pk AS (
+      SELECT event_type, ep, cnt_1h,
+             max(cnt_1h) OVER (PARTITION BY event_type) AS peak
+      FROM w
+    )
+    SELECT event_type,
+           CAST(max(cnt_1h) AS BIGINT) AS peak_rate_1h,
+           round(min(CASE WHEN cnt_1h = peak THEN ep END), 6)
+             AS first_peak_at
+    FROM pk GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_peak_rate_window(spark, sf_dir):
+    """Peak 1-hour event rate per type — the burst/alerting primitive
+    (max events in any trailing hour, and when it first happens),
+    expressed with a RANGE frame over CAST-to-double epoch seconds:
+    the frame boundary is a VALUE offset (3600 s), not a row count,
+    so bursty and sparse periods window correctly — the semantics
+    ROWS frames cannot express. RANGE peers (tied epochs) aggregate
+    identically in both engines, making the running count exact; ONE
+    key exchange serves the sliding count and the per-type max.
+    Green at sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", F.col("ts").cast("double").alias("ep"))
+    # PySpark's Window.rangeBetween only accepts integral offsets; the
+    # fractional-seconds RANGE boundary needs the SQL window form.
+    cnt = F.expr(
+        "count(*) OVER (PARTITION BY event_type ORDER BY ep"
+        " RANGE BETWEEN 3600.0 PRECEDING AND CURRENT ROW)"
+    )
+    w = e.select("event_type", "ep", cnt.alias("cnt_1h"))
+    pk = w.withColumn(
+        "peak", F.max("cnt_1h").over(W.partitionBy("event_type"))
+    )
+    return (
+        pk.groupBy("event_type")
+        .agg(
+            F.max("cnt_1h").cast("bigint").alias("peak_rate_1h"),
+            F.round(
+                F.min(F.when(F.col("cnt_1h") == F.col("peak"), F.col("ep"))),
+                6,
+            ).alias("first_peak_at"),
+        )
+        .orderBy("event_type")
+    )
