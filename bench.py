@@ -97,6 +97,18 @@ EXTENDED = [
     "multimodal_phash_dedup",
     "events_rfm_segments",
     "dedup_containment",
+    "sql_tpch_q14",
+    "join_disjunctive_pushdown",
+    "events_attribution_last_touch",
+    "corpus_span_corruption",
+    "sim_diverse_topk",
+    "events_dau_mau",
+    "agg_weighted_median",
+    "agg_mode_per_group",
+    "etl_data_quality_profile",
+    "graph_triangle_count",
+    "agg_gini_coefficient",
+    "events_peak_rate_window",
 ]
 
 
