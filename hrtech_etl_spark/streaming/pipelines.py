@@ -498,3 +498,96 @@ def foreach_batch_scd2(
         _swap_in(spark, tmp, target)
 
     return sink
+
+
+def foreach_batch_ewma(
+    state_path: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.15,
+    order_cols: Sequence[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a per-key EWMA state table — the
+    incremental-materialization form of
+    ``operators/timeseries.py::ewma``: each micro-batch folds its rows
+    (time-ordered within the batch) on top of the stored smoother
+    value, so the state after the last batch is BIT-EQUAL to the batch
+    recursion over the whole history. Per-key state is two numbers
+    (ewma, n_events) — the O(keys) footprint that makes a 100 TB
+    backfill resumable instead of recomputed.
+
+    Contract: micro-batches must arrive time-ordered PER KEY (the
+    FileStreamSource oldest-first feed over time-sliced files, or any
+    log-ordered source) — unlike the upsert/SCD2 sinks, EWMA folding
+    is order-DEPENDENT and a late row cannot be retro-folded; feed
+    discipline is the price of O(1) state. Uses the same staged-swap
+    crash machinery as the other sinks (a crash mid-swap recovers from
+    ``.__old`` on the replayed batch).
+    """
+    import pandas as pd
+
+    from hrtech_etl_spark.operators.upsert import (
+        _dataset_exists,
+        _recover_swap,
+        _swap_in,
+    )
+
+    one_minus = 1.0 - alpha
+    sort_cols = [ts_col, *order_cols]
+    out_schema = f"{key_col} bigint, n_events bigint, ewma double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        seed = pdf["__seed"].iloc[0]
+        seed_n = pdf["__seed_n"].iloc[0]
+        if pd.isna(seed):
+            e, n0, rest = vals[0], 0, vals[1:]
+        else:
+            e, n0, rest = float(seed), int(seed_n), vals
+        for x in rest:
+            e = one_minus * e + alpha * x
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [n0 + len(vals)],
+                "ewma": [e],
+            }
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = state_path.rstrip("/")
+        _recover_swap(spark, target)
+        batch = batch_df.where(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        ).select(key_col, *sort_cols, value_col)
+        has_state = _dataset_exists(spark, target)
+        if has_state:
+            state = spark.read.parquet(target)
+            seeds = state.select(
+                key_col,
+                F.col("ewma").alias("__seed"),
+                F.col("n_events").alias("__seed_n"),
+            )
+            joined = batch.join(seeds, key_col, "left")
+        else:
+            joined = batch.withColumn(
+                "__seed", F.lit(None).cast("double")
+            ).withColumn("__seed_n", F.lit(None).cast("bigint"))
+        updated = joined.groupBy(key_col).applyInPandas(kernel, out_schema)
+        if not has_state:
+            # bootstrap: no live table to swap out yet
+            updated.write.mode("overwrite").parquet(target)
+            return
+        untouched = state.join(
+            batch.select(key_col).distinct(), key_col, "left_anti"
+        )
+        updated = updated.unionByName(untouched)
+        staged = target + ".__tmp"
+        updated.write.mode("overwrite").parquet(staged)
+        _swap_in(spark, staged, target)
+
+    return sink
