@@ -578,3 +578,26 @@ def phash_near_dup_pairs(
         cand.where(ham <= max_hamming)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
     )
+
+
+def afp64(content: bytes) -> int:
+    """64-bit audio spectral fingerprint (the aHash of audio): PCM WAV
+    → rFFT magnitude spectrum → 64 equal-width band energies →
+    threshold at the mean band energy → signed 64-bit int. Mean
+    thresholding (not neighbor deltas) keeps harmonic content stable:
+    a tonal signal sets only the bands holding its partials, so a
+    faint added overtone flips ~1 bit while different pitches or a
+    chirp move many. Same ``bytes → int64`` kernel contract as
+    :func:`ahash64` — :func:`phash_near_dup_pairs` consumes either."""
+    import numpy as np
+
+    x, _sr = decode_wav(content)
+    spec = np.abs(np.fft.rfft(np.asarray(x, dtype=np.float64)))
+    n = len(spec)
+    bounds = (np.arange(65) * n) // 64
+    e = np.array([spec[bounds[i] : bounds[i + 1]].sum() for i in range(64)])
+    bits = e > e.mean()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v

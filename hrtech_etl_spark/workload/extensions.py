@@ -6189,3 +6189,108 @@ def stream_ewma_sink(spark, sf_dir):
         .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup via spectral fingerprint (banded hamming join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_audio_phash_dedup",
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, g.hamming
+    FROM (VALUES (0, 4, 1), (1, 5, 1), (2, 6, 1), (3, 7, 1))
+         AS g(ia, ib, hamming)
+    JOIN ids a ON a.doc_id = g.ia
+    JOIN ids b ON b.doc_id = g.ib
+    ORDER BY id_a
+    """,
+)
+def multimodal_audio_phash_dedup(spark, sf_dir):
+    """Audio near-duplicate detection end to end — the acoustic
+    sibling of multimodal_phash_dedup: 12 deterministic PCM WAV
+    fixtures (4 two-tone chords × 3 variants — exact base, a faint
+    +overtone near-dup, and a base-keyed chirp) are synthesized and
+    RIFF-encoded on the executors, fingerprinted
+    (operators/multimodal.py::afp64 — rFFT → 64 band energies → mean
+    threshold) in an Arrow mapInPandas kernel, and paired by the SAME
+    banded hamming join as the image path (max_hamming 2 → 3 segments,
+    pigeonhole-exact recall). Discriminative both ways: the four
+    overtone pairs land at hamming 1 and pass; the nearest impostors
+    (adjacent chords, hamming 3-6; chirps, 9-10) band-collide as
+    candidates and must be REJECTED by the popcount verify. Green at
+    sf0.001/0.01/0.1."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hrtech_etl_spark.operators.multimodal import (
+        afp64,
+        media_column,
+        media_phash,
+        phash_near_dup_pairs,
+    )
+
+    def gen_wav(d: int) -> bytes:
+        sr = 8000
+        t = np.arange(int(sr * 0.5)) / sr
+        base, var = d % 4, d // 4
+        f1, f2 = 220.0 * (base + 1), 330.0 * (base + 1)
+        x = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(
+            2 * np.pi * f2 * t
+        )
+        x = x + 0.1 * np.sin(2 * np.pi * (800.0 + 55.0 * base) * t)
+        if var == 1:
+            x = x + 0.12 * np.sin(2 * np.pi * 1900.0 * t)
+        elif var == 2:
+            x = 0.7 * np.sin(
+                2 * np.pi * (300.0 * (base + 1) + 1800.0 * t) * t
+            )
+        pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def attach(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [gen_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(12)
+    )
+    with_content = d.mapInPandas(
+        attach,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    media = with_content.select(
+        "doc_id",
+        media_column(
+            F.col("content"), F.lit("audio/wav"), F.col("doc_id")
+        ).alias("media"),
+    )
+    hashes = media_phash(media, kernel=afp64)
+    return (
+        phash_near_dup_pairs(hashes, max_hamming=2)
+        .orderBy("id_a")
+    )
