@@ -6294,3 +6294,83 @@ def multimodal_audio_phash_dedup(spark, sf_dir):
         phash_near_dup_pairs(hashes, max_hamming=2)
         .orderBy("id_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (distributed vector aggregation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_label_centroids",
+    sql="""
+    WITH pos AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ),
+    dim AS (
+      SELECT label, pos,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             count(*) AS n
+      FROM pos GROUP BY label, pos
+    ),
+    m AS (SELECT label, pos, n, s / n AS mean FROM dim)
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vectors,
+           round(sqrt(CAST(sum(CAST(mean * mean AS DECIMAL(38,20)))
+                           AS DOUBLE)), 6) AS centroid_norm,
+           round(max(CASE WHEN pos = 0 THEN mean END), 6) AS m0,
+           round(max(CASE WHEN pos = 1 THEN mean END), 6) AS m1,
+           round(max(CASE WHEN pos = 2 THEN mean END), 6) AS m2,
+           round(max(CASE WHEN pos = 3 THEN mean END), 6) AS m3
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def sim_label_centroids(spark, sf_dir):
+    """Distributed per-label embedding centroids — the E-step /
+    class-prototype vector aggregation: posexplode to (label, dim,
+    value), ONE partial-aggregating exchange on (label, dim), means
+    assembled per label. Float determinism twice over: per-dimension
+    sums are quantized DECIMAL(38,12) BEFORE the commutative addition
+    (the portable-float-sum idiom shared with PageRank — a plain
+    double sum would vary with shuffle order on both engines), and
+    the centroid norm sums the squared means through DECIMAL(38,20)
+    so the 64-term reduction is order-free too; each mean is then ONE
+    shared IEEE division. At 100 TB this is the shape that scales:
+    no collect, no per-label vector concat, skew bounded by
+    |labels|×dim. Green at sf0.001/0.01/0.1."""
+    e = load_table(spark, "embeddings", sf_dir)
+    pos = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    dim = pos.groupBy("label", "pos").agg(
+        F.sum(F.col("v").cast("decimal(38,12)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = dim.select(
+        "label", "pos", "n", (F.col("s") / F.col("n")).alias("mean")
+    )
+    pick = lambda k: F.round(  # noqa: E731
+        F.max(F.when(F.col("pos") == k, F.col("mean"))), 6
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("mean") * F.col("mean")).cast(
+                            "decimal(38,20)"
+                        )
+                    ).cast("double")
+                ),
+                6,
+            ).alias("centroid_norm"),
+            pick(0).alias("m0"),
+            pick(1).alias("m1"),
+            pick(2).alias("m2"),
+            pick(3).alias("m3"),
+        )
+        .orderBy("label")
+    )
