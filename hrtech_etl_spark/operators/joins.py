@@ -202,3 +202,57 @@ def last_wins_dedup(df: DataFrame, key: str, order_cols: Sequence[Column]) -> Da
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: Column,
+    left_end: Column,
+    right_start: Column,
+    right_end: Column,
+    bucket_seconds: int,
+    extra_on: Column | None = None,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open semantics:
+    ``l.start < r.end AND r.start < l.end``) — the temporal/genomic
+    overlap join Spark has no native operator for. Same grid idea as
+    :func:`bucketed_range_join`, extended to two interval sides: both
+    sides explode to the grid cells they cover and equi-join on the
+    cell, which bounds the pair space to per-cell products.
+
+    The duplicate problem — an overlapping pair shares EVERY cell the
+    overlap region spans — is solved without a distinct: a pair is
+    accepted only in the cell containing ``greatest(l.start,
+    r.start)``, a point every truly-overlapping pair covers in both
+    intervals, so each pair survives in EXACTLY one cell. No post-join
+    dedup exchange, one shuffle on (cell, extra key).
+    """
+    cell_l = F.explode(
+        F.sequence(
+            F.floor(left_start / bucket_seconds).cast("long"),
+            F.floor(left_end / bucket_seconds).cast("long"),
+        )
+    )
+    cell_r = F.explode(
+        F.sequence(
+            F.floor(right_start / bucket_seconds).cast("long"),
+            F.floor(right_end / bucket_seconds).cast("long"),
+        )
+    )
+    l2 = left.withColumn("__cell", cell_l)
+    r2 = right.withColumn("__cell", cell_r)
+    anchor = (
+        F.floor(F.greatest(left_start, right_start) / bucket_seconds)
+        .cast("long")
+    )
+    cond = (
+        (l2["__cell"] == r2["__cell"])
+        & (left_start < right_end)
+        & (right_start < left_end)
+        & (l2["__cell"] == anchor)
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    return l2.join(r2, cond).drop("__cell")
