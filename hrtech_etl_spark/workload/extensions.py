@@ -6449,3 +6449,156 @@ def join_interval_overlap(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (exact rank-based clamping, no interpolation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_winsorized_mean",
+    sql="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS x,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    cuts AS (
+      SELECT l_returnflag,
+             min(CASE WHEN rk = greatest(CAST(ceil(0.01 * n) AS BIGINT), 1)
+                      THEN x END) AS lo,
+             min(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                      THEN x END) AS hi
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           CAST(max(r.n) AS BIGINT) AS n_rows,
+           round(max(cuts.lo), 2) AS p01_cut,
+           round(max(cuts.hi), 2) AS p99_cut,
+           round(CAST(sum(CAST(least(greatest(r.x, cuts.lo), cuts.hi)
+                               AS DECIMAL(18,4))) AS DOUBLE)
+                 / max(r.n), 4) AS winsorized_mean
+    FROM r JOIN cuts ON r.l_returnflag = cuts.l_returnflag
+    GROUP BY r.l_returnflag ORDER BY r.l_returnflag
+    """,
+)
+def agg_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per group — the robust-statistics clamp (heavy
+    tails pulled to the exact p01/p99 order statistics before
+    averaging; the third robustness tool next to MAD and the weighted
+    median). Cuts are RANK-based row values (rk = ceil(q·n), totally
+    ordered by (x, orderkey, linenumber)) — no interpolation, so both
+    engines pick the identical rows — then one broadcast-sized cut
+    table clamps the scan and the clamped sum stays exact DECIMAL.
+    ONE rank-window exchange + one broadcast join; percentile
+    INTERPOLATION differences across engines are designed out. Green
+    at sf0.001/0.01/0.1."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        "x", "l_orderkey", "l_linenumber"
+    )
+    r = li.select(
+        "l_returnflag",
+        "x",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+    lo_rk = F.greatest(F.ceil(0.01 * F.col("n")).cast("bigint"), F.lit(1))
+    hi_rk = F.ceil(0.99 * F.col("n")).cast("bigint")
+    cuts = r.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rk") == lo_rk, F.col("x"))).alias("lo"),
+        F.min(F.when(F.col("rk") == hi_rk, F.col("x"))).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("x"), F.col("lo")), F.col("hi")
+    ).cast("decimal(18,4)")
+    return (
+        r.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.round(F.max("lo"), 2).alias("p01_cut"),
+            F.round(F.max("hi"), 2).alias("p99_cut"),
+            F.round(
+                F.sum(clamped).cast("double") / F.max("n"), 4
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile (fraud/data-quality screen)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_benford_profile",
+    sql="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10.0, floor(log10(o_totalprice))))
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed,
+           round(log10(1.0 + 1.0 / digit) / log10(10.0), 6) AS benford,
+           round(CAST(n AS DOUBLE) / total
+                 - log10(1.0 + 1.0 / digit) / log10(10.0), 6) AS deviation
+    FROM c, t ORDER BY digit
+    """,
+)
+def agg_benford_profile(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals — the
+    classic fraud / synthetic-data screen: observed first-digit
+    shares vs log10(1 + 1/d), with per-digit deviation. First digit
+    extracted arithmetically (x / 10^floor(log10 x)) — identical IEEE
+    ops in both engines, no string formatting whose locale could
+    differ. ONE scan, nine-group aggregate, the total joined back as
+    a 1-row broadcast. (This synthetic corpus is uniform-ish, so the
+    deviations are large — the gate pins the numbers, not the law.)
+    Green at sf0.001/0.01/0.1."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.round(
+        F.log10(1.0 + 1.0 / F.col("digit")) / F.log10(F.lit(10.0)), 6
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "observed"
+            ),
+            benford.alias("benford"),
+            F.round(
+                F.col("n").cast("double") / F.col("total")
+                - F.log10(1.0 + 1.0 / F.col("digit"))
+                / F.log10(F.lit(10.0)),
+                6,
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
