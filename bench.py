@@ -109,6 +109,12 @@ EXTENDED = [
     "graph_triangle_count",
     "agg_gini_coefficient",
     "events_peak_rate_window",
+    "stream_ewma_sink",
+    "multimodal_audio_phash_dedup",
+    "sim_label_centroids",
+    "join_interval_overlap",
+    "agg_winsorized_mean",
+    "agg_benford_profile",
 ]
 
 
