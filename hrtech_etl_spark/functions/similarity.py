@@ -802,3 +802,89 @@ def diverse_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    shortlist: int = 30,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results maximizing
+    ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)`` — the TRUE sequential
+    MMR, complementing the declarative quota form in
+    :func:`diverse_topk`.
+
+    Scale shape: relevance is ONE corpus scan (exact cosine top-
+    ``shortlist``, the standard retrieve-then-rerank cut), pairwise
+    sims are a ``shortlist²`` self-join — both computed by the same
+    JVM cosine expressions as every other gated entry, rounded to 6
+    BEFORE they leave the plan. Only the greedy argmax runs driver-
+    side over the collected ``shortlist²`` score table (bounded by the
+    parameter, never by data size — the PQ-codebook pattern); each
+    step is trivial arithmetic on already-rounded doubles, so a SQL
+    replay (recursive CTE) reproduces it bit-for-bit.
+
+    Returns (step, id, mmr) for steps 1..k in selection order.
+    """
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    cand = (
+        _spread(embeddings)
+        .crossJoin(q)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            cosine_vs(F.col(vec_col), F.col("__qvec"), F.col("__qn")).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.desc("rel"), "id")
+        .limit(shortlist)
+        .localCheckpoint(eager=False)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sim_rows = (
+        a.join(b, F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            cosine_vs(
+                F.col("a.v"), F.col("b.v"), _norm(F.col("b.v"))
+            ).alias("s"),
+        )
+        .collect()
+    )
+    rels = {r["id"]: r["rel"] for r in cand.select("id", "rel").collect()}
+    sims: dict[tuple[int, int], float] = {
+        (r["ia"], r["ib"]): r["s"] for r in sim_rows
+    }
+    picked: list[tuple[int, int, float]] = []
+    sel: list[int] = []
+    first = min(rels, key=lambda i: (-rels[i], i))
+    picked.append((1, first, round(rels[first], 6)))
+    sel.append(first)
+    for step in range(2, k + 1):
+        best = None
+        for i in sorted(rels):
+            if i in sel:
+                continue
+            score = lam * rels[i] - (1.0 - lam) * max(
+                sims[(i, j)] for j in sel
+            )
+            if best is None or score > best[1]:
+                best = (i, score)
+        picked.append((step, best[0], round(best[1], 6)))
+        sel.append(best[0])
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(picked, f"step int, {id_col} long, mmr double")
+    return out.orderBy("step")

@@ -6602,3 +6602,68 @@ def agg_benford_profile(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# True MMR re-ranking (greedy marginal relevance vs recursive-CTE replay)
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle_sql() -> str:
+    vd = VEC_DOUBLE.format(v="embedding")
+    return f"""
+    WITH RECURSIVE
+    e AS MATERIALIZED (SELECT vec_id, {vd} AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id, e.v, {cosine_sql('e.v', 'q.qv')} AS rel
+      FROM e, q ORDER BY rel DESC, e.vec_id LIMIT 30
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {cosine_sql('a.v', 'b.v')} AS s
+      FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+    ),
+    r AS (
+      (SELECT 1 AS step, [vec_id] AS sel, vec_id AS chosen,
+              round(rel, 6) AS mmr
+       FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      SELECT step + 1, list_append(sel, vec_id), vec_id, round(score, 6)
+      FROM (
+        SELECT r.step AS step, r.sel AS sel, c.vec_id AS vec_id,
+               CAST(0.7 AS DOUBLE) * c.rel
+                 - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max(s.s)
+                 AS score,
+               row_number() OVER (
+                 ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+                            - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                              * max(s.s) DESC,
+                          c.vec_id) AS rk
+        FROM r
+        JOIN cand c ON NOT list_contains(r.sel, c.vec_id)
+        JOIN sims s ON s.ia = c.vec_id AND list_contains(r.sel, s.ib)
+        GROUP BY r.step, r.sel, c.vec_id, c.rel
+      ) WHERE rk = 1 AND step < 10
+    )
+    SELECT step, chosen AS vec_id, mmr FROM r ORDER BY step
+    """
+
+
+@query("sim_mmr_rerank", sql=_mmr_oracle_sql())
+def sim_mmr_rerank(spark, sf_dir):
+    """TRUE sequential MMR (functions/similarity.py::mmr_topk): greedy
+    k=10 selection maximizing 0.7·relevance − 0.3·max-sim-to-selected
+    over the exact top-30 cosine shortlist — the retrieve-then-rerank
+    diversity pass, complementing the declarative quota form
+    (sim_diverse_topk). All float-bearing math (relevance, pairwise
+    sims) is the SAME JVM cosine expression as every other gated sim
+    entry, rounded before leaving the plan; the greedy argmax runs
+    over the bounded shortlist² table driver-side (the PQ-codebook
+    pattern) as trivial arithmetic on rounded doubles, which is why a
+    DuckDB recursive CTE carrying the selected-set list replays the
+    entire selection bit-for-bit — including ties, broken by id in
+    both. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.mmr_topk(e, q, k=10, shortlist=30, lam=0.7)
