@@ -6667,3 +6667,140 @@ def sim_mmr_rerank(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     q = e.where(F.col("vec_id") == 0)
     return sim.mmr_topk(e, q, k=10, shortlist=30, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (earliest following match)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_asof_forward",
+    sql="""
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id AS event_id,
+           e.user_id AS user_id,
+           o.o_orderkey AS next_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS next_order_price
+    FROM events e ASOF JOIN o1 o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — each event gets the user's EARLIEST order
+    at or after the event time (the did-the-touchpoint-convert lookup,
+    time-reversed twin of join_asof). Same union+window
+    implementation (operators/joins.py::asof_join,
+    direction='forward'): the union sorts descending so the
+    last-ignore-nulls carrier holds the nearest FOLLOWING right row —
+    still ONE shuffle, no row explosion; right side deduped per
+    (custkey, date) so the pick is unambiguous. DuckDB's native ASOF
+    JOIN with the <= inequality is the oracle. Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.joins import asof_join
+
+    events = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    o1 = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        o1,
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return joined.where(F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").cast("double").alias("next_order_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (single-scan corpus summary report)
+# ---------------------------------------------------------------------------
+
+def _dataset_card_oracle_sql() -> str:
+    ntok = f"len({TOKENS_SQL.format(t='text')})"
+    return f"""
+    WITH per AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum({ntok}) AS BIGINT) AS total_tokens,
+             round(CAST(sum(CAST({quality_score_sql('text')}
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS avg_quality,
+             count(DISTINCT md5(text)) AS n_unique
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_docs) AS total FROM per)
+    SELECT lang, n_docs, total_tokens, avg_quality,
+           round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6)
+             AS exact_dup_rate,
+           round(CAST(n_docs AS DOUBLE) / total, 6) AS corpus_share
+    FROM per, tot ORDER BY lang
+    """
+
+
+@query("corpus_dataset_card", sql=_dataset_card_oracle_sql())
+def corpus_dataset_card(spark, sf_dir):
+    """The dataset-card report — what a corpus README's stats table
+    actually is: per language, document and token counts, average
+    quality score, exact-duplicate rate (1 − distinct md5 / docs),
+    and corpus share. ONE scan computes everything: the quality
+    heuristic and token counts are plain column expressions, the dup
+    rate rides the same groupBy as a distinct-count, and the corpus
+    total joins back as a 1-row broadcast. Quality scores sum through
+    DECIMAL (they are round-4 values, so the quantization is exact
+    and the average shuffle-order-free). This is the cheap recurring
+    health report next to the full prepare_training_corpus pipeline.
+    Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions import text as tx
+
+    d = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).cast("bigint").alias(
+            "total_tokens"
+        ),
+        F.round(
+            F.sum(
+                tx.quality_score(F.col("text")).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_unique"
+        ),
+    )
+    tot = per.agg(F.sum("n_docs").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "avg_quality",
+            F.round(
+                1.0 - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("total"), 6
+            ).alias("corpus_share"),
+        )
+        .orderBy("lang")
+    )
