@@ -115,6 +115,9 @@ EXTENDED = [
     "join_interval_overlap",
     "agg_winsorized_mean",
     "agg_benford_profile",
+    "sim_mmr_rerank",
+    "join_asof_forward",
+    "corpus_dataset_card",
 ]
 
 
