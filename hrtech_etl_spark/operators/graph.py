@@ -106,3 +106,61 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr.select("node", F.round("pr", round_to).alias("pagerank"))
+
+
+def hierarchy_closure(
+    nodes: DataFrame,
+    key_col: str,
+    parent_col: str,
+    *,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Transitive ancestor closure of a parent-pointer forest — the
+    recursive-hierarchy primitive behind BOM explosion, org-chart
+    rollups, and category trees (SQL's RECURSIVE CTE; Spark has no
+    native one). Roots are rows whose parent equals their own key or
+    is NULL.
+
+    Level-by-level driver loop: the frontier starts as the direct
+    (key, parent) pairs and each round joins one more ancestor hop;
+    rounds are bounded by the tree DEPTH (not size), the frontier
+    SHRINKS as paths terminate at roots, and both the closure and the
+    frontier sit behind lazy localCheckpoints so round k's plan does
+    not replay rounds 1..k-1. One equi-join exchange per level; the
+    per-round emptiness check is a bounded driver count (the same
+    contract as the PageRank node count). Parent cycles other than
+    root self-loops would spin — ``max_depth`` is the guard rail.
+
+    Returns distinct ``(key_col, ancestor)`` pairs, roots excluded
+    from the key side (a root has no ancestors).
+    """
+    edges = (
+        nodes.where(
+            F.col(parent_col).isNotNull()
+            & (F.col(parent_col) != F.col(key_col))
+        )
+        .select(F.col(key_col).alias("__k"), F.col(parent_col).alias("__a"))
+        .localCheckpoint(eager=False)
+    )
+    parent_of = edges.select(
+        F.col("__k").alias("__pk"), F.col("__a").alias("__pa")
+    )
+    closure = edges
+    frontier = edges
+    for _ in range(max_depth):
+        nxt = (
+            frontier.join(parent_of, frontier["__a"] == parent_of["__pk"])
+            .select("__k", F.col("__pa").alias("__a"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        closure = closure.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    else:
+        raise ValueError(
+            f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+        )
+    return closure.select(
+        F.col("__k").alias(key_col), F.col("__a").alias("ancestor")
+    ).distinct()

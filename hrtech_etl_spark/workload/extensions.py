@@ -6804,3 +6804,109 @@ def corpus_dataset_card(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive hierarchy closure + subtree rollup (BOM-explosion shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_hierarchy_rollup",
+    sql="""
+    WITH RECURSIVE p AS MATERIALIZED (
+      SELECT p_partkey AS k,
+             CAST(floor(p_partkey / (2 + p_partkey % 3)) AS BIGINT)
+               AS parent,
+             p_retailprice
+      FROM part
+    ),
+    anc AS (
+      SELECT k, parent AS a FROM p WHERE k <> parent
+      UNION ALL
+      SELECT anc.k, p2.parent AS a
+      FROM anc JOIN p p2 ON p2.k = anc.a
+      WHERE p2.k <> p2.parent
+    ),
+    dep AS (SELECT k, count(*) AS depth FROM anc GROUP BY k),
+    roll AS (
+      SELECT anc.a AS node, count(*) AS n_descendants,
+             sum(CAST(pd.p_retailprice AS DECIMAL(18,4))) AS desc_total
+      FROM anc JOIN p pd ON pd.k = anc.k
+      GROUP BY anc.a
+    )
+    SELECT pr.k AS part,
+           CAST(coalesce(dep.depth, 0) AS BIGINT) AS depth,
+           CAST(coalesce(roll.n_descendants, 0) AS BIGINT)
+             AS n_descendants,
+           CAST(round(CAST(pr.p_retailprice AS DECIMAL(18,4))
+                      + coalesce(roll.desc_total, 0), 2) AS DOUBLE)
+             AS subtree_total
+    FROM p pr
+    LEFT JOIN dep ON dep.k = pr.k
+    LEFT JOIN roll ON roll.node = pr.k
+    ORDER BY subtree_total DESC, part LIMIT 20
+    """,
+)
+def graph_hierarchy_rollup(spark, sf_dir):
+    """Recursive-hierarchy closure + subtree rollup — the BOM
+    explosion / org-chart aggregate SQL expresses as a RECURSIVE CTE
+    and Spark has no native operator for
+    (operators/graph.py::hierarchy_closure): a deterministic
+    parent-pointer forest over parts (parent = floor(k / (2 + k%3)) —
+    irregular fan-out and data-dependent depth, so no closed form
+    shortcuts the recursion) is closed level-by-level in a driver
+    loop bounded by tree DEPTH, each round one equi-join behind a
+    lazy localCheckpoint with a shrinking frontier. The rollup then
+    aggregates every node's exact-DECIMAL subtree price and
+    descendant count from the closure pairs; depth = |ancestors|.
+    Top-20 subtrees, total-ordered. The oracle is the recursive CTE
+    itself — the two recursion strategies (level frontier vs
+    fixpoint union) must converge to the identical closure. Green at
+    sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.graph import hierarchy_closure
+
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("k"),
+        F.floor(
+            F.col("p_partkey") / (F.lit(2) + F.col("p_partkey") % 3)
+        )
+        .cast("bigint")
+        .alias("parent"),
+        "p_retailprice",
+    )
+    anc = hierarchy_closure(part, "k", "parent")
+    dep = anc.groupBy("k").agg(F.count(F.lit(1)).alias("depth"))
+    prices = part.select("k", F.col("p_retailprice").cast("decimal(18,4)").alias("price"))
+    roll = (
+        anc.join(prices, "k")
+        .groupBy(F.col("ancestor").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_descendants"),
+            F.sum("price").alias("desc_total"),
+        )
+    )
+    return (
+        part.join(dep, "k", "left")
+        .join(roll, part["k"] == roll["node"], "left")
+        .select(
+            part["k"].alias("part"),
+            F.coalesce(F.col("depth"), F.lit(0))
+            .cast("bigint")
+            .alias("depth"),
+            F.coalesce(F.col("n_descendants"), F.lit(0))
+            .cast("bigint")
+            .alias("n_descendants"),
+            F.round(
+                F.col("p_retailprice").cast("decimal(18,4)")
+                + F.coalesce(
+                    F.col("desc_total"),
+                    F.lit(0).cast("decimal(18,4)"),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("subtree_total"),
+        )
+        .orderBy(F.desc("subtree_total"), "part")
+        .limit(20)
+    )

@@ -75,3 +75,43 @@ def test_validation(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+
+
+def test_hierarchy_closure_hand_checked(spark):
+    from hrtech_etl_spark.operators.graph import hierarchy_closure
+    #      0
+    #     / \
+    #    1   2
+    #   /|    \
+    #  3 4     5
+    #  |
+    #  6
+    rows = [(0, None), (1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 3)]
+    df = spark.createDataFrame(rows, "k long, parent long")
+    got = {
+        (r["k"], r["ancestor"])
+        for r in hierarchy_closure(df, "k", "parent").collect()
+    }
+    expect = {
+        (1, 0), (2, 0),
+        (3, 1), (3, 0), (4, 1), (4, 0), (5, 2), (5, 0),
+        (6, 3), (6, 1), (6, 0),
+    }
+    assert got == expect
+
+
+def test_hierarchy_closure_cycle_guard(spark):
+    import pytest
+    from hrtech_etl_spark.operators.graph import hierarchy_closure
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "k long, parent long")
+    with pytest.raises(ValueError, match="max_depth"):
+        hierarchy_closure(df, "k", "parent", max_depth=4)
+
+
+def test_hierarchy_closure_root_self_loop_ok(spark):
+    from hrtech_etl_spark.operators.graph import hierarchy_closure
+
+    df = spark.createDataFrame([(0, 0), (1, 0)], "k long, parent long")
+    got = {(r["k"], r["ancestor"]) for r in hierarchy_closure(df, "k", "parent").collect()}
+    assert got == {(1, 0)}
