@@ -525,6 +525,15 @@ def foreach_batch_ewma(
     discipline is the price of O(1) state. Uses the same staged-swap
     crash machinery as the other sinks (a crash mid-swap recovers from
     ``.__old`` on the replayed batch).
+
+    Replay safety: folding is NOT idempotent (a MERGE replayed on its
+    own output is a no-op; a fold applied twice double-smooths), so
+    the state table carries the id of the last applied batch and the
+    sink SKIPS any batch at or below it — the transactional-sink
+    batch-id protocol Structured Streaming expects of exactly-once
+    foreachBatch writers. A batch that crashed after the swap but
+    before the checkpoint commit replays as a no-op instead of
+    corrupting the smoother.
     """
     import pandas as pd
 
@@ -567,6 +576,11 @@ def foreach_batch_ewma(
         has_state = _dataset_exists(spark, target)
         if has_state:
             state = spark.read.parquet(target)
+            # replay guard: folding is not idempotent — skip batches
+            # already applied (crash after swap, before checkpoint)
+            last = state.agg(F.max("__batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return
             seeds = state.select(
                 key_col,
                 F.col("ewma").alias("__seed"),
@@ -577,15 +591,19 @@ def foreach_batch_ewma(
             joined = batch.withColumn(
                 "__seed", F.lit(None).cast("double")
             ).withColumn("__seed_n", F.lit(None).cast("bigint"))
-        updated = joined.groupBy(key_col).applyInPandas(kernel, out_schema)
+        updated = joined.groupBy(key_col).applyInPandas(
+            kernel, out_schema
+        ).withColumn("__batch_id", F.lit(batch_id).cast("bigint"))
         if not has_state:
             # bootstrap: no live table to swap out yet
             updated.write.mode("overwrite").parquet(target)
             return
         untouched = state.join(
             batch.select(key_col).distinct(), key_col, "left_anti"
+        ).withColumn("__batch_id", F.lit(batch_id).cast("bigint"))
+        updated = updated.unionByName(
+            untouched.select(*updated.columns)
         )
-        updated = updated.unionByName(untouched)
         staged = target + ".__tmp"
         updated.write.mode("overwrite").parquet(staged)
         _swap_in(spark, staged, target)

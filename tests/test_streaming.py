@@ -828,3 +828,41 @@ def test_chained_window_agg_stream_matches_batch(spark, sf_dir):
     # sentinel window (2030) must be withheld by append mode
     mx = streamed.agg(F.max("window_start")).collect()[0][0]
     assert mx.year < 2030
+
+
+def test_foreach_batch_ewma_replay_safe(spark, tmp_path):
+    """Folding is not idempotent, so the sink must skip a replayed
+    batch (crash after swap, before checkpoint commit) instead of
+    double-smoothing."""
+    from datetime import datetime
+
+    from hrtech_etl_spark.streaming.pipelines import foreach_batch_ewma
+
+    sink = foreach_batch_ewma(
+        str(tmp_path / "state"), "k", "ts", "v",
+        alpha=0.5, order_cols=("i",),
+    )
+    b0 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 10.0, 1)],
+        "k long, ts timestamp, v double, i long",
+    )
+    b1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2), 20.0, 2)],
+        "k long, ts timestamp, v double, i long",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    after = spark.read.parquet(str(tmp_path / "state")).collect()[0]
+    assert (after["n_events"], after["ewma"]) == (2, 15.0)
+    # replay of the committed batch: must be a no-op
+    sink(b1, 1)
+    again = spark.read.parquet(str(tmp_path / "state")).collect()[0]
+    assert (again["n_events"], again["ewma"]) == (2, 15.0)
+    # a NEW batch still folds
+    b2 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 3), 35.0, 3)],
+        "k long, ts timestamp, v double, i long",
+    )
+    sink(b2, 2)
+    final = spark.read.parquet(str(tmp_path / "state")).collect()[0]
+    assert (final["n_events"], final["ewma"]) == (3, 25.0)
