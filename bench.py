@@ -118,6 +118,7 @@ EXTENDED = [
     "sim_mmr_rerank",
     "join_asof_forward",
     "corpus_dataset_card",
+    "graph_hierarchy_rollup",
 ]
 
 
