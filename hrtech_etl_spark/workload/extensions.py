@@ -21,6 +21,7 @@ from hrtech_etl_spark.sources.testdata import load_table
 from hrtech_etl_spark.workload.registry import query, sql_dsum
 from hrtech_etl_spark.functions.hashing import (
     FINGERPRINT_SQL,
+    portable_hash,
     portable_hash_sql,
 )
 from hrtech_etl_spark.workload.text_llm import (
@@ -6909,4 +6910,90 @@ def graph_hierarchy_rollup(spark, sf_dir):
         )
         .orderBy(F.desc("subtree_total"), "part")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling (seeded, exact-dup-safe)
+# ---------------------------------------------------------------------------
+
+def _neg_sample_oracle_sql() -> str:
+    ph = portable_hash_sql(
+        "'neg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS total FROM d),
+    cand AS (
+      SELECT d.doc_id, d.h, u.j, ({ph} % n.total) AS neg_id
+      FROM d, n, (SELECT unnest([0, 1, 2]) AS j) u
+    )
+    SELECT c.doc_id, CAST(c.j AS INT) AS j, c.neg_id
+    FROM cand c JOIN d d2 ON d2.doc_id = c.neg_id
+    WHERE c.neg_id <> c.doc_id AND d2.h <> c.h
+    ORDER BY c.doc_id, c.j
+    """
+
+
+@query("corpus_negative_sampling", sql=_neg_sample_oracle_sql())
+def corpus_negative_sampling(spark, sf_dir):
+    """Seeded negative sampling for contrastive training pairs: each
+    document draws 3 candidate negatives as a pure function of
+    (doc_id, slot) — portable-hash mod corpus size — then candidates
+    that are the anchor itself or an EXACT duplicate of it (same text
+    md5 — a false negative that would poison a contrastive loss) are
+    dropped by one equi-join on the candidate id carrying both md5s.
+    Fully deterministic and replayable (no RNG state), explode ×3,
+    one join against the id-keyed corpus — the shape that holds at
+    100 TB where negatives must be reproducible across reruns for
+    debuggability. The slot keeps under-filled anchors visible
+    (dropped slots are absent, not resampled — the documented
+    simple-sampler trade vs an iterative resample loop). Green at
+    sf0.001/0.01/0.1."""
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    cand = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            "total",
+        )
+        .select(
+            "doc_id",
+            "h",
+            "j",
+            F.pmod(
+                portable_hash(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.col("total"),
+            ).alias("neg_id"),
+        )
+    )
+    d2 = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("h").alias("h2")
+    )
+    return (
+        cand.join(d2, "neg_id")
+        .where(
+            (F.col("neg_id") != F.col("doc_id"))
+            & (F.col("h2") != F.col("h"))
+        )
+        .select("doc_id", F.col("j").cast("int").alias("j"), "neg_id")
+        .orderBy("doc_id", "j")
     )
