@@ -33,6 +33,10 @@ FIRST50_MD5 = "a312d1e4b34339ba6573db257c4f2694"
 R9_PREFIX_LEN = 93
 R9_PREFIX_MD5 = "899ee0173155e7559b7ee7a40b4e18fb"
 
+# Same contract, advanced to the end of round 10 (153 entries).
+R10_PREFIX_LEN = 153
+R10_PREFIX_MD5 = "c55a94ac2a836c3db05bc2bbbfa16b0e"
+
 
 def _names() -> list[str]:
     return list(REGISTRY)
@@ -59,6 +63,19 @@ def test_registry_grows_append_only():
         "an entry inside the frozen round-9 prefix was renamed, "
         "removed, or reordered — new queries must be APPENDED after "
         f"position {R9_PREFIX_LEN - 1}"
+    )
+
+
+def test_registry_r10_prefix_locked():
+    names = _names()
+    assert len(names) >= R10_PREFIX_LEN
+    got = hashlib.md5(
+        "\n".join(names[:R10_PREFIX_LEN]).encode()
+    ).hexdigest()
+    assert got == R10_PREFIX_MD5, (
+        "an entry inside the frozen round-10 prefix was renamed, "
+        "removed, or reordered — new queries must be APPENDED after "
+        f"position {R10_PREFIX_LEN - 1}"
     )
 
 
