@@ -119,6 +119,7 @@ EXTENDED = [
     "join_asof_forward",
     "corpus_dataset_card",
     "graph_hierarchy_rollup",
+    "corpus_negative_sampling",
 ]
 
 
