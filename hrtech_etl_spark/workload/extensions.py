@@ -6997,3 +6997,91 @@ def corpus_negative_sampling(spark, sf_dir):
         .select("doc_id", F.col("j").cast("int").alias("j"), "neg_id")
         .orderBy("doc_id", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-entity feature assembly (the feature-store materialization pass)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_user_features",
+    sql="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             AS n_signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           CAST(round(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(value AS DECIMAL(18,4))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             AS purchase_value,
+           round(max(epoch(ts)), 6) AS last_seen,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+             AS active_days,
+           round(CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1
+                                    ELSE 0 END) > 0
+                 THEN CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                                    ELSE 0 END) AS DOUBLE)
+                      / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 ELSE 0.0 END, 6) AS purchase_per_view
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_features(spark, sf_dir):
+    """Per-entity feature assembly — the feature-store
+    materialization pass that feeds ranking/churn models: event-type
+    counts (conditional sums, NOT a pivot operator — the column set
+    is a declared contract, and conditional sums partial-aggregate
+    map-side identically in every engine), exact-DECIMAL purchase
+    value, last-seen epoch, distinct active days, and a derived
+    conversion ratio. Everything reduces in ONE scan + one user
+    exchange (the distinct-day count rides the same groupBy via
+    partial dedup). At 100 TB this job IS the daily feature build;
+    its shape — wide conditional aggregate, no joins, no window — is
+    the cheapest possible. Green at sf0.001/0.01/0.1."""
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    cnt = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    n_view, n_purchase = cnt("view"), cnt("purchase")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            cnt("view").alias("n_view"),
+            cnt("click").alias("n_click"),
+            cnt("purchase").alias("n_purchase"),
+            cnt("signup").alias("n_signup"),
+            cnt("error").alias("n_error"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,4)"),
+                    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("purchase_value"),
+            F.round(F.max(F.col("ts").cast("double")), 6).alias("last_seen"),
+            F.countDistinct(F.date_trunc("day", "ts"))
+            .cast("bigint")
+            .alias("active_days"),
+            F.round(
+                F.when(
+                    n_view > 0,
+                    n_purchase.cast("double") / n_view,
+                ).otherwise(0.0),
+                6,
+            ).alias("purchase_per_view"),
+        )
+        .orderBy("user_id")
+    )
