@@ -123,6 +123,7 @@ EXTENDED = [
     "corpus_dataset_card",
     "graph_hierarchy_rollup",
     "corpus_negative_sampling",
+    "events_user_features",
 ]
 
 
