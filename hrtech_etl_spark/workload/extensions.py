@@ -7085,3 +7085,51 @@ def events_user_features(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch accuracy self-check (HLL estimate vs exact, oracle-locked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sketch_hll_accuracy",
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_10pct
+    FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sketch_hll_accuracy(spark, sf_dir):
+    """Sketch-accuracy self-check, made ORACLE-CHECKABLE: per event
+    type, the exact distinct-user count next to a boolean asserting
+    the HLL++ estimate (rsd 0.02) landed within 10% of it. The HLL
+    number itself is engine-specific (the reason agg_approx_distinct
+    is rows-only), but the exact count and the ERROR-BOUND CLAIM are
+    not — if a Spark upgrade or config change ever degrades the
+    sketch beyond the bound, within_10pct flips to false and the
+    value hash fails the gate. Both aggregates share one exchange
+    (the distinct expansion carries the HLL buffer alongside). This
+    is the estimator-regression canary pattern used for
+    sim_pq_trained_recall, applied to cardinality sketches. Green at
+    sf0.001/0.01/0.1."""
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(
+                F.col("est").cast("double")
+                / F.col("exact_users").cast("double")
+                - 1.0
+            )
+            <= 0.1
+        ).alias("within_10pct"),
+    ).orderBy("event_type")
