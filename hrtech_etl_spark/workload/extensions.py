@@ -7133,3 +7133,68 @@ def sketch_hll_accuracy(spark, sf_dir):
             <= 0.1
         ).alias("within_10pct"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (IS NOT DISTINCT FROM semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_null_safe_eq",
+    sql="""
+    WITH a AS (
+      SELECT event_id,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS k
+      FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT event_id,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS k
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'null_group' ELSE 'keyed' END
+             AS match_kind,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT a.event_id) AS BIGINT) AS n_left,
+           CAST(count(DISTINCT b.event_id) AS BIGINT) AS n_right
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1 ORDER BY match_kind
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): unlike
+    plain `=`, NULL keys MATCH EACH OTHER — the semantics SCD change
+    detection and dedup-on-nullable-business-keys need, and an easy
+    silent-wrong-answer trap when ported between engines (a plain
+    equi join silently drops every NULL-keyed row). The fixture nulls
+    one key in seven on both sides, so the gate pins BOTH behaviors:
+    the keyed matches and the null-group cross product — whose
+    quadratic blow-up is exactly why the plan matters at scale: Spark
+    keeps <=> as a HASHABLE join key (null hashes to a partition like
+    any value; verified BroadcastHashJoin/SMJ, not nested-loop), so
+    the null bucket is one skewed key to salt, not a cartesian plan.
+    Green at sf0.001/0.01/0.1."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("user_id")
+    )
+    a = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("a_id"), k.alias("ka")
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), k.alias("kb")
+    )
+    j = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    return (
+        j.groupBy(
+            F.when(F.col("ka").isNull(), "null_group")
+            .otherwise("keyed")
+            .alias("match_kind")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("a_id").cast("bigint").alias("n_left"),
+            F.countDistinct("b_id").cast("bigint").alias("n_right"),
+        )
+        .orderBy("match_kind")
+    )
