@@ -124,6 +124,8 @@ EXTENDED = [
     "graph_hierarchy_rollup",
     "corpus_negative_sampling",
     "events_user_features",
+    "sketch_hll_accuracy",
+    "join_null_safe_eq",
 ]
 
 

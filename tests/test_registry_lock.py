@@ -34,8 +34,8 @@ R9_PREFIX_LEN = 93
 R9_PREFIX_MD5 = "899ee0173155e7559b7ee7a40b4e18fb"
 
 # Same contract, advanced to the end of round 10 (153 entries).
-R10_PREFIX_LEN = 153
-R10_PREFIX_MD5 = "c55a94ac2a836c3db05bc2bbbfa16b0e"
+R10_PREFIX_LEN = 156
+R10_PREFIX_MD5 = "ad55657b6d4a5137cce0fa612073088a"
 
 
 def _names() -> list[str]:
