@@ -33,7 +33,7 @@ FIRST50_MD5 = "a312d1e4b34339ba6573db257c4f2694"
 R9_PREFIX_LEN = 93
 R9_PREFIX_MD5 = "899ee0173155e7559b7ee7a40b4e18fb"
 
-# Same contract, advanced to the end of round 10 (153 entries).
+# Same contract, advanced to the end of round 10 (156 entries).
 R10_PREFIX_LEN = 156
 R10_PREFIX_MD5 = "ad55657b6d4a5137cce0fa612073088a"
 
