@@ -17,6 +17,7 @@ import sys
 from typing import Optional, Sequence
 
 from pyspark.sql import SparkSession
+from pyspark.sql.functions import col as F_col
 
 from hrtech_etl_spark import pipeline as pl
 from hrtech_etl_spark.connectors import get_connector_instance
@@ -74,10 +75,49 @@ def build_parser() -> argparse.ArgumentParser:
     pull.add_argument("--state-dir", help="cursor checkpoint dir (resume + persist)")
     pull.add_argument("--pipeline-key", default="default", help="checkpoint key within --state-dir")
 
-    push = sub.add_parser("push", help="RESOURCES-mode push")
+    push = sub.add_parser("push", help="RESOURCES- or EVENTS-mode push")
     common(push)
+    push.add_argument(
+        "--mode", default="resources", choices=["resources", "events"],
+        help="reference push(mode=...) — events mode joins an event "
+             "feed against the origin resources (core/pipeline.py:121-178)",
+    )
+    push.add_argument(
+        "--events-json",
+        help="EVENTS mode: inline JSON list of event objects, or "
+             "@/path/to/file.json",
+    )
+    push.add_argument(
+        "--event-key", help="event field naming the resource id "
+        "(default: <resource>_id, the reference's event.job_id/profile_id)",
+    )
+    push.add_argument(
+        "--resource-key", default="uid",
+        help="resource id column the events reference",
+    )
+    push.add_argument(
+        "--order-cols", default="",
+        help="comma list of event columns breaking last-wins dedup ties",
+    )
 
     return p
+
+
+def _parse_events(spark, raw: str, event_key: str):
+    """``--events-json`` → DataFrame: inline JSON list or @file."""
+    if raw.startswith("@"):
+        with open(raw[1:]) as fh:
+            payload = json.load(fh)
+    else:
+        payload = json.loads(raw)
+    if not isinstance(payload, list) or not payload:
+        raise SystemExit("--events-json must be a non-empty JSON list")
+    missing = [i for i, e in enumerate(payload) if event_key not in e]
+    if missing:
+        raise SystemExit(
+            f"--events-json rows {missing} lack event key '{event_key}'"
+        )
+    return spark.createDataFrame(payload)
 
 
 def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = None) -> int:
@@ -122,6 +162,41 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
         if store:
             store.save(args.pipeline_key, result.cursor)
         print(cursor_to_json(result.cursor))
+        return 0
+
+    if args.mode == "events":
+        # EVENTS-mode push (reference core/pipeline.py:121-178): the
+        # inline event feed is deduped last-wins, point-looked-up
+        # against the origin resources (broadcast semi prefilter — a
+        # handful of events never shuffles the resource table), HAVING
+        # filtered, formatted, and pushed; all counters ride the one
+        # observed sink pass.
+        from hrtech_etl_spark.operators.events import push_events
+
+        if not args.events_json:
+            raise SystemExit("push --mode events requires --events-json")
+        event_key = args.event_key or f"{resource.value}_id"
+        events_df = _parse_events(spark, args.events_json, event_key)
+        order_cols = [
+            F_col(c.strip()) for c in args.order_cols.split(",") if c.strip()
+        ] or [F_col(event_key)]
+        metrics = push_events(
+            events_df,
+            source,
+            event_key=event_key,
+            resource_key=args.resource_key,
+            order_cols=order_cols,
+            having=having,
+            prefilter_resources=True,
+            mapping=mapping,
+            sink_writer=(
+                (lambda out: target.write_resource(out, resource))
+                if target is not None
+                else None
+            ),
+            dry_run=args.dry_run,
+        )
+        print(json.dumps(metrics))
         return 0
 
     # push: one observed pass — the target write IS the metrics pass

@@ -868,6 +868,10 @@ def mmr_topk(
     sims: dict[tuple[int, int], float] = {
         (r["ia"], r["ib"]): r["s"] for r in sim_rows
     }
+    if not rels:
+        raise ValueError(
+            "mmr_topk: candidate pool is empty (no embeddings rows)"
+        )
     picked: list[tuple[int, int, float]] = []
     sel: list[int] = []
     first = min(rels, key=lambda i: (-rels[i], i))
@@ -883,6 +887,10 @@ def mmr_topk(
             )
             if best is None or score > best[1]:
                 best = (i, score)
+        if best is None:
+            # pool exhausted before k selections (shortlist < k or a
+            # tiny corpus) — return the partial selection
+            break
         picked.append((step, best[0], round(best[1], 6)))
         sel.append(best[0])
     spark = embeddings.sparkSession

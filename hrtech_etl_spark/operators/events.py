@@ -166,8 +166,11 @@ def push_events(
     order_cols: Sequence[Column],
     having: Sequence[Condition] | None = None,
     broadcast_resources: bool = False,
+    prefilter_resources: bool = False,
+    mapping=None,
     sink_path: str | None = None,
     sink_format: str = "parquet",
+    sink_writer=None,
     dry_run: bool = False,
 ) -> dict:
     """EVENTS-mode push as ONE distributed job, metrics included.
@@ -177,7 +180,22 @@ def push_events(
     sink. All five counters ride on :class:`pyspark.sql.Observation`
     metrics collected DURING the sink pass — the joined frame is
     executed once, instead of one count() job per branch re-running
-    the join (total_events is observed pre-dedup on the same lineage).
+    the join (total_events is observed pre_dedup on the same lineage).
+
+    ``prefilter_resources=True`` is the point-lookup-by-ids shape
+    (reference ``fetch_resources_by_events``): the deduped event keys
+    are broadcast as a semi-join filter on the resources scan, so a
+    handful of events against a 100 TB resource table prunes to the
+    matching rows instead of shuffling the table under a left join
+    whose small side (events, the LEFT of a left-outer) Spark cannot
+    broadcast. Safe for every counter: the semi filter only removes
+    resource rows no event references.
+
+    ``mapping`` (a formatter spec, see :mod:`plans.mapping`) formats
+    the pushed rows before the sink — the reference's
+    ``safe_format_resources`` step; ``sink_writer`` routes the same
+    observed pass into a connector's ``write_resource`` (the
+    ``push_resources`` contract).
     """
     from pyspark.sql import Observation
 
@@ -186,6 +204,9 @@ def push_events(
     deduped = last_wins_dedup(events, event_key, order_cols)
 
     r = F.broadcast(resources) if broadcast_resources else resources
+    if prefilter_resources:
+        ids = deduped.select(F.col(event_key).alias(resource_key)).distinct()
+        r = r.join(F.broadcast(ids), resource_key, "left_semi")
     joined = deduped.join(r, deduped[event_key] == r[resource_key], "left")
     matched_flag = F.col(resource_key).isNotNull()
     having_col = conditions_to_column(having or [])
@@ -198,11 +219,17 @@ def push_events(
         F.count(F.when(matched_flag & having_col, 1)).alias("pushed"),
     )
     pushed_df = joined.where(matched_flag & having_col)
+    if mapping:
+        from hrtech_etl_spark.plans.mapping import apply_mapping
 
-    if sink_path and not dry_run:
-        pushed_df.write.format(sink_format).mode("append").save(sink_path)
-    else:
+        pushed_df = apply_mapping(pushed_df, mapping)
+
+    if dry_run or (sink_path is None and sink_writer is None):
         pushed_df.count()  # dry-run still executes the plan once
+    elif sink_writer is not None:
+        sink_writer(pushed_df)
+    else:
+        pushed_df.write.format(sink_format).mode("append").save(sink_path)
 
     m_in, m = obs_in.get, obs.get
     return {

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: date_trunc units the portable gate supports (both engines truncate
 #: identically for these; sub-minute or month+ units work in Spark but
@@ -239,6 +240,13 @@ def ewma(
     src = df.where(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(key_col, *sort_cols, value_col)
-    return src.groupBy(key_col).applyInPandas(
-        kernel, f"{out_key} bigint, n_events bigint, ewma double"
+    # Key field type mirrors the input column (string/date keys must
+    # survive the Arrow boundary, not be coerced to bigint).
+    out_schema = T.StructType(
+        [
+            T.StructField(out_key, df.schema[key_col].dataType),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
     )
+    return src.groupBy(key_col).applyInPandas(kernel, out_schema)

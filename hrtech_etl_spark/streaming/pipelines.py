@@ -545,7 +545,17 @@ def foreach_batch_ewma(
 
     one_minus = 1.0 - alpha
     sort_cols = [ts_col, *order_cols]
-    out_schema = f"{key_col} bigint, n_events bigint, ewma double"
+
+    def _out_schema(batch_df: DataFrame) -> T.StructType:
+        # Key field type mirrors the batch's key column (string/date
+        # keys must survive the Arrow boundary, not coerce to bigint).
+        return T.StructType(
+            [
+                T.StructField(key_col, batch_df.schema[key_col].dataType),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("ewma", T.DoubleType()),
+            ]
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
@@ -592,7 +602,7 @@ def foreach_batch_ewma(
                 "__seed", F.lit(None).cast("double")
             ).withColumn("__seed_n", F.lit(None).cast("bigint"))
         updated = joined.groupBy(key_col).applyInPandas(
-            kernel, out_schema
+            kernel, _out_schema(batch_df)
         ).withColumn("__batch_id", F.lit(batch_id).cast("bigint"))
         if not has_state:
             # bootstrap: no live table to swap out yet

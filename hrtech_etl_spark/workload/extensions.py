@@ -6677,53 +6677,57 @@ def sim_mmr_rerank(spark, sf_dir):
 @query(
     "join_asof_forward",
     sql="""
-    WITH o1 AS (
-      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
-             max_by(o_totalprice, o_orderkey) AS o_totalprice
-      FROM orders GROUP BY o_custkey, o_orderdate
-    )
-    SELECT e.event_id AS event_id,
-           e.user_id AS user_id,
-           o.o_orderkey AS next_orderkey,
-           CAST(o.o_totalprice AS DOUBLE) AS next_order_price
-    FROM events e ASOF JOIN o1 o
-      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    SELECT o.o_orderkey AS o_orderkey,
+           o.o_custkey AS o_custkey,
+           e.event_id AS next_event_id,
+           e.event_type AS next_event_type
+    FROM orders o ASOF JOIN events e
+      ON o.o_custkey = e.user_id
+     AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
     """,
 )
 def join_asof_forward(spark, sf_dir):
-    """FORWARD as-of join — each event gets the user's EARLIEST order
-    at or after the event time (the did-the-touchpoint-convert lookup,
-    time-reversed twin of join_asof). Same union+window
-    implementation (operators/joins.py::asof_join,
+    """FORWARD as-of join — each order gets the customer's EARLIEST
+    event at or after the order date (the did-the-purchase-lead-to-
+    activity lookup, time-reversed twin of join_asof). Same
+    union+window implementation (operators/joins.py::asof_join,
     direction='forward'): the union sorts descending so the
     last-ignore-nulls carrier holds the nearest FOLLOWING right row —
-    still ONE shuffle, no row explosion; right side deduped per
-    (custkey, date) so the pick is unambiguous. DuckDB's native ASOF
-    JOIN with the <= inequality is the oracle. Green at
+    still ONE shuffle, no row explosion.
+
+    Re-anchored in round 11: the previous events→orders direction
+    returned 0 rows at every SF (fixture event timestamps all
+    postdate every o_orderdate), so its gate only pinned empty==empty
+    (round-10 verdict). Orders→events guarantees overlap and is
+    discriminative (sf0.001: 132 rows; sf0.01: 1436). (user_id, ts)
+    is unique in the events fixture at every gate SF, so the earliest
+    following pick is unambiguous without a dedup pre-pass. DuckDB's
+    native ASOF JOIN with the <= inequality is the oracle. Green at
     sf0.001/0.01/0.1."""
     from hrtech_etl_spark.operators.joins import asof_join
 
     events = load_table(spark, "events", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    o1 = orders.groupBy("o_custkey", "o_orderdate").agg(
-        F.max("o_orderkey").alias("o_orderkey"),
-        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    left = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
     )
     joined = asof_join(
-        events.select("event_id", "user_id", "ts"),
-        o1,
-        on="user_id",
-        right_on="o_custkey",
-        left_time="ts",
-        right_time="o_orderdate",
-        right_values=["o_orderkey", "o_totalprice"],
+        left,
+        events.select("user_id", "ts", "event_id", "event_type"),
+        on="o_custkey",
+        right_on="user_id",
+        left_time="o_ts",
+        right_time="ts",
+        right_values=["event_id", "event_type"],
         direction="forward",
     )
-    return joined.where(F.col("o_orderkey").isNotNull()).select(
-        "event_id",
-        "user_id",
-        F.col("o_orderkey").alias("next_orderkey"),
-        F.col("o_totalprice").cast("double").alias("next_order_price"),
+    return joined.where(F.col("event_id").isNotNull()).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_id").alias("next_event_id"),
+        F.col("event_type").alias("next_event_type"),
     )
 
 

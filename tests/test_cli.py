@@ -101,3 +101,65 @@ def test_cli_push_metrics(spark, tmp_path, capsys):
         metrics["skipped_having"]
         == metrics["total_resources"] - metrics["total_resources_pushed"]
     )
+
+
+def test_cli_push_events_mode_all_counters(spark, tmp_path, capsys):
+    # EVENTS-mode push through the CLI (reference core/pipeline.py:
+    # 121-178 driven by push --mode events): last-wins dedup, missing
+    # lookup, having filter, target write — all four PushResult
+    # counters asserted, mirroring the reference API contract
+    # (connectors/warehouse_a/test.py:206-243).
+    origin_root = str(tmp_path / "origin")
+    target_root = str(tmp_path / "target")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.write.parquet(f"{origin_root}/jobs")
+
+    rows = orders.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").take(50)
+    key_hi = next(r["o_orderkey"] for r in rows if r["o_totalprice"] > 100000)
+    key_lo = next(r["o_orderkey"] for r in rows if r["o_totalprice"] <= 100000)
+    key_missing = max(r["o_orderkey"] for r in rows) + 10_000_000
+
+    events = [
+        # duplicate pair for key_hi -> last-wins keeps ONE
+        {"job_id": key_hi, "event_id": 1},
+        {"job_id": key_hi, "event_id": 2},
+        {"job_id": key_lo, "event_id": 3},
+        {"job_id": key_missing, "event_id": 4},
+    ]
+    argv = [
+        "push",
+        "--resource", "job",
+        "--origin", origin_root,
+        "--target", target_root,
+        "--mode", "events",
+        "--events-json", json.dumps(events),
+        "--resource-key", "o_orderkey",
+        "--order-cols", "event_id",
+        "--having", json.dumps(
+            [{"field": "o_totalprice", "op": "gt", "value": 100000}]
+        ),
+    ]
+    assert cli.main(argv, spark=spark) == 0
+    metrics = json.loads(capsys.readouterr().out.strip())
+    assert metrics["total_events"] == 4
+    assert metrics["total_resources_fetched"] == 2  # hi + lo, deduped
+    assert metrics["total_resources_pushed"] == 1   # only hi passes having
+    assert metrics["skipped_missing"] == 1
+    assert metrics["skipped_having"] == 1
+    assert metrics["errors"] == []
+    pushed = spark.read.parquet(f"{target_root}/jobs")
+    assert pushed.count() == 1
+    assert pushed.collect()[0]["o_orderkey"] == key_hi
+
+
+def test_cli_push_events_requires_events_json(spark, tmp_path):
+    origin_root = str(tmp_path / "origin")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(1).write.parquet(
+        f"{origin_root}/jobs"
+    )
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["push", "--resource", "job", "--origin", origin_root,
+             "--mode", "events"],
+            spark=spark,
+        )

@@ -79,3 +79,26 @@ def test_verify_rejects_band_collision_far_pair(spark):
         [(1, a), (2, b)], "doc_id long, phash long"
     )
     assert phash_near_dup_pairs(df, max_hamming=10).count() == 0
+
+
+def test_scale_smoke_phash_stage_non_multiple_rows(spark):
+    # regression (round-11 ADVICE): --phash-rows not divisible by 10
+    # left a partial planted group and the exact 3*(n//10) pair-count
+    # assertion failed spuriously; the stage now rounds n down to a
+    # whole number of groups
+    import sys
+    import types
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        import scale_smoke
+    finally:
+        sys.path.pop(0)
+
+    class _Meter:
+        def run(self, label, fn):
+            return fn(), 1.0
+
+    args = types.SimpleNamespace(phash_rows=47)  # rounds to 40 -> 12 pairs
+    scale_smoke.run_phash_stage(spark, _Meter(), args, root=None)

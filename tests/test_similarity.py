@@ -177,3 +177,30 @@ def test_random_projection_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_mmr_pool_smaller_than_k_returns_partial(spark):
+    # regression (round-11 ADVICE): shortlist/corpus < k used to crash
+    # with TypeError (best is None) in the greedy loop
+    e = _emb(spark).where(F.col("vec_id") < 4)  # pool of 4
+    q = e.where(F.col("vec_id") == 0)
+    rows = sim.mmr_topk(e, q, k=10, shortlist=30).collect()
+    assert len(rows) == 4
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    assert len({r["vec_id"] for r in rows}) == 4
+
+
+def test_mmr_shortlist_caps_pool(spark):
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") == 0)
+    rows = sim.mmr_topk(e, q, k=10, shortlist=3).collect()
+    assert len(rows) == 3
+
+
+def test_mmr_empty_corpus_raises(spark):
+    import pytest
+
+    e = _emb(spark).where(F.col("vec_id") < 0)
+    q = _emb(spark).where(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="empty"):
+        sim.mmr_topk(e, q, k=5)

@@ -217,3 +217,26 @@ def test_ewma_null_ts_and_value_excluded(spark):
     )
     row = ewma(df, "k", "ts", "v", order_cols=("i",)).collect()[0]
     assert row["n_events"] == 1 and row["ewma"] == 10.0
+
+
+def test_ewma_string_key_survives_arrow_boundary(spark):
+    # regression (round-11 ADVICE): the output key field was hardcoded
+    # bigint, so string/date keys failed at the Arrow boundary
+    from hrtech_etl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [
+            ("us", datetime(2024, 1, 1), 10.0, 1),
+            ("us", datetime(2024, 1, 2), 20.0, 2),
+            ("eu", datetime(2024, 1, 1), 4.0, 3),
+        ],
+        "k string, ts timestamp, v double, i bigint",
+    )
+    out = {
+        r["k"]: (r["n_events"], r["ewma"])
+        for r in ewma(df, "k", "ts", "v", alpha=0.5, order_cols=("i",)).collect()
+    }
+    assert out["us"] == (2, 15.0)
+    assert out["eu"] == (1, 4.0)
+    res = ewma(df, "k", "ts", "v", alpha=0.5, order_cols=("i",))
+    assert res.schema["k"].dataType.typeName() == "string"
