@@ -47,11 +47,19 @@ def pagerank(
     Scale shape: the edge list and degree table materialize ONCE
     behind a lazy localCheckpoint (8 iterations must not re-execute
     the upstream edge derivation — the lineage-re-execution lesson);
-    each iteration is one equi-join on ``src`` (AQE handles skew: a
-    viral node's contributions partial-aggregate map-side after the
-    join projects them narrow) plus one shrinking groupBy on ``dst``;
-    the rank vector (|V| rows) re-checkpoints lazily per iteration so
-    the plan stays linear in iterations, never exponential.
+    each iteration is ONE shuffle: the rank vector (|V| rows, two
+    columns) is BROADCAST into the contribs join — never shuffling
+    the |E|-row edge list — and the teleport term rides the same
+    groupBy via a union of zero-share rows (one per node), so nodes
+    without in-edges surface from the aggregate itself instead of a
+    second |V| ⋈ |V| left join per iteration (round-11 A/B at sf0.1:
+    16.3s → 5.8s for 8 iterations, 126 → 62 stages; adding 0-valued
+    DECIMAL rows leaves the exact commutative sum unchanged, so the
+    recursive-CTE twin stays bit-equal). The rank vector
+    re-checkpoints lazily per iteration so the plan stays linear in
+    iterations, never exponential. When |V| outgrows broadcast room
+    at true cluster scale, drop the hint and AQE falls back to a
+    shuffled join — the algebra is unchanged.
 
     Returns ``(node, pagerank)`` with ``pagerank`` rounded once at
     the end.
@@ -80,28 +88,45 @@ def pagerank(
     pr = nodes.select("node", F.lit(1.0 / float(n_nodes)).alias("pr"))
     # materialize the degree-annotated edge list ONCE: without this
     # checkpoint every iteration re-executes the e ⋈ deg join
-    # (A/B'd at sf0.1: 19.1s -> 13.7s for 8 iterations)
-    out_edges = e.join(deg, "__s").localCheckpoint(eager=False)
+    # (A/B'd at sf0.1: 19.1s -> 13.7s for 8 iterations). Balanced
+    # round-robin repartition to the session's parallelism: the
+    # checkpointed RDD otherwise inherits however few partitions the
+    # upstream derivation ended on (7 at sf0.1), leaving most cores
+    # idle through every iteration's contrib pass — the broadcast
+    # join needs no particular partitioning, so width is free.
+    n_par = edges.sparkSession.sparkContext.defaultParallelism
+    out_edges = e.repartition(n_par).localCheckpoint(eager=False)
+    deg = deg.localCheckpoint(eager=False)
+    # one zero-valued share per node: unioned under the per-iteration
+    # aggregate so nodes with no in-edges emerge from the SAME groupBy
+    # (0 contributes nothing to the exact DECIMAL sum) instead of a
+    # second nodes ⋈ sums left join per iteration
+    zero_shares = nodes.select(
+        "node", F.lit(0).cast("decimal(38,12)").alias("__share")
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
-        contribs = out_edges.join(
-            pr, out_edges["__s"] == pr["node"]
-        ).select(
-            F.col("__d").alias("node"),
+        # per-NODE share table (pr/deg, the identical IEEE division +
+        # DECIMAL cast, just computed once per node instead of once
+        # per edge — |V| divisions, not |E|), broadcast under the
+        # edge join so the per-edge work is a hash probe + exact sum
+        shares = pr.join(deg, pr["node"] == deg["__s"]).select(
+            F.col("__s"),
             (F.col("pr") / F.col("__deg"))
             .cast("decimal(38,12)")
             .alias("__share"),
         )
-        sums = contribs.groupBy("node").agg(
-            F.sum("__share").cast("double").alias("__in")
+        contribs = out_edges.join(F.broadcast(shares), "__s").select(
+            F.col("__d").alias("node"), F.col("__share")
         )
         pr = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
+            contribs.unionByName(zero_shares)
+            .groupBy("node")
+            .agg(
                 (
                     F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("pr"),
+                    + F.lit(damping)
+                    * F.sum("__share").cast("double")
+                ).alias("pr")
             )
             .localCheckpoint(eager=False)
         )
