@@ -709,10 +709,11 @@ def test_user_running_stats_transform_with_state(
     same final per-user state as the batch aggregation. Requires the
     RocksDB state store provider (set for this stream, restored after)
     and protobuf (the TWS state protocol). PERMANENT-ENV SKIP in this
-    sandbox (checked each round through r10): google.protobuf is not
-    installed, there is no network to fetch it, and vendoring its
-    runtime is out of scope — so the drive skips here and runs on a
-    real cluster. The applyInPandasWithState twin of this exact
+    sandbox (checked each round through r11; the r11 probe also
+    confirmed `pip download protobuf` hangs on the blocked network, so
+    vendoring a wheel is impossible, not merely out of scope): there
+    is no google.protobuf and no way to fetch one — the drive skips
+    here and runs on a real cluster. The applyInPandasWithState twin of this exact
     pipeline IS driven end to end (test_user_running_stats above and
     the gated stream_running_stats query). See README
     'Environment-blocked scope'."""

@@ -93,3 +93,14 @@ def test_cohort_retention_single_scan_plan(spark, sf_dir):
     # formatting varies across versions; check the payload only)
     assert "pushedfilters" in lower, plan
     assert "isnotnull(event_type)" in lower, plan
+
+
+def test_dev_vacuated_gates_return_rows(spark, sf_dir):
+    """round-11 regression guard: join_anti and join_asof_forward were
+    re-anchored after their round-10 gates matched on empty==empty;
+    both must stay non-empty at the gate SFs (oracle_check also now
+    fails any entry whose both sides return 0 rows)."""
+    anti = REGISTRY["join_anti"].fn(spark, sf_dir)
+    assert anti.count() > 0
+    fwd = REGISTRY["join_asof_forward"].fn(spark, sf_dir)
+    assert fwd.count() > 0

@@ -151,6 +151,11 @@ def main() -> int:
             continue
 
         problems = []
+        if len(srows) == 0 and len(drows) == 0:
+            # a 0-row "match" pins only empty==empty — the round-10
+            # verdict's vacuous-gate finding; no declared entry
+            # legitimately returns an empty result at any gate SF
+            problems.append("vacuous gate: both engines returned 0 rows")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
