@@ -5009,8 +5009,11 @@ def ts_ewma(spark, sf_dir):
     e_t = (1-a)·e_{t-1} + a·x_t is order-dependent and has no window
     form, so this exercises the engine's per-key sequential-replay
     path: operators/timeseries.py::ewma shards keys across executors
-    with ONE exchange and replays each key inside an Arrow-batched
-    applyInPandas kernel holding one double of state. The DuckDB twin
+    with ONE exchange into a sort_array(collect_list(struct))
+    aggregate, then folds each key's value array inside ONE
+    Arrow-vectorized pandas_udf — thousands of keys per batch, not
+    one Python kernel call per key (3.3s → 0.5s at sf0.1 in the
+    round-11 rewrite). The DuckDB twin
     is a recursive CTE stepping every user one event per iteration;
     both engines evaluate the literally-identical IEEE expression
     ((1-a)·prev + a·x, seeded e_1 = x_1), so the smoothed values agree
