@@ -52,14 +52,26 @@ def pagerank(
     the |E|-row edge list — and the teleport term rides the same
     groupBy via a union of zero-share rows (one per node), so nodes
     without in-edges surface from the aggregate itself instead of a
-    second |V| ⋈ |V| left join per iteration (round-11 A/B at sf0.1:
-    16.3s → 5.8s for 8 iterations, 126 → 62 stages; adding 0-valued
-    DECIMAL rows leaves the exact commutative sum unchanged, so the
-    recursive-CTE twin stays bit-equal). The rank vector
-    re-checkpoints lazily per iteration so the plan stays linear in
-    iterations, never exponential. When |V| outgrows broadcast room
-    at true cluster scale, drop the hint and AQE falls back to a
-    shuffled join — the algebra is unchanged.
+    second |V| ⋈ |V| left join per iteration (adding 0-valued DECIMAL
+    rows leaves the exact commutative sum unchanged, so the
+    recursive-CTE twin stays bit-equal); the rank vector carries each
+    node's out-degree so the share table is a projection, not a
+    pr ⋈ deg join. The rank vector re-checkpoints lazily per
+    iteration so the plan stays linear in iterations, never
+    exponential. When |V| outgrows broadcast room at true cluster
+    scale, drop the hint and AQE falls back to a shuffled join — the
+    algebra is unchanged.
+
+    Round-11 quiet-host record (sf0.1, 2.39M edges, 20k nodes, 8
+    iterations, loadavg 0.45): 16.3s baseline → 7.97s min after the
+    three changes above (58 → 27 jobs, 126 → 69 stages). The ≤5s
+    target was NOT reached: the residual ~0.7s/iteration is the
+    local-mode floor of one agg barrier + one broadcast build + a
+    2.39M-row checkpoint scan per iteration — the DECIMAL sum itself
+    is ~0.1s/iter (2.39M adds), and chaining two iterations per
+    materialization was rejected because the next broadcast forces
+    full evaluation anyway (the un-checkpointed half would re-execute
+    under it).
 
     Returns ``(node, pagerank)`` with ``pagerank`` rounded once at
     the end.
@@ -85,38 +97,54 @@ def pagerank(
     # algorithm's N — one count, same contract as the PQ codebook)
     teleport = (1.0 - damping) / float(n_nodes)
 
-    pr = nodes.select("node", F.lit(1.0 / float(n_nodes)).alias("pr"))
-    # materialize the degree-annotated edge list ONCE: without this
-    # checkpoint every iteration re-executes the e ⋈ deg join
-    # (A/B'd at sf0.1: 19.1s -> 13.7s for 8 iterations). Balanced
-    # round-robin repartition to the session's parallelism: the
-    # checkpointed RDD otherwise inherits however few partitions the
-    # upstream derivation ended on (7 at sf0.1), leaving most cores
-    # idle through every iteration's contrib pass — the broadcast
-    # join needs no particular partitioning, so width is free.
+    # materialize the bare edge list ONCE: without a checkpoint every
+    # iteration re-executes the upstream edge derivation (A/B'd at
+    # sf0.1: 19.1s -> 13.7s for 8 iterations). Balanced round-robin
+    # repartition to the session's parallelism: the checkpointed RDD
+    # otherwise inherits however few partitions the upstream
+    # derivation ended on (7 at sf0.1), leaving most cores idle
+    # through every iteration's contrib pass — the broadcast join
+    # needs no particular partitioning, so width is free.
     n_par = edges.sparkSession.sparkContext.defaultParallelism
     out_edges = e.repartition(n_par).localCheckpoint(eager=False)
-    deg = deg.localCheckpoint(eager=False)
-    # one zero-valued share per node: unioned under the per-iteration
-    # aggregate so nodes with no in-edges emerge from the SAME groupBy
-    # (0 contributes nothing to the exact DECIMAL sum) instead of a
-    # second nodes ⋈ sums left join per iteration
-    zero_shares = nodes.select(
-        "node", F.lit(0).cast("decimal(38,12)").alias("__share")
+    # the rank vector CARRIES each node's out-degree (left join once
+    # at init; dangling nodes carry 0): every iteration's share table
+    # is then a pure projection of the previous rank vector — no
+    # pr ⋈ deg join per iteration
+    pr = (
+        nodes.join(deg, nodes["node"] == deg["__s"], "left")
+        .select(
+            "node",
+            F.lit(1.0 / float(n_nodes)).alias("pr"),
+            F.coalesce(F.col("__deg"), F.lit(0)).alias("__deg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # one zero-valued share per node, carrying the degree: unioned
+    # under the per-iteration aggregate so (a) nodes with no in-edges
+    # emerge from the SAME groupBy (0 contributes nothing to the
+    # exact DECIMAL sum) instead of a second nodes ⋈ sums left join
+    # per iteration, and (b) max(__deg) rides the aggregate to
+    # re-annotate the next rank vector for free (contrib rows carry
+    # NULL, the one zero row per group carries the degree)
+    zero_shares = pr.select(
+        "node", F.lit(0).cast("decimal(38,12)").alias("__share"), "__deg"
     ).localCheckpoint(eager=False)
     for _ in range(iterations):
         # per-NODE share table (pr/deg, the identical IEEE division +
         # DECIMAL cast, just computed once per node instead of once
         # per edge — |V| divisions, not |E|), broadcast under the
         # edge join so the per-edge work is a hash probe + exact sum
-        shares = pr.join(deg, pr["node"] == deg["__s"]).select(
-            F.col("__s"),
+        shares = pr.where(F.col("__deg") > 0).select(
+            F.col("node").alias("__s"),
             (F.col("pr") / F.col("__deg"))
             .cast("decimal(38,12)")
             .alias("__share"),
         )
         contribs = out_edges.join(F.broadcast(shares), "__s").select(
-            F.col("__d").alias("node"), F.col("__share")
+            F.col("__d").alias("node"),
+            F.col("__share"),
+            F.lit(None).cast("bigint").alias("__deg"),
         )
         pr = (
             contribs.unionByName(zero_shares)
@@ -126,7 +154,8 @@ def pagerank(
                     F.lit(teleport)
                     + F.lit(damping)
                     * F.sum("__share").cast("double")
-                ).alias("pr")
+                ).alias("pr"),
+                F.max("__deg").alias("__deg"),
             )
             .localCheckpoint(eager=False)
         )
