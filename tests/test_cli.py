@@ -163,3 +163,36 @@ def test_cli_push_events_requires_events_json(spark, tmp_path):
              "--mode", "events"],
             spark=spark,
         )
+
+
+def test_cli_push_events_with_formatter(spark, tmp_path, capsys):
+    # events mode + formatter: pushed rows are mapped before the
+    # connector write (the reference's safe_format_resources step)
+    origin_root = str(tmp_path / "origin")
+    target_root = str(tmp_path / "target")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.write.parquet(f"{origin_root}/jobs")
+    key = orders.select("o_orderkey").orderBy("o_orderkey").first()["o_orderkey"]
+
+    argv = [
+        "push",
+        "--resource", "job",
+        "--origin", origin_root,
+        "--target", target_root,
+        "--mode", "events",
+        "--events-json", json.dumps([{"job_id": key, "event_id": 1}]),
+        "--resource-key", "o_orderkey",
+        "--order-cols", "event_id",
+        "--formatter", json.dumps(
+            [
+                {"from": "o_orderkey", "to": "key"},
+                {"from": "o_totalprice", "to": "price"},
+            ]
+        ),
+    ]
+    assert cli.main(argv, spark=spark) == 0
+    metrics = json.loads(capsys.readouterr().out.strip())
+    assert metrics["total_resources_pushed"] == 1
+    pushed = spark.read.parquet(f"{target_root}/jobs")
+    assert set(pushed.columns) == {"key", "price"}
+    assert pushed.first()["key"] == key
