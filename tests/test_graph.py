@@ -115,3 +115,25 @@ def test_hierarchy_closure_root_self_loop_ok(spark):
     df = spark.createDataFrame([(0, 0), (1, 0)], "k long, parent long")
     got = {(r["k"], r["ancestor"]) for r in hierarchy_closure(df, "k", "parent").collect()}
     assert got == {(1, 0)}
+
+
+def test_pagerank_per_iteration_job_budget(spark, sf_dir):
+    """Plan-shape contract for the round-11 loop: 8 iterations must
+    stay within a small per-iteration job budget (the round-10 shape
+    spent 58 jobs at sf0.1 — teleport left-join + per-edge division;
+    the rewrite runs 27). Job counts are AQE-stable at this scale; a
+    regression back to per-iteration joins roughly doubles them."""
+    from hrtech_etl_spark.workload import REGISTRY
+
+    sc = spark.sparkContext
+    group = "pagerank-job-budget"
+    sc.setJobGroup(group, "pagerank job budget")
+    try:
+        REGISTRY["graph_pagerank"].fn(spark, sf_dir).count()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert 0 < len(jobs) <= 35, (
+        f"pagerank spent {len(jobs)} jobs for 8 iterations — "
+        "per-iteration plan regressed (expected ~27)"
+    )
