@@ -535,8 +535,15 @@ def pq_encode(
         return (-F.array_max(cands).getField("nj")).cast("int")
 
     code_cols = [subspace_code(s) for s in range(m)]
+    # scale-conditional width (core.partitioning.spread): the argmin
+    # fold is the CPU-heavy stage of the whole PQ cascade, and a
+    # narrow local scan (one parquet file) would run it on one core —
+    # round-11 finding: the sf0.1 embeddings scan is 1 partition, so
+    # the encode serialized the entire cascade (sim_pq_topk 2.9s →
+    # 0.7s with the spread). A cluster-wide scan passes through
+    # unchanged, preserving the zero-shuffle contract where it holds.
     return (
-        embeddings.crossJoin(codebook)
+        _spread(embeddings).crossJoin(codebook)
         .withColumn("__codes", F.array(*code_cols))
         .drop("__cb")
     )
