@@ -928,7 +928,10 @@ def remove_contaminated(
             hashed_shingles(word_shingles(F.col(tcol), k=shingle_k))
         ).alias("h")
     ).distinct()
-    train_sh = train.select(
+    # scale-conditional width: the train-side shingle explode is the
+    # corpus-heavy stage — a narrow local scan would run it on one
+    # core; a wide cluster scan passes through unchanged
+    train_sh = spread(train).select(
         F.col(id_col),
         F.explode(
             hashed_shingles(word_shingles(F.col(text_col), k=shingle_k))

@@ -493,8 +493,14 @@ def bigram_lm_scores(
     The checkpointed table is model-sized (distinct bigram types),
     not corpus-sized.
     """
+    from hrtech_etl_spark.core.partitioning import spread as _spread
+
     carry = [F.col(c) for c in carry_cols]
-    bg = docs.select(
+    # scale-conditional width: tokenize+explode is the corpus-heavy
+    # stage and a narrow local scan (the sf0.1 fixture is ONE parquet
+    # partition) would run it on one core; a wide cluster scan passes
+    # through unchanged (round-11, same finding as pq_encode)
+    bg = _spread(docs).select(
         F.col(id_col),
         *carry,
         F.explode(word_ngrams(F.col(text_col), 2)).alias("__g"),
