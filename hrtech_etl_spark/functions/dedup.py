@@ -1364,8 +1364,11 @@ def duplicate_span_stats(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     t, i = text_col, id_col
+    # scale-conditional width: the O(total chars) position explode is
+    # the heaviest stage — widen a narrow local scan, pass a wide
+    # cluster scan through unchanged
     sh = (
-        docs.where(F.length(t) >= k)
+        spread(docs.where(F.length(t) >= k))
         .select(
             F.col(i),
             F.length(t).alias("__n"),
