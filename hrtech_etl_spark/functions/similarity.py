@@ -609,20 +609,30 @@ def pq_codebook_trained(
     :func:`pq_codebook`, so every downstream plan is unchanged. Trains
     m independent KMeans fits on the subvectors (at 100 TB: on a
     sample — PQ codebooks saturate at ~100k training points)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans  # import-gated: ML optional
     from pyspark.ml.functions import array_to_vector
 
     dsub = dim // m
     spark = embeddings.sparkSession
-    cb = []
-    for s in range(m):
+
+    def fit_subspace(s: int) -> list[list[float]]:
         feats = embeddings.select(
             array_to_vector(
                 F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub)
             ).alias("features")
         )
         model = KMeans(k=ksub, seed=seed + s, maxIter=max_iter).fit(feats)
-        cb.append([[float(x) for x in c] for c in model.clusterCenters()])
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # the m subspace fits are independent (each seeded on its own) —
+    # submit them as concurrent Spark jobs instead of serializing m
+    # iterative MLlib fits on the driver (round 11: 13.8s → 5.6s at
+    # sf0.1; results are bit-identical, scheduling does not enter the
+    # math)
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        cb = list(ex.map(fit_subspace, range(m)))
     return F.broadcast(
         spark.createDataFrame([(cb,)], "`__cb` ARRAY<ARRAY<ARRAY<DOUBLE>>>")
     )
