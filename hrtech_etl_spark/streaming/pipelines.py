@@ -546,34 +546,54 @@ def foreach_batch_ewma(
     one_minus = 1.0 - alpha
     sort_cols = [ts_col, *order_cols]
 
-    def _out_schema(batch_df: DataFrame) -> T.StructType:
-        # Key field type mirrors the batch's key column (string/date
-        # keys must survive the Arrow boundary, not coerce to bigint).
-        return T.StructType(
-            [
-                T.StructField(key_col, batch_df.schema[key_col].dataType),
-                T.StructField("n_events", T.LongType()),
-                T.StructField("ewma", T.DoubleType()),
-            ]
-        )
+    import numpy as np
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        vals = pdf[value_col].to_numpy(dtype="float64")
-        seed = pdf["__seed"].iloc[0]
-        seed_n = pdf["__seed_n"].iloc[0]
-        if pd.isna(seed):
-            e, n0, rest = vals[0], 0, vals[1:]
-        else:
-            e, n0, rest = float(seed), int(seed_n), vals
-        for x in rest:
-            e = one_minus * e + alpha * x
-        return pd.DataFrame(
-            {
-                key_col: [pdf[key_col].iloc[0]],
-                "n_events": [n0 + len(vals)],
-                "ewma": [e],
-            }
+    def _fold_seeded_batch(seqs, seeds):
+        # pd.Series of (value array, seed double) -> pd.Series double.
+        # One Arrow batch folds thousands of keys — the per-GROUP
+        # applyInPandas form paid one Python kernel call per key
+        # (round-11 rewrite, same as operators/timeseries.py::ewma)
+        out = np.empty(len(seqs), dtype="float64")
+        for i, (arr, seed) in enumerate(zip(seqs, seeds)):
+            vals = np.asarray(arr, dtype="float64")
+            if pd.isna(seed):
+                e, rest = vals[0], vals[1:]
+            else:
+                e, rest = float(seed), vals
+            for x in rest:
+                e = one_minus * e + alpha * x
+            out[i] = e
+        return pd.Series(out)
+
+    _fold_seeded = F.pandas_udf(_fold_seeded_batch, "double")
+
+    def _fold_updates(joined: DataFrame) -> DataFrame:
+        # per-key history assembled JVM-side in (ts, *order) order
+        # (ties beyond the order columns break by value — the same
+        # total-order contract as the batch operator), seed carried
+        # as a key-functional first(); the sequential fold runs in
+        # ONE Arrow-vectorized pass
+        seq = joined.groupBy(key_col).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        *[F.col(c).alias(f"__s{i}") for i, c in enumerate(sort_cols)],
+                        F.col(value_col).alias("__v"),
+                    )
+                )
+            ).alias("__seq"),
+            F.first("__seed").alias("__seed"),
+            F.first("__seed_n").alias("__seed_n"),
+        )
+        return seq.select(
+            F.col(key_col),
+            (
+                F.coalesce(F.col("__seed_n"), F.lit(0))
+                + F.size("__seq")
+            ).cast("bigint").alias("n_events"),
+            _fold_seeded(
+                F.transform("__seq", lambda s: s["__v"]), F.col("__seed")
+            ).alias("ewma"),
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -601,9 +621,9 @@ def foreach_batch_ewma(
             joined = batch.withColumn(
                 "__seed", F.lit(None).cast("double")
             ).withColumn("__seed_n", F.lit(None).cast("bigint"))
-        updated = joined.groupBy(key_col).applyInPandas(
-            kernel, _out_schema(batch_df)
-        ).withColumn("__batch_id", F.lit(batch_id).cast("bigint"))
+        updated = _fold_updates(joined).withColumn(
+            "__batch_id", F.lit(batch_id).cast("bigint")
+        )
         if not has_state:
             # bootstrap: no live table to swap out yet
             updated.write.mode("overwrite").parquet(target)
