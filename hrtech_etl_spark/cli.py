@@ -104,7 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _parse_events(spark, raw: str, event_key: str):
-    """``--events-json`` → DataFrame: inline JSON list or @file."""
+    """``--events-json`` → DataFrame: inline JSON list or @file.
+
+    Each row is stamped with ``__feed_seq__`` (its position in the
+    feed) so last-wins dedup has a deterministic total order even when
+    duplicate events carry different payloads — the reference's dict
+    overwrite keeps the LAST occurrence in feed order
+    (``core/pipeline.py:141-143``), and feed position is the only
+    tiebreak that reproduces that."""
     if raw.startswith("@"):
         with open(raw[1:]) as fh:
             payload = json.load(fh)
@@ -112,12 +119,19 @@ def _parse_events(spark, raw: str, event_key: str):
         payload = json.loads(raw)
     if not isinstance(payload, list) or not payload:
         raise SystemExit("--events-json must be a non-empty JSON list")
+    non_obj = [i for i, e in enumerate(payload) if not isinstance(e, dict)]
+    if non_obj:
+        raise SystemExit(
+            f"--events-json rows {non_obj} are not JSON objects"
+        )
     missing = [i for i, e in enumerate(payload) if event_key not in e]
     if missing:
         raise SystemExit(
             f"--events-json rows {missing} lack event key '{event_key}'"
         )
-    return spark.createDataFrame(payload)
+    return spark.createDataFrame(
+        [{**e, "__feed_seq__": i} for i, e in enumerate(payload)]
+    )
 
 
 def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = None) -> int:
@@ -177,15 +191,19 @@ def main(argv: Optional[Sequence[str]] = None, spark: Optional[SparkSession] = N
             raise SystemExit("push --mode events requires --events-json")
         event_key = args.event_key or f"{resource.value}_id"
         events_df = _parse_events(spark, args.events_json, event_key)
+        # feed position is ALWAYS the final tiebreak: user order columns
+        # may tie, and the reference's dict-overwrite semantics resolve
+        # ties by feed order (last occurrence wins)
         order_cols = [
             F_col(c.strip()) for c in args.order_cols.split(",") if c.strip()
-        ] or [F_col(event_key)]
+        ] + [F_col("__feed_seq__")]
         metrics = push_events(
             events_df,
             source,
             event_key=event_key,
             resource_key=args.resource_key,
             order_cols=order_cols,
+            drop_after_dedup=("__feed_seq__",),
             having=having,
             prefilter_resources=True,
             mapping=mapping,

@@ -164,6 +164,7 @@ def push_events(
     event_key: str,
     resource_key: str,
     order_cols: Sequence[Column],
+    drop_after_dedup: Sequence[str] = (),
     having: Sequence[Condition] | None = None,
     broadcast_resources: bool = False,
     prefilter_resources: bool = False,
@@ -200,12 +201,22 @@ def push_events(
     from pyspark.sql import Observation
 
     obs_in = Observation()
+    raw_events = events  # un-observed lineage for the prefilter branch
     events = events.observe(obs_in, F.count(F.lit(1)).alias("total_events"))
     deduped = last_wins_dedup(events, event_key, order_cols)
+    if drop_after_dedup:
+        # internal ordering columns (e.g. the CLI's feed-position
+        # tiebreak) must not leak into the pushed output
+        deduped = deduped.drop(*drop_after_dedup)
 
     r = F.broadcast(resources) if broadcast_resources else resources
     if prefilter_resources:
-        ids = deduped.select(F.col(event_key).alias(resource_key)).distinct()
+        # ids come from the UN-observed lineage: distinct raw event
+        # keys == distinct deduped keys (dedup only drops duplicate
+        # keys), and this keeps the CollectMetrics(total_events) node
+        # in exactly ONE executed subtree — the counter no longer
+        # relies on both plan instances scanning the full feed
+        ids = raw_events.select(F.col(event_key).alias(resource_key)).distinct()
         r = r.join(F.broadcast(ids), resource_key, "left_semi")
     joined = deduped.join(r, deduped[event_key] == r[resource_key], "left")
     matched_flag = F.col(resource_key).isNotNull()

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 #: date_trunc units the portable gate supports (both engines truncate
 #: identically for these; sub-minute or month+ units work in Spark but

@@ -30,16 +30,21 @@ class QueryDef:
     name: str
     fn: QueryFn
     sql: Optional[str]  # DuckDB oracle; None → rows-only check
+    # hash_exempt: the oracle is SHAPE-matched (same rows/column names)
+    # but the values are intentionally different engines' estimates
+    # (e.g. HLL++ vs exact COUNT DISTINCT) — gates compare row count +
+    # schema and SKIP the value hash for these entries.
+    hash_exempt: bool = False
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def query(name: str, sql: str | None = None):
+def query(name: str, sql: str | None = None, hash_exempt: bool = False):
     """Decorator registering a declared query."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QueryDef(name=name, fn=fn, sql=sql)
+        REGISTRY[name] = QueryDef(name=name, fn=fn, sql=sql, hash_exempt=hash_exempt)
         return fn
 
     return deco

@@ -555,11 +555,27 @@ def agg_pivot_unpivot(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct", sql=None)  # approximate: rows-only check
+@query(
+    "agg_approx_distinct",
+    # SHAPE-matched oracle: exact COUNT(DISTINCT) with identical column
+    # names/groups, so the gate verifies row count + schema.  The VALUE
+    # is intentionally different (HLL++ estimate vs exact count) —
+    # hash_exempt marks the value hash as not comparable by design; the
+    # estimate itself is value-gated by the `sketch_hll_accuracy`
+    # canary (fails past 10% drift) and the rsd bound unit test.
+    sql="""
+    SELECT l_returnflag AS returnflag,
+           COUNT(DISTINCT l_partkey) AS approx_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    hash_exempt=True,
+)
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct estimate — the scale path when exact
-    distinct's shuffle is the bottleneck. No SQL oracle (estimator is
-    engine-specific); sanity bounds are unit-tested instead."""
+    distinct's shuffle is the bottleneck. Oracle is the exact
+    COUNT(DISTINCT) with matching shape (rows+schema gate); the
+    estimate's accuracy is separately value-gated by the
+    `sketch_hll_accuracy` canary and unit-tested rsd bounds."""
     l = load_table(spark, "lineitem", sf_dir)
     return l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),

@@ -165,6 +165,58 @@ def test_cli_push_events_requires_events_json(spark, tmp_path):
         )
 
 
+def test_cli_push_events_feed_order_tiebreak(spark, tmp_path, capsys):
+    # Duplicate events with DIFFERENT payloads and no --order-cols: the
+    # survivor must be the LAST occurrence in feed order (the
+    # reference's dict-overwrite semantics, core/pipeline.py:141-143).
+    # Before the __feed_seq__ tiebreak the default order was the
+    # constant event key, leaving the survivor nondeterministic.
+    origin_root = str(tmp_path / "origin")
+    target_root = str(tmp_path / "target")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.write.parquet(f"{origin_root}/jobs")
+    key = orders.select("o_orderkey").orderBy("o_orderkey").first()["o_orderkey"]
+
+    events = [
+        {"job_id": key, "note": "first"},
+        {"job_id": key, "note": "second"},
+        {"job_id": key, "note": "last"},
+    ]
+    argv = [
+        "push",
+        "--resource", "job",
+        "--origin", origin_root,
+        "--target", target_root,
+        "--mode", "events",
+        "--events-json", json.dumps(events),
+        "--resource-key", "o_orderkey",
+        # no --order-cols: feed position is the only tiebreak
+    ]
+    assert cli.main(argv, spark=spark) == 0
+    metrics = json.loads(capsys.readouterr().out.strip())
+    assert metrics["total_events"] == 3
+    assert metrics["total_resources_pushed"] == 1
+    pushed = spark.read.parquet(f"{target_root}/jobs")
+    row = pushed.collect()[0]
+    assert row["note"] == "last"
+    # the internal feed-order column must not leak into the sink
+    assert "__feed_seq__" not in pushed.columns
+
+
+def test_cli_push_events_rejects_non_object_elements(spark, tmp_path):
+    origin_root = str(tmp_path / "origin")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(1).write.parquet(
+        f"{origin_root}/jobs"
+    )
+    with pytest.raises(SystemExit, match="not JSON objects"):
+        cli.main(
+            ["push", "--resource", "job", "--origin", origin_root,
+             "--mode", "events",
+             "--events-json", json.dumps([{"job_id": 1}, 42, "x"])],
+            spark=spark,
+        )
+
+
 def test_cli_push_events_with_formatter(spark, tmp_path, capsys):
     # events mode + formatter: pushed rows are mapped before the
     # connector write (the reference's safe_format_resources step)

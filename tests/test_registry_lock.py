@@ -79,6 +79,30 @@ def test_registry_r10_prefix_locked():
     )
 
 
+# Category families that the driver's 50-entry window must keep
+# covering (prefix before the first underscore). The window hash above
+# already pins exact order; this pins the INTENT — a future re-freeze
+# of the window (new FIRST50_MD5) cannot silently drop a whole
+# category from driver-visible breadth. Families appended after the
+# round-4 freeze (corpus, sketch, graph, events, ts, funnel, layout,
+# profile, sql) live past position 50 by construction and are covered
+# by the full-registry sweeps instead.
+FIRST50_FAMILIES = {
+    "text", "dedup", "sim", "multimodal", "stream",
+    "udaf", "udtf", "udf",
+    "etl", "join", "agg", "window", "sort", "setop", "scalar",
+}
+
+
+def test_first50_window_covers_locked_families():
+    families = {n.split("_")[0] for n in _names()[:50]}
+    missing = FIRST50_FAMILIES - families
+    assert not missing, (
+        "driver-visible category breadth shrank — these families no "
+        f"longer have an entry in the first-50 window: {sorted(missing)}"
+    )
+
+
 def test_registry_names_unique_and_nonempty():
     names = _names()
     assert len(names) == len(set(names))

@@ -29,6 +29,7 @@ import duckdb
 import __spark_entry__ as entrymod
 from hrtech_etl_spark.core.schemas import TESTDATA_TABLES
 from hrtech_etl_spark.core.session import get_spark
+from hrtech_etl_spark.workload import REGISTRY
 
 
 def canon(v) -> str:
@@ -160,6 +161,15 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        hash_exempt = name in REGISTRY and REGISTRY[name].hash_exempt
+        if not problems and hash_exempt:
+            # shape-matched oracle with intentionally different values
+            # (e.g. HLL++ estimate vs exact count): rows+schema gated
+            # above, value hash skipped by declaration
+            weak += 1
+            dt = note(name, "rows+schema", len(srows), t0)
+            print(f"~ {name}: rows+schema, hash-exempt ({len(srows)} rows) [{dt:.1f}s]")
+            continue
         if not problems:
             sh, dh = result_hash(scols, srows), result_hash(dcols, drows)
             if sh != dh:
