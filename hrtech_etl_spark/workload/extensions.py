@@ -31,6 +31,7 @@ from hrtech_etl_spark.workload.text_llm import (
     cosine_sql,
     minhash_sql,
     quality_score_sql,
+    shingles_from_tokens_sql,
     shingles_sql,
 )
 
@@ -417,13 +418,33 @@ def join_bloom_semi(spark, sf_dir):
 
 @query(
     "join_fuzzy_editdist",
+    # SymSpell distance-1 pigeonhole (exact, any inputs): two strings
+    # are within levenshtein 1 iff their {self} UNION {single-deletion
+    # variants} sets intersect — a substitution pair shares the
+    # deletion at the edited index, an insert/delete pair's shorter
+    # string IS a deletion variant of the longer. Candidates come from
+    # a hash join on the variant; PRECISION is restored by the exact
+    # levenshtein verify, so only the published completeness theorem
+    # (not the Spark implementation) carries the recall argument.
+    # Value-identical to the previous all-pairs O(n^2)-levenshtein
+    # oracle at sf0.001/0.01/0.1 (A/B'd round 12), 138.7s -> 2.6s at
+    # sf0.1.
     sql="""
-    WITH p AS (
-      SELECT a.c_custkey AS ka, b.c_custkey AS kb,
-             levenshtein(a.c_name, b.c_name) AS d
-      FROM customer a JOIN customer b
-        ON a.c_custkey < b.c_custkey
-       AND levenshtein(a.c_name, b.c_name) <= 1
+    WITH v AS MATERIALIZED (
+      SELECT c_custkey, c_name, c_name AS variant FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name,
+             substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS variant
+      FROM customer, LATERAL (SELECT unnest(range(1, length(c_name) + 1)) AS i) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb,
+                      a.c_name AS na, b.c_name AS nb
+      FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+    ),
+    p AS (
+      SELECT ka, kb, levenshtein(na, nb) AS d FROM cand
+      WHERE levenshtein(na, nb) <= 1
     )
     SELECT count(*) AS n_pairs,
            CAST(count(DISTINCT ka) AS BIGINT) AS n_left,
@@ -970,19 +991,20 @@ def etl_scd2_temporal_join(spark, sf_dir):
     )
 
 
-_DECON_SH = shingles_sql("text", k=5)
-
-
 @query(
     "dedup_decontaminate",
+    # Tokens split once per doc, s/train pinned AS MATERIALIZED —
+    # value-identical at sf0.001/0.01/0.1 (A/B'd round 12),
+    # 17.6s -> 0.4s at sf0.1.
     sql=f"""
-    WITH s AS (
+    WITH w AS (SELECT doc_id, lang, n_chars, {TOKENS_SQL.format(t='text')} AS w FROM documents),
+    s AS MATERIALIZED (
       SELECT doc_id, lang, n_chars,
-             list_distinct(list_transform({_DECON_SH}, s -> {_PH_S})) AS sh
-      FROM documents
+             list_distinct(list_transform({shingles_from_tokens_sql('w', 5)}, s -> {_PH_S})) AS sh
+      FROM w
     ),
     test AS (SELECT DISTINCT unnest(sh) AS h FROM s WHERE doc_id % 10 = 0),
-    train AS (SELECT doc_id, lang, n_chars, sh FROM s WHERE doc_id % 10 <> 0),
+    train AS MATERIALIZED (SELECT doc_id, lang, n_chars, sh FROM s WHERE doc_id % 10 <> 0),
     contaminated AS (
       SELECT t.doc_id
       FROM (SELECT doc_id, unnest(sh) AS h FROM train) t
@@ -1332,26 +1354,42 @@ def corpus_pack_concat_split(spark, sf_dir):
 
 @query(
     "dedup_clusters",
+    # Same fixed point as the previous blocked all-pairs jaccard
+    # oracle (A/B'd value-identical at sf0.001/0.01/0.1, 77.7s -> 8.7s
+    # at sf0.1), restated with (a) an inverted-index candidate join —
+    # jaccard >= 0.3 requires >= 1 shared shingle, and because shingle
+    # lists are distinct, |A inter B| = the candidate-join match count
+    # and |A union B| = na + nb - inter, so the threshold test is
+    # value-identical, not approximate — and (b) AS MATERIALIZED on
+    # every CTE the recursive closure references, so each recursion
+    # round no longer re-evaluates the shingle/pair pipeline.
     sql=f"""
     WITH RECURSIVE raw AS (
       SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
              {shingles_sql()} AS sh
       FROM documents
     ),
-    s AS (
+    s AS MATERIALIZED (
       SELECT doc_id, lang, size_bucket,
              list_distinct(list_transform(sh, s -> {_PH_S})) AS sh
       FROM raw
     ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM s a JOIN s b
-        ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
-      WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
-                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh))
-                  ELSE 0.0 END, 4) >= 0.3
+    ex AS MATERIALIZED (
+      SELECT doc_id, lang, size_bucket, len(sh) AS n, unnest(sh) AS h FROM s
     ),
-    edges AS (
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.h = b.h AND a.lang = b.lang AND a.size_bucket = b.size_bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM cand
+      WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.3
+    ),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
@@ -2202,7 +2240,6 @@ _CAP_SEQ = 128
 _CAP_SEED, _CAP_NSH = 11, 8
 
 _CAP_SIG = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
-_CAP_SH5 = shingles_sql("text", k=5)
 _CAP_PH_CHUNK = portable_hash_sql("chunk_id", seed=_CAP_SEED)
 _CAP_TOKENS = TOKENS_SQL.format(t="chunk_text")
 
@@ -2219,43 +2256,51 @@ _CAP_TOKENS = TOKENS_SQL.format(t="chunk_text")
     ),
     test0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
     -- 1. exact dedup: min-id keep per canonical fingerprint
-    fp AS (SELECT doc_id, text, {FINGERPRINT_SQL.format(expr='text')} AS fp FROM train0),
+    -- (AS MATERIALIZED throughout: every CTE the recursive closure or
+    -- a later stage references more than once is pinned, so recursion
+    -- rounds no longer re-evaluate the whole upstream pipeline; the
+    -- token lists are split ONCE per doc in t1w/t2w — inlining the
+    -- split into the k-gram lambda re-evaluates it per element.
+    -- Value-identical to the previous statement at sf0.01/0.1
+    -- (A/B'd round 12), 90.7s -> 4.4s at sf0.1.)
+    fp AS MATERIALIZED (SELECT doc_id, text, {FINGERPRINT_SQL.format(expr='text')} AS fp FROM train0),
     keepx AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
-    t1 AS (SELECT f.doc_id, f.text FROM fp f JOIN keepx USING (doc_id)),
+    t1 AS MATERIALIZED (SELECT f.doc_id, f.text FROM fp f JOIN keepx USING (doc_id)),
     -- 2. near-dup: minhash(8)+LSH(4x2) -> jaccard verify -> CC -> min-id keep
-    sh AS (SELECT doc_id, {shingles_sql()} AS sh FROM t1),
-    hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh FROM sh),
-    sig AS (SELECT doc_id, {_CAP_SIG} FROM sh),
-    banded AS ({bands_sql('sig')}),
-    cand AS (
+    t1w AS MATERIALIZED (SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM t1),
+    sh AS MATERIALIZED (SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM t1w),
+    hs AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh FROM sh),
+    sig AS MATERIALIZED (SELECT doc_id, {_CAP_SIG} FROM sh),
+    banded AS MATERIALIZED ({bands_sql('sig')}),
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT c.id_a, c.id_b
       FROM cand c JOIN hs x ON c.id_a = x.doc_id JOIN hs y ON c.id_b = y.doc_id
       WHERE round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
                   THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh))
                   ELSE 0.0 END, 4) >= {_CAP_NEAR_T}
     ),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
     reach(id, root) AS (
       SELECT doc_id, doc_id FROM t1
       UNION
       SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
     ),
     labels AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
-    t2 AS (SELECT t.doc_id, t.text FROM t1 t
+    t2 AS MATERIALIZED (SELECT t.doc_id, t.text FROM t1 t
            WHERE t.doc_id IN (SELECT DISTINCT cluster FROM labels)),
     -- 3. decontaminate: hashed word-5-gram overlap >= 2 vs the test slice
-    tsh AS (
-      SELECT DISTINCT unnest(list_distinct(list_transform({_CAP_SH5}, s -> {_PH_S}))) AS h
-      FROM test0
+    tsh AS MATERIALIZED (
+      SELECT DISTINCT unnest(list_distinct(list_transform({shingles_from_tokens_sql('w', 5)}, s -> {_PH_S}))) AS h
+      FROM (SELECT {TOKENS_SQL.format(t='text')} AS w FROM test0)
     ),
-    trsh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform({_CAP_SH5}, s -> {_PH_S}))) AS h
-      FROM t2
+    trsh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(list_transform({shingles_from_tokens_sql('w', 5)}, s -> {_PH_S}))) AS h
+      FROM (SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM t2)
     ),
     contaminated AS (
       SELECT doc_id FROM trsh JOIN tsh USING (h) GROUP BY doc_id HAVING count(*) >= 2
@@ -2385,12 +2430,16 @@ _FFD_B = (
     "corpus_pack_ffd",
     sql=f"""
     WITH RECURSIVE
-    lens AS (
+    -- lens/ordered MATERIALIZED: the linear recursion below joins
+    -- `ordered` once per document step; without the pin DuckDB
+    -- re-evaluates the token count + window sort every step
+    -- (49.1s -> 2.1s at sf0.1, value-identical, A/B'd round 12)
+    lens AS MATERIALIZED (
       SELECT doc_id, {_FFD_NTOK} AS n_tokens,
              CAST({_FFD_PH} % {_FFD_NGRP} AS BIGINT) AS grp
       FROM documents
     ),
-    ordered AS (
+    ordered AS MATERIALIZED (
       SELECT doc_id, n_tokens, grp,
              row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id ASC) AS rn
       FROM lens
@@ -2975,26 +3024,36 @@ _SPLIT_H = portable_hash_sql("CAST(cluster AS VARCHAR)", seed=11)
 
 @query(
     "corpus_leakage_safe_split",
+    # Same inverted-index + AS MATERIALIZED restatement as the sibling
+    # `dedup_clusters` oracle (see its comment for the exactness
+    # argument) — value-identical, ~10x faster at sf0.1.
     sql=f"""
     WITH RECURSIVE raw AS (
       SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
              {shingles_sql()} AS sh
       FROM documents
     ),
-    s AS (
+    s AS MATERIALIZED (
       SELECT doc_id, lang, size_bucket,
              list_distinct(list_transform(sh, s -> {_PH_S})) AS sh
       FROM raw
     ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM s a JOIN s b
-        ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
-      WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
-                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh))
-                  ELSE 0.0 END, 4) >= 0.3
+    ex AS MATERIALIZED (
+      SELECT doc_id, lang, size_bucket, len(sh) AS n, unnest(sh) AS h FROM s
     ),
-    edges AS (
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.h = b.h AND a.lang = b.lang AND a.size_bucket = b.size_bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM cand
+      WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.3
+    ),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs

@@ -45,12 +45,13 @@ def lang_score_sql(lang: str) -> str:
     return " + ".join(occurrences_sql(padded, m) for m in tx.LANG_MARKERS[lang])
 
 
-def shingles_sql(t: str = "text", k: int = 2) -> str:
-    """Distinct word-k-gram list (DuckDB lists are 1-indexed; matches
-    word_shingles element_at indexing exactly). Generic k: shingle i
-    joins tokens i..i+k-1 with single spaces, i in 1..len-k+1 —
-    DuckDB range(a, b) excludes b, so the upper bound is len-(k-2)."""
-    toks = TOKENS_SQL.format(t=t)
+def shingles_from_tokens_sql(toks: str, k: int = 2) -> str:
+    """Distinct word-k-gram list over an ALREADY-SPLIT token-list
+    column. Inlining the regex split into the k-gram lambda makes
+    DuckDB re-evaluate the split per element reference (k+2 times per
+    shingle) — precomputing the token list in a prior CTE and passing
+    its column name here is ~20x faster at sf0.1 (capstone oracle
+    90.7s -> 4.4s, round 12). Output semantics identical."""
     concat = " || ' ' || ".join(
         (f"{toks}[i+{j}]" if j else f"{toks}[i]") for j in range(k)
     )
@@ -59,6 +60,16 @@ def shingles_sql(t: str = "text", k: int = 2) -> str:
         f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}), i -> {concat})) "
         f"ELSE [] END"
     )
+
+
+def shingles_sql(t: str = "text", k: int = 2) -> str:
+    """Distinct word-k-gram list (DuckDB lists are 1-indexed; matches
+    word_shingles element_at indexing exactly). Generic k: shingle i
+    joins tokens i..i+k-1 with single spaces, i in 1..len-k+1 —
+    DuckDB range(a, b) excludes b, so the upper bound is len-(k-2).
+    Inlines the token split; prefer shingles_from_tokens_sql over a
+    precomputed token column in hot oracles."""
+    return shingles_from_tokens_sql(TOKENS_SQL.format(t=t), k)
 
 
 def minhash_sql(j: int, shingles: str = "sh") -> str:
@@ -325,14 +336,18 @@ _BANDS_SQL = bands_sql()
 
 @query(
     "dedup_minhash_lsh",
+    # Tokens split ONCE per doc (w) then shingled from the list column,
+    # multi-referenced CTEs pinned AS MATERIALIZED — value-identical at
+    # sf0.001/0.01/0.1 (A/B'd round 12), 18.2s -> 4.1s at sf0.1.
     sql=f"""
-    WITH sh AS (SELECT doc_id, {shingles_sql()} AS sh FROM documents),
-    hs AS (SELECT doc_id,
+    WITH w AS MATERIALIZED (SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM w),
+    hs AS MATERIALIZED (SELECT doc_id,
                   list_distinct(list_transform(sh,
                     s -> {_PH_S})) AS sh
            FROM sh),
-    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh),
-    banded AS ({_BANDS_SQL}),
+    sig AS MATERIALIZED (SELECT doc_id, {_SIG_COLS} FROM sh),
+    banded AS MATERIALIZED ({_BANDS_SQL}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
@@ -398,6 +413,13 @@ def dedup_simhash(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
+    # Inverted-index candidates instead of the blocked all-pairs
+    # product: jaccard >= 0.3 requires >= 1 shared shingle, shingle
+    # lists are distinct so the candidate-join match count IS
+    # |A inter B| and |A union B| = na + nb - inter — the threshold
+    # test is value-identical, not approximate (A/B'd at
+    # sf0.001/0.01/0.1, 21.1s -> 0.8s at sf0.1). Tokens split once
+    # per doc; see dedup_clusters for the same restatement.
     sql=f"""
     WITH raw AS (
       -- floor, not a bare CAST: DuckDB CAST(double AS BIGINT) ROUNDS
@@ -405,24 +427,34 @@ def dedup_simhash(spark, sf_dir):
       -- fraction >= .5) landed in different blocking buckets and the
       -- pair counts diverged at sf0.1 (n_chars >= 0, so floor == trunc)
       SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
-             {shingles_sql()} AS sh
+             {TOKENS_SQL.format(t='text')} AS w
       FROM documents
     ),
-    s AS (
+    s AS MATERIALIZED (
       SELECT doc_id, lang, size_bucket,
-             list_distinct(list_transform(sh,
+             list_distinct(list_transform({shingles_from_tokens_sql('w')},
                s -> {_PH_S})) AS sh
       FROM raw
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id, lang, size_bucket, len(sh) AS n, unnest(sh) AS h FROM s
+    ),
+    cand AS (
+      SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n AS na, b.n AS nb, count(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.h = b.h AND a.lang = b.lang AND a.size_bucket = b.size_bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    pairs AS (
+      SELECT lang, round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+      FROM cand
     )
-    SELECT a.lang AS lang, count(*) AS n_pairs,
-           CAST(round(max(j.jaccard), 4) AS DOUBLE) AS max_jaccard
-    FROM s a JOIN s b
-      ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id,
-    LATERAL (SELECT round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
-                          THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh))
-                          ELSE 0.0 END, 4) AS jaccard) j
-    WHERE j.jaccard >= 0.3
-    GROUP BY a.lang
+    SELECT lang, count(*) AS n_pairs,
+           CAST(round(max(jaccard), 4) AS DOUBLE) AS max_jaccard
+    FROM pairs WHERE jaccard >= 0.3
+    GROUP BY lang
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
