@@ -199,9 +199,17 @@ def main() -> None:
         extended[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # Noise-robust cross-round number: the calibration query's code
+    # never changes round to round, so dividing the headline by its
+    # median cancels host-speed noise multiplicatively. Round-over-
+    # round comparisons should use value_normalized, not value — a
+    # shared-microVM sample can swing raw wall time 2-10x (see the
+    # round-11 phantom regressions, erased on a quiet re-run).
+    value_normalized = round(total / calibration["median"], 3)
     full_record = {
         "metric": "headline_query_wall_time",
         "value": total,
+        "value_normalized": value_normalized,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
@@ -209,6 +217,7 @@ def main() -> None:
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "calibration": calibration,
+        "loadavg_1m": calibration["loadavg_1m"],
         "sf": sf,
     }
     # Full record (incl. the 76-entry extended dict) goes to a file the
@@ -229,6 +238,7 @@ def main() -> None:
     headline = {
         "metric": "headline_query_wall_time",
         "value": total,
+        "value_normalized": value_normalized,
         "unit": "sec",
         "queries": timings,
         "n_runs": n_runs,

@@ -48,7 +48,9 @@ partition rows grow ~linearly (no single-partition collapse).
 ``cdc`` = content-defined chunking over the replicated corpus,
 ``phash`` = the banded hamming near-dup join over ``--phash-rows``
 synthetic 64-bit perceptual hashes (planted near-dup clusters),
-``graph`` = PageRank over a replicated co-occurrence graph) so each
+``graph`` = PageRank over a replicated co-occurrence graph,
+``skew`` = the salted agg/join paths under a 30% single-key hot spot
+at ``--skew-rows``, asserted against their uniform twins) so each
 path can be scaled independently of the 1M-doc dedup stages.
 """
 
@@ -82,6 +84,8 @@ class StageMeter:
 
     def __init__(self, sc):
         self.sc = sc
+        #: job count of the most recent run() — for flat-jobs asserts
+        self.last_jobs = 0
 
     def run(self, label: str, fn):
         group = f"smoke:{label}"
@@ -101,6 +105,7 @@ class StageMeter:
             f"{label}: {dt:.1f}s  jobs={len(jobs)} stages={stages}",
             flush=True,
         )
+        self.last_jobs = len(jobs)
         return out, dt
 
 
@@ -120,6 +125,7 @@ def main() -> None:
     ap.add_argument("--graph-copies", type=int, default=5)
     ap.add_argument("--only", default="docs,ann")
     ap.add_argument("--phash-rows", type=int, default=1_000_000)
+    ap.add_argument("--skew-rows", type=int, default=10_000_000)
     args = ap.parse_args()
     groups = {g.strip() for g in args.only.split(",") if g.strip()}
 
@@ -137,6 +143,8 @@ def main() -> None:
             run_graph_stages(spark, meter, args, root)
         if "phash" in groups:
             run_phash_stage(spark, meter, args, root)
+        if "skew" in groups:
+            run_skew_stages(spark, meter, args, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -549,6 +557,184 @@ def run_phash_stage(spark, meter, args, root) -> None:
         raise AssertionError(
             f"planted-pair recall broken: {n_pairs} != {expect}"
         )
+
+
+def run_skew_stages(spark, meter, args, root) -> None:
+    # --- salted paths under a REAL hot spot ---------------------------
+    # The gated entries (agg_salted_skew / join_salted_skew) prove the
+    # salted plans are value-identical to the plain ones, but the sf
+    # fixtures have no genuinely pathological key. This stage drives
+    # the same operators on --skew-rows synthetic rows where ONE key
+    # holds 30% of the table (the shape that melts a single reducer at
+    # 100 TB) and asserts, against a same-size uniform twin:
+    #   1. job counts FLAT in both data volume (rows/10 vs rows) and
+    #      skew (skewed vs uniform) — salting is a fixed plan shape,
+    #      not a data-dependent rescue;
+    #   2. straggler ratio (skewed wall / uniform wall) <= 2.0 per op —
+    #      the hot key's work really did fan out over the salts;
+    #   3. the hot key NEVER concentrates: peak partition rows of the
+    #      salted join output < half the hot-key row count (unsalted,
+    #      all of it would sit in one task's partition);
+    #   4. value spot-checks vs the plain plans (sum/count/distinct on
+    #      the hot key; join row count) so the smoke can't silently
+    #      drift from the gated semantics.
+    from hrtech_etl_spark.operators.skew import (
+        salted_count_distinct,
+        salted_join,
+        salted_sum_count,
+    )
+
+    n = args.skew_rows
+    n_keys = 100_000
+
+    def synth(n_rows: int, skewed: bool):
+        # key 0 takes a deterministic 30% of rows in the skewed frame;
+        # the remaining rows (and the whole uniform twin) spread over
+        # n_keys via xxhash64 — same generator, same row count, so the
+        # skew/uniform timing ratio isolates the hot spot itself.
+        uniform = F.pmod(F.xxhash64(F.col("id")), F.lit(n_keys)).cast("long")
+        key = (
+            F.when((F.col("id") % 100) < 30, F.lit(0).cast("long")).otherwise(uniform)
+            if skewed
+            else uniform
+        )
+        return spark.range(n_rows).select(
+            F.col("id"),
+            key.alias("key"),
+            (F.col("id") % 997).cast("double").alias("value"),
+        )
+
+    def agg(df):
+        sums = salted_sum_count(df, ["key"], "value", salt_col="id", n_salts=16)
+        dist = salted_count_distinct(df, ["key"], "value", n_salts=16)
+        return sums.join(dist, "key").count()
+
+    # dim: one row per key, padded so 8x replication stays comfortably
+    # under the 64m broadcast threshold but the join is still a real
+    # shuffle join when we disable broadcasting below.
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("key"),
+        F.md5(F.col("id").cast("string")).alias("attr"),
+    )
+
+    def join_stats(df):
+        out = salted_join(
+            df, dim, "key", fact_unique_col="id", n_salts=16
+        )
+        return partition_stats(out)
+
+    # jobs must be flat across a 10x volume step (skewed both times)
+    small = synth(max(n // 10, 10), skewed=True)
+    big_skew = synth(n, skewed=True)
+    big_uni = synth(n, skewed=False)
+
+    def ab_min(label: str, fn_skew, fn_uni, reps: int = 3):
+        # Honest A/B under host noise: one UNTIMED full-size warmup per
+        # variant (janino codegen + JIT compile of each plan's
+        # generated classes costs whole seconds the first few runs —
+        # the round-11 phantom-regression lesson), then `reps`
+        # alternating timed runs so drift hits both variants equally;
+        # compare MINs (steady-state plan cost).
+        meter.run(f"{label} (hot 30%) warmup", fn_skew)
+        meter.run(f"{label} (uniform) warmup", fn_uni)
+        best_s = best_u = None
+        out_s = out_u = None
+        for i in range(reps):
+            o, dt = meter.run(f"{label} (hot 30%) run{i + 1}", fn_skew)
+            if best_s is None or dt < best_s:
+                best_s, out_s = dt, o
+            o, dt = meter.run(f"{label} (uniform) run{i + 1}", fn_uni)
+            if best_u is None or dt < best_u:
+                best_u, out_u = dt, o
+        return out_s, best_s, out_u, best_u
+
+    _, _ = meter.run(f"skew agg warmup x{max(n // 10, 10):,}", lambda: agg(small))
+    jobs_small = _last_jobs(meter)
+    _, t_agg_skew, _, t_agg_uni = ab_min(
+        f"skew agg salted x{n:,}", lambda: agg(big_skew), lambda: agg(big_uni)
+    )
+    jobs_big = _last_jobs(meter)
+    if jobs_small != jobs_big:
+        raise AssertionError(
+            f"salted agg job count grew with volume: {jobs_small} -> {jobs_big}"
+        )
+    ratio_agg = t_agg_skew / t_agg_uni
+    print(f"  agg straggler ratio (skew/uniform): {ratio_agg:.2f}", flush=True)
+    if ratio_agg > 2.0:
+        raise AssertionError(f"salted agg straggler ratio {ratio_agg:.2f} > 2.0")
+
+    # force the shuffle-join path — salted_join exists precisely for
+    # the dim-too-big-to-broadcast case; restore the session threshold
+    # afterwards so later stage groups are unaffected.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        meter.run(
+            f"skew join warmup x{max(n // 10, 10):,}", lambda: join_stats(small)
+        )
+        jobs_small_j = _last_jobs(meter)
+        (rows_skew, peak_skew), t_join_skew, (_, peak_uni), t_join_uni = ab_min(
+            f"skew join salted x{n:,}",
+            lambda: join_stats(big_skew),
+            lambda: join_stats(big_uni),
+        )
+        jobs_big_j = _last_jobs(meter)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    if jobs_small_j != jobs_big_j:
+        raise AssertionError(
+            f"salted join job count grew with volume: {jobs_small_j} -> {jobs_big_j}"
+        )
+    ratio_join = t_join_skew / t_join_uni
+    hot_rows = int(n * 0.3)
+    print(
+        f"  join straggler ratio: {ratio_join:.2f}; output peak partition "
+        f"rows skew={peak_skew:,} uniform={peak_uni:,} (hot key rows={hot_rows:,})",
+        flush=True,
+    )
+    if ratio_join > 2.0:
+        raise AssertionError(f"salted join straggler ratio {ratio_join:.2f} > 2.0")
+    if peak_skew >= hot_rows // 2:
+        raise AssertionError(
+            f"hot key concentrated: peak partition {peak_skew:,} >= "
+            f"{hot_rows // 2:,} (salting failed to spread it)"
+        )
+
+    # value spot-checks vs the PLAIN plans on the skewed frame
+    plain_hot = (
+        big_skew.where(F.col("key") == 0)
+        .agg(
+            F.sum("value").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("value").alias("d"),
+        )
+        .collect()[0]
+    )
+    salted_hot = (
+        salted_sum_count(big_skew, ["key"], "value", salt_col="id", n_salts=16)
+        .join(salted_count_distinct(big_skew, ["key"], "value", n_salts=16), "key")
+        .where(F.col("key") == 0)
+        .collect()[0]
+    )
+    assert (
+        abs(salted_hot["sum_value"] - plain_hot["s"]) < 1e-6 * max(1.0, abs(plain_hot["s"]))
+        and salted_hot["n"] == plain_hot["c"]
+        and salted_hot["n_distinct_value"] == plain_hot["d"]
+    ), f"salted hot-key values diverged: {salted_hot} vs {plain_hot}"
+    plain_join_rows = big_skew.join(dim, "key").count()
+    assert rows_skew == plain_join_rows, (
+        f"salted join row count {rows_skew:,} != plain {plain_join_rows:,}"
+    )
+    print(
+        f"  hot-key values exact vs plain plans; join rows exact "
+        f"({rows_skew:,})",
+        flush=True,
+    )
+
+
+def _last_jobs(meter) -> int:
+    """Job count of the most recent StageMeter.run (its label group)."""
+    return meter.last_jobs
 
 
 if __name__ == "__main__":
