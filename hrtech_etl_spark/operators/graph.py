@@ -46,32 +46,41 @@ def pagerank(
 
     Scale shape: the edge list and degree table materialize ONCE
     behind a lazy localCheckpoint (8 iterations must not re-execute
-    the upstream edge derivation — the lineage-re-execution lesson);
-    each iteration is ONE shuffle: the rank vector (|V| rows, two
-    columns) is BROADCAST into the contribs join — never shuffling
-    the |E|-row edge list — and the teleport term rides the same
-    groupBy via a union of zero-share rows (one per node), so nodes
-    without in-edges surface from the aggregate itself instead of a
-    second |V| ⋈ |V| left join per iteration (adding 0-valued DECIMAL
-    rows leaves the exact commutative sum unchanged, so the
-    recursive-CTE twin stays bit-equal); the rank vector carries each
-    node's out-degree so the share table is a projection, not a
-    pr ⋈ deg join. The rank vector re-checkpoints lazily per
-    iteration so the plan stays linear in iterations, never
-    exponential. When |V| outgrows broadcast room at true cluster
-    scale, drop the hint and AQE falls back to a shuffled join — the
-    algebra is unchanged.
+    the upstream edge derivation — the lineage-re-execution lesson),
+    the edges HASH-PARTITIONED by source ONCE at init (the
+    checkpoint preserves the partitioning); each iteration then
+    SHUFFLE-HASH joins the rank-vector share table (|V| rows, two
+    columns) against the stationary edges — the tiny side moves, the
+    |E|-row edge list never re-shuffles, and there is no per-
+    iteration driver collect (a broadcast build collects |V| rows to
+    the driver every round; at cluster scale the shuffle-hash build
+    is |V|/n_partitions per task, which survives |V| long past
+    broadcast room). The teleport term rides the same groupBy via a
+    union of zero-share rows (one per node), so nodes without
+    in-edges surface from the aggregate itself instead of a second
+    |V| ⋈ |V| left join per iteration (adding 0-valued DECIMAL rows
+    leaves the exact commutative sum unchanged, so the recursive-CTE
+    twin stays bit-equal); the rank vector carries each node's
+    out-degree so the share table is a projection, not a pr ⋈ deg
+    join. The rank vector re-checkpoints lazily every SECOND
+    iteration: two join+agg rounds fuse into one materialization
+    (each runs once — nothing re-executes across a lazy checkpoint),
+    halving job-scheduling barriers while keeping the plan linear.
+    Degree-skew caveat: hash-partitioning by source concentrates a
+    pathological hub's out-edges in one partition; salt the edge
+    partitioning (operators/skew.py) if a single node's out-degree
+    approaches a partition's row budget.
 
-    Round-11 quiet-host record (sf0.1, 2.39M edges, 20k nodes, 8
-    iterations, loadavg 0.45): 16.3s baseline → 7.97s min after the
-    three changes above (58 → 27 jobs, 126 → 69 stages). The ≤5s
-    target was NOT reached: the residual ~0.7s/iteration is the
-    local-mode floor of one agg barrier + one broadcast build + a
-    2.39M-row checkpoint scan per iteration — the DECIMAL sum itself
-    is ~0.1s/iter (2.39M adds), and chaining two iterations per
-    materialization was rejected because the next broadcast forces
-    full evaluation anyway (the un-checkpointed half would re-execute
-    under it).
+    Round-12 A/B record (sf0.1, 2.39M edges, 20k nodes, 8
+    iterations, one session, min of 3 after warmup, bit-exact vs the
+    recursive-CTE twin in every variant): round-11 broadcast +
+    ckpt-every-1 baseline 6.93s; shuffle-hash + ckpt-every-1 6.14s;
+    shuffle-hash + NO intermediate checkpoints 6.92s (one job, but
+    AQE re-plans the full depth-8 plan); shuffle-hash + ckpt-every-2
+    **5.01s** (shipped); ckpt-every-3 5.33s; ckpt-every-4 12.71s
+    (fused-plan codegen/planning blowup); broadcast + ckpt-every-2
+    7.74s (re-confirms round 11's rejection — each broadcast build
+    forces evaluation, so fusion buys nothing under broadcast).
 
     Returns ``(node, pagerank)`` with ``pagerank`` rounded once at
     the end.
@@ -99,14 +108,14 @@ def pagerank(
 
     # materialize the bare edge list ONCE: without a checkpoint every
     # iteration re-executes the upstream edge derivation (A/B'd at
-    # sf0.1: 19.1s -> 13.7s for 8 iterations). Balanced round-robin
-    # repartition to the session's parallelism: the checkpointed RDD
-    # otherwise inherits however few partitions the upstream
-    # derivation ended on (7 at sf0.1), leaving most cores idle
-    # through every iteration's contrib pass — the broadcast join
-    # needs no particular partitioning, so width is free.
+    # sf0.1: 19.1s -> 13.7s for 8 iterations). Hash-partitioned by
+    # the join key at the session's parallelism — the checkpoint
+    # preserves the partitioning, so every iteration's shuffle-hash
+    # join finds the |E| side already distributed by __s and moves
+    # only the |V|-row share table (and the width also fixes the
+    # few-partition inheritance that left cores idle pre-round-11).
     n_par = edges.sparkSession.sparkContext.defaultParallelism
-    out_edges = e.repartition(n_par).localCheckpoint(eager=False)
+    out_edges = e.repartition(n_par, "__s").localCheckpoint(eager=False)
     # the rank vector CARRIES each node's out-degree (left join once
     # at init; dangling nodes carry 0): every iteration's share table
     # is then a pure projection of the previous rank vector — no
@@ -130,18 +139,20 @@ def pagerank(
     zero_shares = pr.select(
         "node", F.lit(0).cast("decimal(38,12)").alias("__share"), "__deg"
     ).localCheckpoint(eager=False)
-    for _ in range(iterations):
+    for i in range(iterations):
         # per-NODE share table (pr/deg, the identical IEEE division +
         # DECIMAL cast, just computed once per node instead of once
-        # per edge — |V| divisions, not |E|), broadcast under the
-        # edge join so the per-edge work is a hash probe + exact sum
+        # per edge — |V| divisions, not |E|); the shuffle-hash hint
+        # builds on this tiny side while the pre-partitioned edge
+        # list streams in place, so the per-edge work is a hash
+        # probe + exact sum with no per-iteration broadcast build
         shares = pr.where(F.col("__deg") > 0).select(
             F.col("node").alias("__s"),
             (F.col("pr") / F.col("__deg"))
             .cast("decimal(38,12)")
             .alias("__share"),
         )
-        contribs = out_edges.join(F.broadcast(shares), "__s").select(
+        contribs = out_edges.join(shares.hint("shuffle_hash"), "__s").select(
             F.col("__d").alias("node"),
             F.col("__share"),
             F.lit(None).cast("bigint").alias("__deg"),
@@ -157,8 +168,13 @@ def pagerank(
                 ).alias("pr"),
                 F.max("__deg").alias("__deg"),
             )
-            .localCheckpoint(eager=False)
         )
+        # fuse two join+agg rounds per materialization (A/B in the
+        # docstring: every-1 6.14s, every-2 5.01s, every-4 blows up);
+        # the final iteration returns lazy — the caller's action
+        # materializes it
+        if (i + 1) % 2 == 0 and i != iterations - 1:
+            pr = pr.localCheckpoint(eager=False)
     return pr.select("node", F.round("pr", round_to).alias("pagerank"))
 
 
