@@ -137,3 +137,21 @@ def test_pagerank_per_iteration_job_budget(spark, sf_dir):
         f"pagerank spent {len(jobs)} jobs for 8 iterations — "
         "per-iteration plan regressed (expected ~27)"
     )
+
+def test_pagerank_iteration_join_is_shuffle_hash(spark):
+    """Plan-shape contract for the round-12 rewrite: each iteration's
+    contribs join must be a SHUFFLE-HASH join against the stationary
+    pre-partitioned edge list — no per-iteration BroadcastExchange
+    (a broadcast build collects the |V|-row rank vector to the driver
+    every round and caps |V| at broadcast room; the shuffle-hash
+    build is |V|/n_partitions per task). The final segment of the
+    fused plan covers the last TWO iterations (checkpoint-every-2),
+    so both of its joins are visible to the assert."""
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    pr = pagerank(edges, iterations=4)
+    pr.count()
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") == 2, plan
+    assert "BroadcastExchange" not in plan, plan
