@@ -191,46 +191,86 @@ def hierarchy_closure(
     native one). Roots are rows whose parent equals their own key or
     is NULL.
 
-    Level-by-level driver loop: the frontier starts as the direct
-    (key, parent) pairs and each round joins one more ancestor hop;
-    rounds are bounded by the tree DEPTH (not size), the frontier
-    SHRINKS as paths terminate at roots, and both the closure and the
-    frontier sit behind lazy localCheckpoints so round k's plan does
-    not replay rounds 1..k-1. One equi-join exchange per level; the
-    per-round emptiness check is a bounded driver count (the same
-    contract as the PageRank node count). Parent cycles other than
-    root self-loops would spin — ``max_depth`` is the guard rail.
+    POINTER-JUMPING driver loop over a functional parent map: each
+    node carries (ancestor array so far, jump pointer at distance
+    2^r); round r+1 left-joins the state with itself on the jump
+    pointer, concatenating the jumped-to node's ancestor segment
+    (its distances 1..2^r are this node's 2^r+1..2^(r+1)) — so a
+    depth-d forest closes in ``ceil(log2(d)) + 1`` rounds of ONE
+    small equi-join each (|V| rows, no distinct — unlike
+    closure⋈closure squaring, the functional decomposition of a tree
+    path is unique, so no pair is ever produced twice). Round-12
+    A/B at sf0.1 (20k parts, depth ≤ 16): level-frontier 15 rounds /
+    37 jobs / 2.27 s; closure-squaring 5 rounds but one
+    self-join + distinct shuffle pair per round, 5.75 s — REJECTED;
+    jump-pointer 5 rounds / 10 jobs / ~1.4 s — shipped. Arrays stay
+    in-row (no shuffle growth): total state is exactly the closure
+    size, and the final pairs are a shuffle-free explode. Each
+    round's state sits behind a lazy localCheckpoint so round k
+    never replays rounds 1..k-1; the per-round stop check (any jump
+    pointer still live?) is a bounded driver count of the
+    checkpointed frame. Cycles cannot null their jump pointers, so
+    coverage passing ``max_depth`` with live pointers raises; a
+    final max-ancestor-count check restores the exact
+    deeper-than-max_depth contract for forests. Multi-parent input
+    (not a forest) now raises instead of silently fanning out the
+    jump join.
 
     Returns distinct ``(key_col, ancestor)`` pairs, roots excluded
     from the key side (a root has no ancestors).
     """
-    edges = (
+    state = (
         nodes.where(
             F.col(parent_col).isNotNull()
             & (F.col(parent_col) != F.col(key_col))
         )
-        .select(F.col(key_col).alias("__k"), F.col(parent_col).alias("__a"))
+        .select(
+            F.col(key_col).alias("__k"),
+            F.array(F.col(parent_col)).alias("__anc"),
+            F.col(parent_col).alias("__far"),
+        )
         .localCheckpoint(eager=False)
     )
-    parent_of = edges.select(
-        F.col("__k").alias("__pk"), F.col("__a").alias("__pa")
-    )
-    closure = edges
-    frontier = edges
-    for _ in range(max_depth):
-        nxt = (
-            frontier.join(parent_of, frontier["__a"] == parent_of["__pk"])
-            .select("__k", F.col("__pa").alias("__a"))
+    n_edges, n_keys = state.agg(
+        F.count(F.lit(1)), F.countDistinct("__k")
+    ).first()
+    if n_edges != n_keys:
+        raise ValueError(
+            "multi-parent input: hierarchy_closure requires a "
+            "parent-pointer forest (one parent per key)"
+        )
+    covered = 1  # ancestors within this distance are in __anc
+    while True:
+        j = state.select(
+            F.col("__k").alias("__jk"),
+            F.col("__anc").alias("__janc"),
+            F.col("__far").alias("__jfar"),
+        )
+        state = (
+            state.join(j, state["__far"] == j["__jk"], "left")
+            .select(
+                state["__k"],
+                F.when(F.col("__jk").isNull(), state["__anc"])
+                .otherwise(F.concat(state["__anc"], F.col("__janc")))
+                .alias("__anc"),
+                # join miss = __far was a root (no out-row): path done
+                F.col("__jfar").alias("__far"),
+            )
             .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        n_live = state.where(F.col("__far").isNotNull()).count()
+        if n_live == 0:
             break
-        closure = closure.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt
-    else:
+        covered *= 2
+        if covered > max_depth:
+            raise ValueError(
+                f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+            )
+    deepest = state.agg(F.max(F.size("__anc"))).first()[0]
+    if deepest is not None and deepest > max_depth:
         raise ValueError(
             f"hierarchy deeper than max_depth={max_depth} (cycle?)"
         )
-    return closure.select(
-        F.col("__k").alias(key_col), F.col("__a").alias("ancestor")
-    ).distinct()
+    return state.select(
+        F.col("__k").alias(key_col), F.explode("__anc").alias("ancestor")
+    )
