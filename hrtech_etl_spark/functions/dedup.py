@@ -1500,7 +1500,10 @@ def content_defined_chunks(
     from pyspark.sql import Window as W
 
     t, i = text_col, id_col
-    base = docs.where(F.col(t).isNotNull() & (F.length(t) >= 1)).select(
+    # conditional spread: the per-position substring+hash pass below is
+    # O(total chars) CPU — a narrow local scan (1 file partition at
+    # sf0.1) would run it on one core; identity on wide cluster scans
+    base = spread(docs.where(F.col(t).isNotNull() & (F.length(t) >= 1))).select(
         F.col(i), F.length(t).alias("__n"), F.col(t)
     )
     long_ends = (
