@@ -568,11 +568,15 @@ def near_dup_clusters(
         )
         id_set = ids.select(F.col(id_col).alias("id"))
         # iterate over the near-dup subgraph only — edges are
-        # symmetrized, so the src column alone covers every endpoint
+        # symmetrized, so the src column alone covers every endpoint.
+        # shuffle-hash hint: a LEFT SEMI join can only build its RIGHT
+        # side, and id_set is corpus-sized — without the hint Catalyst
+        # would happily BROADCAST the whole corpus's ids under the
+        # (usually tiny) touched set
         labels = _truncate(
             edges.select(F.col("src").alias("id"))
             .distinct()
-            .join(id_set, "id", "semi")
+            .join(id_set.hint("shuffle_hash"), "id", "semi")
             .select("id", F.col("id").alias("cluster")),
             eager=False,
         )
@@ -621,10 +625,20 @@ def near_dup_clusters(
                     labels = _truncate(cached, eager=True)
                     cached.unpersist()
                 # restore singletons: one left join against the full id
-                # set, edgeless ids label themselves
-                return id_set.join(labels, "id", "left").select(
-                    "id",
-                    F.coalesce("cluster", F.col("id")).alias("cluster"),
+                # set, edgeless ids label themselves. Eagerly truncated:
+                # the function has ALWAYS returned a lineage-free frame
+                # (the old per-round checkpoint of all ids), and callers
+                # rely on it — returning the live join would re-execute
+                # the caller's entire upstream pipeline (ids' lineage) on
+                # every consumption, racing already-unpersisted caches
+                # (observed as orphaned-accumulator errors in the
+                # 100k-doc smoke).
+                return _truncate(
+                    id_set.join(labels, "id", "left").select(
+                        "id",
+                        F.coalesce("cluster", F.col("id")).alias("cluster"),
+                    ),
+                    eager=True,
                 )
         if prev_cached is not None:
             prev_cached.unpersist()

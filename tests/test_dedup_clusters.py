@@ -129,10 +129,12 @@ def test_one_driver_action_per_round(spark, monkeypatch):
         for r in near_dup_clusters(pairs, ids, "doc_id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
-    # 3 rounds to converge -> 3 counts; 2 lazy checkpoints (edge list +
-    # the round-12 pair-touched id set the rounds iterate over); only
-    # round 3 (i+1 == checkpoint_every) truncates lineage eagerly.
-    assert counts == {"count": 3, "ckpt_eager": 1, "ckpt_lazy": 2}
+    # 3 rounds to converge -> 3 counts. Checkpoints (round 12): edge
+    # list and pair-touched id set are lazy (materialized inside round
+    # 1's job); round 3 (i+1 == checkpoint_every) truncates lineage
+    # eagerly, and the returned singleton-restoring join is eagerly
+    # truncated so the result stays lineage-free as callers rely on.
+    assert counts == {"count": 3, "ckpt_eager": 2, "ckpt_lazy": 2}
 
 
 def test_accelerated_chain_converges_in_log_rounds(spark):

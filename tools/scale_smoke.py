@@ -166,9 +166,15 @@ def run_doc_stages(spark, meter, args, root) -> None:
     print(f"corpus: {n_base} base docs x {args.copies} = {n_corpus} rows")
 
     def exact_then_near() -> int:
+        # EAGER: drop_near_duplicates consumes this frame from five plan
+        # positions, some under broadcast subtrees that materialize on a
+        # separate thread — a lazy checkpoint lets two threads race the
+        # first materialization (duplicate-block warnings; and once any
+        # short-lived query owns the racing stage, orphaned-accumulator
+        # ERROR logs). Same total work, sequenced.
         survivors = dd.drop_exact_duplicates(
             corpus, "text", "doc_id"
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         return dd.drop_near_duplicates(
             survivors,
             "text",
