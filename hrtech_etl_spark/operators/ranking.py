@@ -1,0 +1,238 @@
+"""Distributed exact global ranking — the scale-safe replacement for
+unpartitioned ``Window`` specs (``rank()/ntile()/percent_rank()/
+cume_dist()`` with no PARTITION BY).
+
+Spark executes an unpartitioned window by moving EVERY row to one
+partition (``WindowExec: No Partition Defined``) — one executor sorts
+the whole table, which is fine at sf0.1 and fatal at 100 TB. The
+classic distributed-exact-rank plan used here instead:
+
+1. **Range-bucket** rows by the primary order value. Bucket boundaries
+   come from one ``percentile_approx`` scalar aggregate (a narrow,
+   map-side-partial pass over just the order column) crossJoined back
+   as a broadcast literal array — no collect, no sampling job on the
+   driver. Boundaries only steer LOAD BALANCE; exactness never depends
+   on them. Equal values always land in the same bucket (the bucket
+   expression is a pure function of the value), so tie groups never
+   span buckets and rank/dense_rank offsets stay exact.
+2. **Local windows per bucket** — ``row_number``/``rank``/``dense_rank``
+   over ``PARTITION BY bucket``, i.e. a properly partitioned WindowExec.
+3. **Two-phase prefix sum** (the same idiom as
+   ``operators/corpus.py::concat_split_packing``): per-bucket totals are
+   read off the local window columns themselves (``max(local_rn)`` =
+   bucket row count, ``max(local_dense)`` = bucket distinct count —
+   consuming the window output keeps both consumers behind ONE bucket
+   exchange as a ReusedExchange), then the ≤``n_buckets``-row totals
+   frame gets an exclusive cumsum on a single *declared* partition
+   (``partitionBy(lit(0))`` — bounded by the knob, never by the data)
+   and broadcasts back as per-bucket base offsets.
+4. Global values are ``base + local``; ``ntile``/``percent_rank``/
+   ``cume_dist`` derive in closed form from the global row number and
+   the broadcast total row count.
+
+Exactness notes:
+
+- ``global_rank = cnt_offset + local_rank`` is exact because every row
+  in an earlier bucket has a strictly smaller order value (bucketing is
+  monotone in the value and equal values share a bucket).
+- ``global_dense_rank = dense_offset + local_dense`` is exact for the
+  same reason; NULL order values bucket to ``-1`` (before everything,
+  matching Spark/DuckDB ``ASC NULLS FIRST``) and the NULL group counts
+  as one dense-rank group via ``max(local_dense)``.
+- ``ntile(k)`` uses the SQL-standard fill (first ``N mod k`` buckets one
+  row larger) computed from the exact global row number, so results
+  hash-match any engine given the same total order.
+- Values are bucketed through a cast to ``double`` — monotone for
+  numeric/date/timestamp types (distinct values may COLLIDE in double,
+  which only merges buckets, never reorders them).
+
+Scale caveat (documented, by design): the primary order value is the
+bucketing key, so a single value carrying a large fraction of all rows
+makes a hot bucket — the same skew any range partitioner has. Callers
+ranking over heavily-duplicated values should pre-aggregate (as the RFM
+query does — it ranks the per-user aggregate, never the event table).
+
+No reference parity — the reference engine (single-node, row-at-a-time
+HTTP ETL) has no window functions; this module exists so the §2.10
+window queries keep exact semantics with a plan that survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+from pyspark.sql import types as T
+
+from hrtech_etl_spark.core.partitioning import bounded_window_key
+
+__all__ = ["with_global_ranks"]
+
+_BUCKETABLE = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.DateType,
+    T.TimestampType,
+)
+
+
+def with_global_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: tuple[str, ...] | list[str] = (),
+    *,
+    row_number: str | None = None,
+    rank: str | None = None,
+    dense_rank: str | None = None,
+    percent_rank: str | None = None,
+    cume_dist: str | None = None,
+    ntile: dict[str, int] | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Append exact global ranking columns to ``df`` without an
+    unpartitioned window.
+
+    ``rank``/``dense_rank`` rank over ``ORDER BY value_col`` (ties rank
+    equally). ``row_number``/``percent_rank``/``cume_dist``/``ntile``
+    use the TOTAL order ``ORDER BY value_col, *tiebreak_cols`` and
+    therefore require at least one tiebreak column (a non-total order
+    would make them nondeterministic — the same contract the registry
+    holds every window query to).
+
+    ``ntile`` maps output column name → bucket count, e.g.
+    ``{"quartile": 4}``. All ranks are ascending, NULLS FIRST (Spark's
+    ASC default).
+    """
+    ntile = dict(ntile or {})
+    out_total = [c for c in (row_number, percent_rank, cume_dist) if c] + list(ntile)
+    if out_total and not tiebreak_cols:
+        raise ValueError(
+            "with_global_ranks: row_number/percent_rank/cume_dist/ntile "
+            "need a TOTAL order — pass tiebreak_cols completing one"
+        )
+    if not (out_total or rank or dense_rank):
+        raise ValueError("with_global_ranks: no output columns requested")
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, _BUCKETABLE):
+        raise ValueError(
+            f"with_global_ranks: {value_col!r} is {vtype.simpleString()} — "
+            "range bucketing needs a numeric/date/timestamp order column"
+        )
+
+    spark = df.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+    v = F.col(value_col)
+    vd = v.cast("double")
+
+    # -- phase 1: broadcast boundary array (load balance only) ---------
+    if n_buckets >= 2:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bnd = df.agg(
+            F.percentile_approx(vd, F.lit(qs), F.lit(1000)).alias("__bnds")
+        )
+        b = df.crossJoin(F.broadcast(bnd))
+        bucket = (
+            F.when(v.isNull(), F.lit(-1))
+            .otherwise(
+                F.aggregate(
+                    # an all-NULL column yields a NULL boundary array;
+                    # coalesce to empty → single bucket 0
+                    F.coalesce("__bnds", F.array()),
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(vd > t, F.lit(1)).otherwise(F.lit(0)),
+                )
+            )
+            .alias("__rb")
+        )
+        b = b.withColumn("__rb", bucket).drop("__bnds")
+    else:
+        b = df.withColumn("__rb", F.when(v.isNull(), F.lit(-1)).otherwise(F.lit(0)))
+
+    # -- phase 2: bucket-local windows (properly partitioned) ----------
+    order_cols = [value_col, *tiebreak_cols]
+    w_total = W.partitionBy("__rb").orderBy(*order_cols)
+    w_value = W.partitionBy("__rb").orderBy(value_col)
+    b = b.withColumn("__lrn", F.row_number().over(w_total))
+    need_dense = bool(dense_rank)
+    if rank:
+        b = b.withColumn("__lrk", F.rank().over(w_value))
+    if need_dense:
+        b = b.withColumn("__ldr", F.dense_rank().over(w_value))
+
+    # -- phase 3: two-phase prefix sum over the ≤n_buckets totals ------
+    # Totals read the window columns (max local row_number == bucket
+    # count), so Catalyst cannot push the aggregate below the window —
+    # both consumers share one bucket exchange (ReusedExchange).
+    aggs = [F.max("__lrn").alias("__cnt")]
+    if need_dense:
+        aggs.append(F.max("__ldr").alias("__ndv"))
+    totals = b.groupBy("__rb").agg(*aggs)
+    # bounded_window_key: a DECLARED single partition over a frame
+    # bounded by the n_buckets knob, never by the data — this is a
+    # partitioned WindowExec, not a move-everything global window (a
+    # bare lit(0) would be constant-folded back to an EMPTY spec).
+    single = bounded_window_key("__rb")
+    w_base = W.partitionBy(single).orderBy("__rb").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_all = W.partitionBy(single).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    bases = totals.select(
+        "__rb",
+        F.coalesce(F.sum("__cnt").over(w_base), F.lit(0)).cast("long").alias("__coff"),
+        *(
+            [
+                F.coalesce(F.sum("__ndv").over(w_base), F.lit(0))
+                .cast("long")
+                .alias("__doff")
+            ]
+            if need_dense
+            else []
+        ),
+        F.sum("__cnt").over(w_all).cast("long").alias("__N"),
+    )
+
+    # -- phase 4: global values in closed form --------------------------
+    j = b.join(F.broadcast(bases), "__rb")
+    rn = (F.col("__coff") + F.col("__lrn")).cast("long")
+    n_total = F.col("__N")
+    out_cols: list[Column] = []
+    if row_number:
+        out_cols.append(rn.alias(row_number))
+    if rank:
+        out_cols.append((F.col("__coff") + F.col("__lrk")).cast("long").alias(rank))
+    if dense_rank:
+        out_cols.append(
+            (F.col("__doff") + F.col("__ldr")).cast("long").alias(dense_rank)
+        )
+    if percent_rank:
+        # total order ⇒ rank == row_number; single IEEE division, same
+        # formula every engine uses: (rank - 1) / (N - 1), 0.0 when N=1
+        out_cols.append(
+            F.when(n_total > 1, (rn - 1).cast("double") / (n_total - 1))
+            .otherwise(F.lit(0.0))
+            .alias(percent_rank)
+        )
+    if cume_dist:
+        out_cols.append((rn.cast("double") / n_total).alias(cume_dist))
+    for out_name, k in ntile.items():
+        if k <= 0:
+            raise ValueError(f"ntile({k}) for {out_name!r}: k must be positive")
+        q = F.floor(n_total / k)  # base bucket size
+        r = n_total % k  # first r buckets get q+1 rows
+        big_span = r * (q + 1)
+        tile = (
+            F.when(rn <= big_span, F.floor((rn - 1) / (q + 1)) + 1)
+            .otherwise(r + F.floor((rn - big_span - 1) / q) + 1)
+            .cast("int")
+            .alias(out_name)
+        )
+        out_cols.append(tile)
+    return j.select(*df.columns, *out_cols)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from hrtech_etl_spark.operators.joins import asof_join, equi_join, range_join, theta_join
+from hrtech_etl_spark.operators.ranking import with_global_ranks
 from hrtech_etl_spark.sources.testdata import load_table
 from hrtech_etl_spark.workload.registry import davg, dec, dsum, query, sql_davg, sql_dsum
 
@@ -638,22 +639,34 @@ def window_topk_per_group(spark, sf_dir):
     """,
 )
 def window_rank_suite(spark, sf_dir):
-    """Ranking + distribution window family in one pass: rank/dense_rank
-    over a ties-allowed ordering (identical balances rank equally —
-    values deterministic without a total order), ntile/percent_rank/
-    cume_dist over the total order. Single unpartitioned window — at
-    scale replace with approx percentiles or range partitioning;
-    declared here for parity."""
+    """Ranking + distribution window family: rank/dense_rank over a
+    ties-allowed ordering (identical balances rank equally),
+    ntile/percent_rank/cume_dist over the total order — all computed by
+    the DISTRIBUTED exact-rank plan (operators/ranking.py): range-bucket
+    on the order value via a broadcast percentile_approx boundary array,
+    bucket-local windows (every WindowExec partitioned), two-phase
+    prefix-sum offsets over the ≤n_buckets totals frame broadcast back.
+    Values are bit-identical to the global-window form (the round-12
+    oracle hash is unchanged) but no stage ever moves the whole table
+    to one partition — the plan that survives 100×."""
     c = load_table(spark, "customer", sf_dir)
-    wt = W.orderBy("c_acctbal")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked = with_global_ranks(
+        c,
+        "c_acctbal",
+        ("c_custkey",),
+        rank="__rk",
+        dense_rank="__dr",
+        percent_rank="__pr",
+        cume_dist="__cd",
+        ntile={"quartile": 4},
+    )
+    return ranked.select(
         F.col("c_custkey").alias("custkey"),
-        F.rank().over(wt).alias("bal_rank"),
-        F.dense_rank().over(wt).alias("bal_dense_rank"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.col("__rk").cast("int").alias("bal_rank"),
+        F.col("__dr").cast("int").alias("bal_dense_rank"),
+        "quartile",
+        F.round(F.col("__pr"), 6).alias("pct_rank"),
+        F.round(F.col("__cd"), 6).alias("cum_dist"),
     )
 
 

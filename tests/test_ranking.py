@@ -1,0 +1,104 @@
+"""Distributed exact global ranking (operators/ranking.py): values must
+be bit-identical to Spark's native unpartitioned window functions —
+the rewrite is a PLAN change (no move-everything WindowExec), never a
+semantics change."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from hrtech_etl_spark.operators.ranking import with_global_ranks
+from tests.test_window_contract import unpartitioned_windows
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """937 rows, heavy value ties (50 distinct + NULLs), spread over 7
+    input partitions so bucket boundaries actually matter."""
+    rng = random.Random(42)
+    rows = [
+        (i, rng.choice([None] * 2 + list(range(50))), f"u{i:04d}")
+        for i in range(937)
+    ]
+    return spark.createDataFrame(rows, "id INT, val INT, name STRING").repartition(7)
+
+
+def test_matches_native_windows_with_ties_and_nulls(spark, skewed):
+    got = with_global_ranks(
+        skewed,
+        "val",
+        ("id",),
+        row_number="rn",
+        rank="rk",
+        dense_rank="dr",
+        percent_rank="pr",
+        cume_dist="cd",
+        ntile={"q4": 4, "q5": 5},
+    ).orderBy("id")
+    wt = W.orderBy("val")
+    w = W.orderBy("val", "id")
+    exp = skewed.select(
+        "id",
+        "val",
+        "name",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wt).cast("long").alias("rk"),
+        F.dense_rank().over(wt).cast("long").alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("q4"),
+        F.ntile(5).over(w).alias("q5"),
+    ).orderBy("id")
+    assert got.collect() == exp.collect()
+
+
+def test_no_unpartitioned_window_in_plan(spark, skewed):
+    df = with_global_ranks(
+        skewed, "val", ("id",), rank="rk", ntile={"q4": 4}
+    )
+    assert unpartitioned_windows(df) == 0
+
+
+def test_single_row_and_fewer_rows_than_tiles(spark):
+    one = spark.createDataFrame([(1, 5, "x")], "id INT, val INT, name STRING")
+    r = with_global_ranks(
+        one,
+        "val",
+        ("id",),
+        row_number="rn",
+        percent_rank="pr",
+        cume_dist="cd",
+        ntile={"q4": 4},
+    ).collect()[0]
+    # percent_rank of a single row is 0.0 by definition (N-1 == 0 guard)
+    assert (r["rn"], r["pr"], r["cd"], r["q4"]) == (1, 0.0, 1.0, 1)
+
+    three = spark.createDataFrame(
+        [(i, i, "x") for i in range(3)], "id INT, val INT, name STRING"
+    )
+    got = {
+        r["id"]: r["q5"]
+        for r in with_global_ranks(three, "val", ("id",), ntile={"q5": 5}).collect()
+    }
+    # SQL ntile with N < k: one row per tile, tiles k..N stay empty
+    assert got == {0: 1, 1: 2, 2: 3}
+
+
+def test_requires_total_order_for_row_number_family(spark):
+    df = spark.range(5).select(F.col("id"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="TOTAL order"):
+        with_global_ranks(df, "v", (), ntile={"q": 2})
+    # rank/dense_rank alone are tie-tolerant: no tiebreak needed
+    assert with_global_ranks(df, "v", (), rank="rk").count() == 5
+
+
+def test_rejects_unorderable_column_and_empty_request(spark):
+    df = spark.createDataFrame([("a", 1)], "s STRING, v INT")
+    with pytest.raises(ValueError, match="range bucketing"):
+        with_global_ranks(df, "s", ("v",), ntile={"q": 2})
+    with pytest.raises(ValueError, match="no output columns"):
+        with_global_ranks(df, "v", ("s",))
