@@ -361,6 +361,24 @@ def minhash_lsh_pairs(
     not skew). With bucket sizes this flat the pinned partition counts
     are about CPU parallelism, not key skew.
 
+    Round-13 profiling (sf0.1, quiet host, best-of-3 per stage): the
+    six-round 2.4-3.1s plateau was NOT signature width or the verify
+    join — shingle exchange 0.2s, signature fold +0.0s, the candidate
+    stage carried everything. Root cause: the empty-set filter ran on
+    ``sig IS NOT NULL`` AFTER the signature projection; Catalyst pushed
+    it through the barrier into the projection, and the pushed
+    predicate re-evaluated the whole interpreted minhash fold per row
+    (HOF aggregates never enter codegen) — 1.25s of 2.1s. Filtering on
+    ``size(sh) > 0`` BEFORE the fold (identical semantics — the
+    signature is when(size(sh)>0, fold)) cut the operator 2.12→1.24s
+    (−41%), candidate set bit-identical (61,211 pairs). The remaining
+    ~0.7s above raw compute is the local-mode scheduling floor of the
+    pinned exchanges (~160 tiny tasks across shingle/barrier/join
+    stages) — the same per-stage floor PageRank documents; it
+    amortizes at cluster scale and shrinking partition counts to chase
+    it locally would unpin the wave-aligned counts measured in the
+    keyed_barrier A/B.
+
     ``max_bucket_size`` is the corpus-scale safety valve: a band bucket
     of size b emits b·(b−1)/2 candidates, so ONE boilerplate mega-bucket
     (shared headers/footers hashed into the same band) can dominate the
@@ -374,17 +392,23 @@ def minhash_lsh_pairs(
     """
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_k=shingle_k)
-    sig = shingles.select(
+    # Empty/NULL shingle sets are dropped HERE, on the cheap
+    # size(sh) > 0 predicate, which is exactly `sig IS NOT NULL`
+    # (minhash_signature wraps the fold in when(size(sh) > 0, ...)).
+    # Filtering on sig.isNotNull() AFTER the projection was the
+    # round-13 profiling find: Catalyst pushes the filter through the
+    # barrier into the projection, and the pushed predicate re-runs
+    # the ENTIRE interpreted minhash fold per row just to test
+    # nullness — ~60% of this operator's wall time at sf0.1 (1.25s of
+    # 2.1s). SQL semantics are unchanged: empties would get a NULL
+    # bucket that never joins; now they never reach the fold at all.
+    sig = shingles.where(F.size("sh") > 0).select(
         F.col(id_col),
         minhash_signature(
             F.col("sh"), num_hashes, pre_hashed=_shingles_pre_hashed(shingles)
         ).alias("sig"),
     )
     sig = keyed_barrier(sig, id_col, factor=3)
-    # NULL signature = empty shingle set: SQL semantics give these a
-    # NULL bucket that never joins; mirror that instead of letting
-    # concat_ws collapse the nulls into one md5("") mega-bucket.
-    sig = sig.where(F.col("sig").isNotNull())
     banded = sig.select(
         id_col,
         F.posexplode(F.array(*lsh_bands("sig", num_hashes, rows_per_band))).alias(
