@@ -32,6 +32,7 @@ def pagerank(
     iterations: int = 8,
     damping: float = 0.85,
     round_to: int = 10,
+    final_checkpoint: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed iteration count.
 
@@ -175,6 +176,15 @@ def pagerank(
         # materializes it
         if (i + 1) % 2 == 0 and i != iterations - 1:
             pr = pr.localCheckpoint(eager=False)
+    # pin the RESULT behind a lazy checkpoint too: the every-2 cadence
+    # leaves the final 1-2 iterations live in the plan, so without this
+    # a caller doing count() then write() would replay them — the first
+    # caller action materializes once, every later action reuses it
+    # (final_checkpoint=False keeps the plan inspectable for the
+    # shuffle-hash plan-contract test and for callers that fuse
+    # further transformations before their single action)
+    if final_checkpoint:
+        pr = pr.localCheckpoint(eager=False)
     return pr.select("node", F.round("pr", round_to).alias("pagerank"))
 
 
@@ -209,7 +219,11 @@ def hierarchy_closure(
     round's state sits behind a lazy localCheckpoint so round k
     never replays rounds 1..k-1; the per-round stop check (any jump
     pointer still live?) is a bounded driver count of the
-    checkpointed frame. Cycles cannot null their jump pointers, so
+    checkpointed frame. Superseded rounds' checkpoint blocks are
+    left to the ContextCleaner — there are at most
+    ``ceil(log2(depth)) + 1`` of them (5 for depth 16), and each is
+    |V| rows; explicit per-round release is the knob to add if deep
+    hierarchies ever show executor memory pressure. Cycles cannot null their jump pointers, so
     coverage passing ``max_depth`` with live pointers raises; a
     final max-ancestor-count check restores the exact
     deeper-than-max_depth contract for forests. Multi-parent input
@@ -229,6 +243,10 @@ def hierarchy_closure(
             F.array(F.col(parent_col)).alias("__anc"),
             F.col(parent_col).alias("__far"),
         )
+        # exact-duplicate (key, parent) rows are benign — collapse them
+        # BEFORE the forest check so only genuine multi-parent keys
+        # raise (pre-round-13 the check conflated the two)
+        .distinct()
         .localCheckpoint(eager=False)
     )
     n_edges, n_keys = state.agg(
@@ -237,7 +255,8 @@ def hierarchy_closure(
     if n_edges != n_keys:
         raise ValueError(
             "multi-parent input: hierarchy_closure requires a "
-            "parent-pointer forest (one parent per key)"
+            "parent-pointer forest (one parent per key); exact "
+            "duplicate rows are tolerated, distinct parents are not"
         )
     covered = 1  # ancestors within this distance are in __anc
     while True:
