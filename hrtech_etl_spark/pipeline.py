@@ -70,6 +70,13 @@ def cursor_range_filter(df: DataFrame, cursor: Cursor, cursor_col: str, uid_col:
             pred = ((c > start) | ((c == start) & (u > su))) if asc else (
                 (c < start) | ((c == start) & (u < su))
             )
+            # redundant coarse bound: the tie-safe OR is opaque to
+            # pushdown (REST param compilation and parquet min/max
+            # pruning both see only separable conjuncts), so a resume
+            # scan without this would re-read the whole table at scale;
+            # `c >= start` is implied by the OR and pushes as a plain
+            # range filter, leaving the OR as the residual tie filter
+            pred = pred & ((c >= start) if asc else (c <= start))
         else:
             pred = (c >= start) if asc else (c <= start)
         df = df.where(pred)

@@ -472,6 +472,102 @@ def test_cli_pull_from_rest_origin(backend, spark, tmp_path, capsys):
 
 
 # ---------------------------------------------------------------------------
+# Composition: full pull loop — REST origin → pipeline → table sink,
+# cursor resume across two invocations (reference core/pipeline.py
+# batched-cursor loop driven end to end over HTTP)
+# ---------------------------------------------------------------------------
+
+def test_rest_pull_resume_to_table_sink_e2e(backend, spark, tmp_path):
+    """All four layers in one flow: wsgiref REST backend → registered
+    RestConnector → ``pipeline.pull`` (invocation 1 bounded, invocation
+    2 resuming from the advanced cursor) → TableConnector sink.
+    Asserts SERVER-SIDE that both the EQ prefilter and the resumed
+    cursor floor reach the backend as params, and that the sink holds
+    exactly the filtered table once — no gap, no overlap — after the
+    two appends."""
+    from hrtech_etl_spark import pipeline
+    from hrtech_etl_spark.connectors import (
+        ConnectorMeta,
+        RestConnector,
+        TableConnector,
+        get_connector_instance,
+        register_connector,
+    )
+    from hrtech_etl_spark.core.types import Condition, Cursor, Resource
+
+    register_connector(
+        ConnectorMeta(
+            name="rest_e2e_wh",
+            factory=lambda: RestConnector(
+                options={
+                    "job": {
+                        "url": backend + "/jobs",
+                        "schema": SCHEMA,
+                        "page_size": "20",
+                        "num_partitions": "2",
+                        "pushable": PUSHABLE,
+                        "range_bindings": RANGE_BINDINGS,
+                        "search_bindings": SEARCH_BINDINGS,
+                    }
+                }
+            ),
+        )
+    )
+    origin = get_connector_instance("rest_e2e_wh")
+    sink = TableConnector(root=str(tmp_path / "wh"))
+    where = [Condition("status", "eq", "open")]
+    want = [r for r in JOBS if r["status"] == "open"]
+
+    # --- invocation 1: bounded slice [2024-01-01 .. 2024-01-14] -----
+    REQUESTS.clear()
+    src = origin.read_resource(spark, Resource.JOB)
+    res1 = pipeline.pull(
+        src,
+        cursor=Cursor(start="2024-01-01", end="2024-01-14"),
+        cursor_col="updated_at",
+        uid_col="job_id",
+        where=where,
+    )
+    sink.write_resource(res1.dataframe, Resource.JOB)
+    page1 = [r for r in want if r["updated_at"] <= "2024-01-14"]
+    assert res1.cursor.end == max(r["updated_at"] for r in page1)
+    assert res1.cursor.end_uid == max(
+        r["job_id"] for r in page1 if r["updated_at"] == res1.cursor.end
+    )
+    assert REQUESTS, "invocation 1 never reached the backend"
+    for r in REQUESTS:
+        assert r["params"].get("status") == "open"
+        assert r["params"].get("updated_at_min") == "2024-01-01"
+        assert r["params"].get("updated_at_max") == "2024-01-14"
+
+    # --- invocation 2: resume strictly after (end, end_uid) ---------
+    REQUESTS.clear()
+    res2 = pipeline.pull(
+        origin.read_resource(spark, Resource.JOB),
+        cursor=Cursor(start=res1.cursor.end, start_uid=res1.cursor.end_uid),
+        cursor_col="updated_at",
+        uid_col="job_id",
+        where=where,
+    )
+    sink.write_resource(res2.dataframe, Resource.JOB)
+    assert REQUESTS, "invocation 2 never reached the backend"
+    for r in REQUESTS:
+        assert r["params"].get("status") == "open"
+        # the resumed floor is pushed: the tie-safe OR stays residual,
+        # its implied coarse bound travels as the range param
+        assert r["params"].get("updated_at_min") == res1.cursor.end
+        assert "updated_at_max" not in r["params"]
+    assert res2.cursor.end == max(r["updated_at"] for r in want)
+
+    # --- sink: union of both appends is exactly the table, once -----
+    got = sorted(
+        r["job_id"]
+        for r in sink.read_resource(spark, Resource.JOB).collect()
+    )
+    assert got == sorted(r["job_id"] for r in want)
+
+
+# ---------------------------------------------------------------------------
 # Param compilation unit tests (the reference's /api/debug/connector_params)
 # ---------------------------------------------------------------------------
 
