@@ -131,7 +131,7 @@ def _train_local(
     num_merges: int,
     min_count: int,
     end_of_word: str,
-) -> list[tuple[str, str]]:
+) -> tuple[list[tuple[str, str]], list[tuple[str, int, list[str]]]]:
     """Driver-side trainer over the collected word-TYPE frequency
     table — byte-for-byte the same merges as the distributed loop
     (same pair counting over the same non-overlapping fold, same
@@ -191,7 +191,11 @@ def _train_local(
         for p in changed:
             if p in pair_counts:
                 heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
-    return merges
+    vocab = [
+        (w, f, syms)
+        for (w, f), (syms, _) in zip(word_freqs, words)
+    ]
+    return merges, vocab
 
 
 def bpe_train(
@@ -231,16 +235,50 @@ def bpe_train(
     ``tests/test_bpe.py`` asserts both strategies produce identical
     merge lists on the same corpus.
     """
+    merges, _ = bpe_train_with_vocab(
+        docs,
+        text_col,
+        num_merges=num_merges,
+        min_count=min_count,
+        end_of_word=end_of_word,
+        checkpoint_every=checkpoint_every,
+        max_collect=max_collect,
+    )
+    return merges
+
+
+def bpe_train_with_vocab(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    num_merges: int = 50,
+    min_count: int = 2,
+    end_of_word: str = END_OF_WORD,
+    checkpoint_every: int = 8,
+    max_collect: int = 2_000_000,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """:func:`bpe_train` that ALSO returns the trained vocabulary —
+    ``(word, freq, syms)`` with each word type's FINAL segmentation
+    after all merges. Training already computes this as a byproduct
+    (the word table IS the training state), so callers encoding the
+    same corpus can segment by a vocabulary JOIN instead of re-running
+    per-word merge loops in Python — the scale path
+    :func:`bpe_encode_with_vocab` uses."""
+    spark = docs.sparkSession
     words = bpe_word_table(docs, text_col, end_of_word=end_of_word)
     if max_collect:
         head = words.select("word", "freq").limit(max_collect + 1).collect()
         if len(head) <= max_collect:
-            return _train_local(
+            merges, vocab_rows = _train_local(
                 [(r["word"], r["freq"]) for r in head],
                 num_merges,
                 min_count,
                 end_of_word,
             )
+            vocab = spark.createDataFrame(
+                vocab_rows, "word string, freq long, syms array<string>"
+            )
+            return merges, vocab
     words = words.localCheckpoint()  # cut the corpus lineage once
     merges: list[tuple[str, str]] = []
     for r in range(num_merges):
@@ -261,7 +299,7 @@ def bpe_train(
         words = words.withColumn("syms", _merge_fold(F.col("syms"), a, b))
         if (r + 1) % checkpoint_every == 0:
             words = words.localCheckpoint()
-    return merges
+    return merges, words.select("word", "freq", "syms")
 
 
 def _encode_word(word: str, ranks: dict, eow: str) -> list[str]:
@@ -339,6 +377,80 @@ def bpe_encode(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def bpe_encode_with_vocab(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    *,
+    with_tokens: bool = True,
+    end_of_word: str = END_OF_WORD,
+) -> DataFrame:
+    """Encode by VOCABULARY JOIN — the scale path when the encode
+    corpus is (a superset of nothing but) the training corpus:
+    :func:`bpe_train_with_vocab` already holds every word type's final
+    segmentation, so encoding is posexplode(words) ⋈ vocab + a grouped
+    reassembly — all JVM-side, no per-word Python merge loops (the
+    greedy :func:`bpe_encode` kernel stays the general path for
+    out-of-vocabulary corpora). Words ABSENT from the vocabulary
+    segment as raw chars + end-of-word (zero merges applied) — callers
+    needing greedy-merged OOV handling must use :func:`bpe_encode`.
+
+    Same output schema as :func:`bpe_encode`; ``with_tokens=False``
+    skips materializing the token arrays (the per-doc collect_list)
+    when only the counts are consumed."""
+    word_rows = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.filter(tokens(F.col(text_col)), lambda x: x != "")
+        ).alias("__wp", "__w"),
+    )
+    v = vocab.select(F.col("word").alias("__w"), F.col("syms").alias("__syms"))
+    fallback = F.concat(
+        F.expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"),
+        F.array(F.lit(end_of_word)),
+    )
+    j = word_rows.join(v, "__w", "left").select(
+        id_col,
+        "__wp",
+        F.coalesce(
+            F.col("__syms"), F.when(F.col("__w").isNotNull(), fallback)
+        ).alias("__syms"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("__syms").isNotNull(), F.size("__syms")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.count("__wp").alias("n_words"),
+    ]
+    if with_tokens:
+        aggs.insert(
+            0,
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__wp").isNotNull(),
+                                F.struct("__wp", "__syms"),
+                            )
+                        )
+                    ),
+                    lambda x: x["__syms"],
+                )
+            ).alias("tokens"),
+        )
+    out = j.groupBy(id_col).agg(*aggs)
+    cols = [id_col, "tokens", "n_tokens", "n_words"] if with_tokens else [
+        id_col, "n_tokens", "n_words"
+    ]
+    return out.select(*cols)
 
 
 def bpe_decode_column(tokens_col: Column, *, end_of_word: str = END_OF_WORD) -> Column:

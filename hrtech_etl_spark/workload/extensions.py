@@ -3115,49 +3115,162 @@ def corpus_leakage_safe_split(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# BPE tokenizer: corpus-trained merges + lossless encode (rows-only gate)
+# BPE tokenizer: corpus-trained merges + lossless encode (value-gated:
+# the oracle REPLAYS training — 30 unrolled merge rounds in DuckDB SQL)
 # ---------------------------------------------------------------------------
 
-@query("corpus_bpe_tokenize")
+def _bpe_oracle_sql(num_merges: int = 30, min_count: int = 2) -> str:
+    """DuckDB restatement of the FULL BPE pipeline — training included.
+
+    Training is deterministic (argmax tie-break count DESC, a ASC,
+    b ASC), so the oracle unrolls ``num_merges`` merge rounds as CTE
+    pairs: ``mN`` picks round N's best adjacent pair over the exploded
+    word-type table (HAVING sum(freq) >= min_count restates the
+    early-stop — an empty mN makes round N the identity via the scalar
+    subqueries), ``eN`` applies it. The left-to-right non-overlapping
+    fold is restated window-only: a candidate position conflicts with
+    its successor ONLY when candidates are consecutive (which forces
+    a == b — a run of one repeated symbol), so keeping even offsets
+    within runs of consecutive candidates reproduces the fold exactly;
+    a kept position merges ``sym || next`` and its successor row drops.
+    Encoding is then a vocabulary join (each word type's final
+    segment count), mirroring bpe_encode_with_vocab, with the same
+    chars+eow fallback for (never-occurring) out-of-vocab words.
+    Equivalence of merges AND final segmentation vs bpe_train was
+    verified at sf0.001/0.01/0.1 before gating."""
+    parts = [r"""
+vocab AS MATERIALIZED (
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+e0 AS MATERIALIZED (
+  SELECT word, freq, p.pos AS pos, p.sym AS sym
+  FROM vocab, unnest(list_transform(
+         list_append(string_split(word, ''), '</w>'),
+         (s, i) -> {'pos': i, 'sym': s})) AS t(p)
+)"""]
+    for n in range(1, num_merges + 1):
+        prev = f"e{n-1}"
+        parts.append(f"""
+m{n} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+           freq
+    FROM {prev}
+  ) WHERE b IS NOT NULL
+  GROUP BY a, b HAVING sum(freq) >= {min_count}
+  ORDER BY sum(freq) DESC, a, b LIMIT 1
+),
+e{n} AS MATERIALIZED (
+  SELECT word, freq,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+                       FALSE) AS consumed
+    FROM (
+      SELECT *, cand AND (pos - min(pos) OVER (PARTITION BY word, grp))
+                % 2 = 0 AS keep
+      FROM (
+        SELECT *, CASE WHEN cand THEN pos - row_number()
+                    OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
+        FROM (
+          SELECT word, freq, pos, sym,
+                 lead(sym) OVER w AS nxt,
+                 sym = (SELECT a FROM m{n})
+                   AND lead(sym) OVER w = (SELECT b FROM m{n}) AS cand
+          FROM {prev} WINDOW w AS (PARTITION BY word ORDER BY pos)
+        )
+      )
+    )
+  ) WHERE NOT consumed
+)""")
+    parts.append(rf"""
+wtok AS (SELECT word, count(*) AS n_sub FROM e{num_merges} GROUP BY word),
+doc_words AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+per_doc AS (
+  SELECT dw.doc_id, count(*) AS n_words,
+         sum(coalesce(wt.n_sub, length(dw.word) + 1)) AS n_tokens
+  FROM doc_words dw LEFT JOIN wtok wt USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(p.n_words), 0) AS BIGINT) AS total_words,
+       CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS total_tokens,
+       round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words), 4)
+         AS tokens_per_word
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.lang""")
+    return "WITH " + ",".join(parts)
+
+
+@query("corpus_bpe_tokenize", sql=_bpe_oracle_sql())
 def corpus_bpe_tokenize(spark, sf_dir):
     """Distributed BPE tokenizer end to end (operators/bpe.py):
     train merge rules on the corpus (ONE corpus pass to the word-TYPE
-    table, then vocabulary-sized merge rounds with a bounded 1-row
-    argmax collect per round — the trained-artifact contract of
-    pq_codebook), then encode every document through the Arrow
-    mapInPandas kernel with the merge ranks broadcast in the closure.
-    Like `sim_pq_trained_recall` this entry is DELIBERATELY rows-only
-    — the merge list is engine-specific training output no SQL oracle
-    can restate — but it asserts its own correctness bar in-plan and
-    FAILS below it: (1) LOSSLESSNESS — bpe_decode(bpe_encode(text))
-    must equal the whitespace-normalized lowercased text for EVERY
-    document (exact string equality, zero tolerance), and
-    (2) COMPRESSION — total BPE tokens must be strictly fewer than
-    the unmerged symbol count (chars + one end-of-word per word),
-    proving the merges actually apply. Declared output: per-language
-    (lang, n_docs, total_words, total_tokens, tokens_per_word) — the
-    tokenizer-throughput summary a corpus pipeline reports. Training
-    determinism (argmax tie-break count DESC then lexicographic) is
-    unit-tested against the hand-computed Sennrich et al. example in
-    tests/test_bpe.py."""
+    table, then vocabulary-sized merge rounds — the trained-artifact
+    contract of pq_codebook), then encode every document by
+    VOCABULARY JOIN (bpe_encode_with_vocab): training's word table
+    already holds each word type's final segmentation, so encoding is
+    a posexplode ⋈ vocab + grouped reassembly — all JVM-side, no
+    per-word Python in the hot path (the greedy Arrow kernel
+    bpe_encode remains the out-of-vocab general path, equivalence
+    tested in tests/test_bpe.py). VALUE-GATED since round 13: the
+    DuckDB oracle replays the full deterministic training
+    (_bpe_oracle_sql — 30 unrolled merge rounds) and pins per-language
+    totals exactly. In-plan self-checks kept from the rows-only era:
+    (1) LOSSLESSNESS — decode(vocab segmentation) must reproduce every
+    word type exactly, and every document word must be covered by the
+    trained vocabulary; (2) COMPRESSION — total BPE tokens strictly
+    fewer than the unmerged symbol count (chars + one end-of-word per
+    word). Training determinism (argmax tie-break count DESC then
+    lexicographic) is unit-tested against the hand-computed Sennrich
+    et al. example in tests/test_bpe.py."""
+    from hrtech_etl_spark.functions.text import tokens as _tokens
     from hrtech_etl_spark.operators import bpe
 
     d = load_table(spark, "documents", sf_dir)
-    merges = bpe.bpe_train(d, "text", num_merges=30)
+    merges, vocab = bpe.bpe_train_with_vocab(d, "text", num_merges=30)
     if len(merges) < 10:
         raise AssertionError(
             f"expected a usable merge table, got {len(merges)} merges"
         )
-    enc = bpe.bpe_encode(d, "text", "doc_id", merges).localCheckpoint(
-        eager=False
-    )
-    chk = enc.join(d.select("doc_id", "text", "lang"), "doc_id")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    bad = chk.where(
-        bpe.bpe_decode_column(F.col("tokens")) != norm
+    vocab = vocab.localCheckpoint(eager=False)
+    # losslessness at the vocab level (covers every corpus word type):
+    # concatenating a word's final segmentation must reproduce it
+    bad = vocab.where(
+        bpe.bpe_decode_column(F.col("syms")) != F.col("word")
     ).count()
     if bad:
-        raise AssertionError(f"{bad} documents failed the BPE round-trip")
+        raise AssertionError(f"{bad} word types failed the BPE round-trip")
+    # coverage: the vocab was trained on this corpus, so no document
+    # word may miss it (guards train/encode tokenization drift)
+    missing = (
+        d.select(
+            F.explode(
+                F.filter(_tokens(F.col("text")), lambda x: x != "")
+            ).alias("word")
+        )
+        .distinct()
+        .join(vocab.select("word"), "word", "left_anti")
+        .count()
+    )
+    if missing:
+        raise AssertionError(f"{missing} document words missing from vocab")
+    enc = bpe.bpe_encode_with_vocab(
+        d, "text", "doc_id", vocab, with_tokens=False
+    ).localCheckpoint(eager=False)
+    chk = enc.join(d.select("doc_id", "text", "lang"), "doc_id")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     totals = chk.agg(
         F.sum("n_tokens").alias("tok"),
         F.sum(

@@ -120,3 +120,45 @@ def test_local_and_distributed_training_identical(spark):
     )
     assert local == dist
     assert len(local) >= 10
+
+
+def test_encode_with_vocab_matches_greedy_kernel(spark):
+    """The vocabulary-join encode (scale path) must reproduce the
+    greedy Arrow kernel exactly — token arrays AND counts — when the
+    encode corpus is the training corpus (adversarial texts: repeated
+    symbols, chains, Sennrich)."""
+    texts = [
+        (1, SENNRICH),
+        (2, "the quick brown fox jumps over the lazy dog the the"),
+        (3, "aaaa aaa aa a abab ababab"),
+        (4, "mississippi mississippi banana bananas"),
+        (5, "   "),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges, vocab = bpe.bpe_train_with_vocab(
+        docs, "text", num_merges=25, min_count=2
+    )
+    greedy = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"], r["n_words"])
+        for r in bpe.bpe_encode(docs, "text", "doc_id", merges).collect()
+    }
+    byvocab = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"], r["n_words"])
+        for r in bpe.bpe_encode_with_vocab(
+            docs, "text", "doc_id", vocab
+        ).collect()
+    }
+    assert byvocab == greedy
+    assert byvocab[5] == ([], 0, 0) and byvocab[6] == ([], 0, 0)
+
+
+def test_encode_with_vocab_oov_fallback(spark):
+    """Words absent from the vocabulary segment as chars + </w> (the
+    documented no-merge fallback)."""
+    train = spark.createDataFrame([(1, "aa aa aa")], "doc_id long, text string")
+    _, vocab = bpe.bpe_train_with_vocab(train, "text", num_merges=5, min_count=2)
+    other = spark.createDataFrame([(9, "aa xyz")], "doc_id long, text string")
+    row = bpe.bpe_encode_with_vocab(other, "text", "doc_id", vocab).collect()[0]
+    assert list(row["tokens"]) == ["aa</w>", "x", "y", "z", "</w>"]
+    assert (row["n_tokens"], row["n_words"]) == (5, 2)
