@@ -3039,34 +3039,41 @@ _SPLIT_H = portable_hash_sql("CAST(cluster AS VARCHAR)", seed=11)
 
 @query(
     "corpus_leakage_safe_split",
-    # Same inverted-index + AS MATERIALIZED restatement as the sibling
-    # `dedup_clusters` oracle (see its comment for the exactness
-    # argument) — value-identical, ~10x faster at sf0.1.
+    # Round 13: same BANDED MinHash LSH candidate restatement as the
+    # sibling `dedup_clusters` oracle (see its comment for the
+    # exactness argument) — the blocked all-pairs candidate source
+    # this entry shared with pre-r13 dedup_clusters was quadratic in
+    # block size at 100×; now both gates exercise the scale path.
     sql=f"""
-    WITH RECURSIVE raw AS (
-      SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
-             {shingles_sql()} AS sh
-      FROM documents
+    WITH RECURSIVE w AS MATERIALIZED (
+      SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM documents
     ),
-    s AS MATERIALIZED (
-      SELECT doc_id, lang, size_bucket,
-             list_distinct(list_transform(sh, s -> {_PH_S})) AS sh
-      FROM raw
+    sh AS MATERIALIZED (
+      SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM w
     ),
-    ex AS MATERIALIZED (
-      SELECT doc_id, lang, size_bucket, len(sh) AS n, unnest(sh) AS h FROM s
+    hs AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh
+      FROM sh
     ),
+    sig AS MATERIALIZED (SELECT doc_id, {_CLUSTER_SIG_COLS} FROM sh),
+    banded AS MATERIALIZED ({bands_sql()}),
     cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
-             count(*) AS inter
-      FROM ex a JOIN ex b
-        ON a.h = b.h AND a.lang = b.lang AND a.size_bucket = b.size_bucket
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
        AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
     ),
     pairs AS MATERIALIZED (
-      SELECT id_a, id_b FROM cand
-      WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.3
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
+                          THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                               / len(list_distinct(x.sh || y.sh))
+                          ELSE 0.0 END, 4) AS jaccard
+        FROM cand c
+        JOIN hs x ON c.id_a = x.doc_id
+        JOIN hs y ON c.id_b = y.doc_id
+      ) WHERE jaccard >= 0.3
     ),
     edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -3087,25 +3094,26 @@ _SPLIT_H = portable_hash_sql("CAST(cluster AS VARCHAR)", seed=11)
 def corpus_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/validation split
     (operators/corpus.py::leakage_safe_split): near-dup clusters from
-    the SAME verified-pair machinery as `dedup_clusters` (blocked
-    n-gram Jaccard >= 0.3, min-label propagation), then the split is
-    a seeded portable hash of the CLUSTER label mod 10 < 2 -> 'val'
-    (~20%) — a document and its near-twins land on the same side by
-    construction, the eval-contamination fix random doc-level splits
-    miss. The oracle replays the full recursive-CTE closure and the
-    identical hash/threshold. Reproducible across engines and epochs;
-    a new seed re-splits with zero data movement. Green at
-    sf0.001/0.01/0.1; at sf0.1 the check runs ~90s, dominated by the
-    ORACLE's recursive closure over 5k docs (same profile as sibling
-    `dedup_clusters`, 101s measured round 10 — the Spark side benches
-    at ~3.4s)."""
+    the SAME verified-pair machinery as `dedup_clusters` (banded
+    MinHash LSH candidates → exact-Jaccard verify >= 0.3, min-label
+    propagation — the scale path, never all-pairs; both gates
+    switched off blocked all-pairs Jaccard in round 13), then the
+    split is a seeded portable hash of the CLUSTER label mod 10 < 2
+    -> 'val' (~20%) — a document and its near-twins land on the same
+    side by construction, the eval-contamination fix random doc-level
+    splits miss. The oracle replays the identical hash family,
+    banding, verify, and recursive-CTE closure. Reproducible across
+    engines and epochs; a new seed re-splits with zero data
+    movement."""
     from hrtech_etl_spark.operators.corpus import leakage_safe_split
 
-    d = load_table(spark, "documents", sf_dir).withColumn(
-        "size_bucket", (F.col("n_chars") / 100).cast("bigint")
+    d = load_table(spark, "documents", sf_dir)
+    sh = dd.shingle_table(d, "text", "doc_id")
+    cand = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, rows_per_band=2, shingles=sh
     )
-    pairs = dd.ngram_jaccard_pairs(
-        d, "text", "doc_id", block_cols=["lang", "size_bucket"], threshold=0.3
+    pairs = dd.jaccard_verify(
+        cand, d, "text", "doc_id", threshold=0.3, shingles=sh
     )
     labels = dd.near_dup_clusters(pairs, d, "doc_id", accelerate=True)
     return leakage_safe_split(
