@@ -50,8 +50,11 @@ partition rows grow ~linearly (no single-partition collapse).
 synthetic 64-bit perceptual hashes (planted near-dup clusters),
 ``graph`` = PageRank over a replicated co-occurrence graph,
 ``skew`` = the salted agg/join paths under a 30% single-key hot spot
-at ``--skew-rows``, asserted against their uniform twins) so each
-path can be scaled independently of the 1M-doc dedup stages.
+at ``--skew-rows``, asserted against their uniform twins,
+``rank`` = distributed exact global ranking (operators/ranking.py)
+over ``--rank-rows`` rows with heavy ties — zero unpartitioned
+WindowExec, bounded peak partition, closed-form exactness invariants)
+so each path can be scaled independently of the 1M-doc dedup stages.
 """
 
 from __future__ import annotations
@@ -126,6 +129,7 @@ def main() -> None:
     ap.add_argument("--only", default="docs,ann")
     ap.add_argument("--phash-rows", type=int, default=1_000_000)
     ap.add_argument("--skew-rows", type=int, default=10_000_000)
+    ap.add_argument("--rank-rows", type=int, default=10_000_000)
     args = ap.parse_args()
     groups = {g.strip() for g in args.only.split(",") if g.strip()}
 
@@ -145,6 +149,8 @@ def main() -> None:
             run_phash_stage(spark, meter, args, root)
         if "skew" in groups:
             run_skew_stages(spark, meter, args, root)
+        if "rank" in groups:
+            run_rank_stage(spark, meter, args, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -734,6 +740,98 @@ def run_skew_stages(spark, meter, args, root) -> None:
     print(
         f"  hot-key values exact vs plain plans; join rows exact "
         f"({rows_skew:,})",
+        flush=True,
+    )
+
+
+def run_rank_stage(spark, meter, args, root) -> None:
+    # --- distributed exact global rank at --rank-rows -----------------
+    # The round-13 rewrite (operators/ranking.py) replaced the two
+    # unpartitioned global windows; the gated entries pin the oracle
+    # hash at the SFs, this stage pins the SCALE shape at 10M rows with
+    # heavy ties (10 rows per value):
+    #   1. zero Window nodes with an empty partitionSpec anywhere in
+    #      the optimized plan (the thing that melts one executor);
+    #   2. peak partition rows stay bucket-sized, never table-sized;
+    #   3. closed-form exactness invariants over the FULL output —
+    #      sum(row_number) == n(n+1)/2 and max == n (total order is a
+    #      permutation), per-value rank == min(row_number) of the tie
+    #      group (rank semantics), max(dense_rank) == countDistinct
+    #      (value), ntile(100) counts differ by <= 1;
+    #   4. job count FLAT in data volume (rows/10 vs rows).
+    from hrtech_etl_spark.operators.ranking import with_global_ranks
+
+    def synth(n_rows: int):
+        return spark.range(n_rows).select(
+            F.col("id"),
+            (F.col("id") % (n_rows // 10)).cast("double").alias("value"),
+        )
+
+    def unpartitioned_windows(df) -> int:
+        n = [0]
+
+        def walk(node):
+            name = node.getClass().getSimpleName()
+            if name in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
+                n[0] += 1
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return n[0]
+
+    def rank_all(n_rows: int):
+        ranked = with_global_ranks(
+            synth(n_rows),
+            "value",
+            ("id",),
+            row_number="rn",
+            rank="rnk",
+            dense_rank="drnk",
+            ntile={"pct": 100},
+        )
+        assert unpartitioned_windows(ranked) == 0, "empty partitionSpec"
+        total, peak = partition_stats(ranked)
+        agg = ranked.agg(
+            F.sum("rn").alias("s"),
+            F.max("rn").alias("mx"),
+            F.max("drnk").alias("dmx"),
+            F.countDistinct("value").alias("nv"),
+        ).collect()[0]
+        assert agg["s"] == n_rows * (n_rows + 1) // 2, "rn not a permutation"
+        assert agg["mx"] == n_rows
+        assert agg["dmx"] == agg["nv"], "dense_rank vs distinct values"
+        bad_rank = (
+            ranked.groupBy("value")
+            .agg(F.min("rn").alias("lo"), F.min("rnk").alias("r1"), F.max("rnk").alias("r2"))
+            .where((F.col("r1") != F.col("r2")) | (F.col("r1") != F.col("lo")))
+            .count()
+        )
+        assert bad_rank == 0, "rank != min(row_number) within a tie group"
+        tiles = ranked.groupBy("pct").count().agg(
+            F.max("count") - F.min("count")
+        ).collect()[0][0]
+        assert tiles <= 1, f"ntile spread {tiles}"
+        return total, peak
+
+    (total_s, peak_s), _ = meter.run(
+        f"rank {args.rank_rows // 10:,} rows", lambda: rank_all(args.rank_rows // 10)
+    )
+    jobs_small = meter.last_jobs
+    (total, peak), _ = meter.run(
+        f"rank {args.rank_rows:,} rows", lambda: rank_all(args.rank_rows)
+    )
+    jobs_big = meter.last_jobs
+    assert total == args.rank_rows
+    assert peak < total // 4, f"peak partition {peak:,} of {total:,}"
+    assert jobs_big <= jobs_small + 2, (
+        f"job count grows with volume: {jobs_small} -> {jobs_big}"
+    )
+    print(
+        f"  exactness invariants green at {total_s:,} and {total:,} rows; "
+        f"peak partition {peak:,} ({peak / total:.1%}); "
+        f"jobs {jobs_small} -> {jobs_big}",
         flush=True,
     )
 
