@@ -3127,7 +3127,11 @@ def corpus_leakage_safe_split(spark, sf_dir):
 # the oracle REPLAYS training — 30 unrolled merge rounds in DuckDB SQL)
 # ---------------------------------------------------------------------------
 
-def _bpe_oracle_sql(num_merges: int = 30, min_count: int = 2) -> str:
+def _bpe_oracle_sql(
+    num_merges: int = 30,
+    min_count: int = 2,
+    final_select: str | None = None,
+) -> str:
     """DuckDB restatement of the FULL BPE pipeline — training included.
 
     Training is deterministic (argmax tie-break count DESC, a ASC,
@@ -3145,7 +3149,9 @@ def _bpe_oracle_sql(num_merges: int = 30, min_count: int = 2) -> str:
     segment count), mirroring bpe_encode_with_vocab, with the same
     chars+eow fallback for (never-occurring) out-of-vocab words.
     Equivalence of merges AND final segmentation vs bpe_train was
-    verified at sf0.001/0.01/0.1 before gating."""
+    verified at sf0.001/0.01/0.1 before gating, and stays pinned by
+    tests/test_bpe.py::test_oracle_sql_training_matches_bpe_train
+    (which injects its own ``final_select`` to read the mN CTEs)."""
     parts = [r"""
 vocab AS MATERIALIZED (
   SELECT w AS word, count(*) AS freq FROM (
@@ -3218,6 +3224,9 @@ SELECT d.lang,
          AS tokens_per_word
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 GROUP BY d.lang""")
+    if final_select is not None:
+        parts[-1] = "\n" + final_select
+        return "WITH " + ",".join(parts[:-1]) + parts[-1]
     return "WITH " + ",".join(parts)
 
 

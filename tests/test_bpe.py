@@ -162,3 +162,32 @@ def test_encode_with_vocab_oov_fallback(spark):
     row = bpe.bpe_encode_with_vocab(other, "text", "doc_id", vocab).collect()[0]
     assert list(row["tokens"]) == ["aa</w>", "x", "y", "z", "</w>"]
     assert (row["n_tokens"], row["n_words"]) == (5, 2)
+
+
+def test_oracle_sql_training_matches_bpe_train(spark):
+    """The corpus_bpe_tokenize oracle REPLAYS training in DuckDB
+    (30 unrolled merge rounds) — pin that the SQL-learned merge list
+    is byte-identical to bpe_train on the real sf0.001 corpus, so the
+    gate can never silently drift into comparing two different
+    tokenizers. (The gate itself only compares the final per-language
+    aggregates; this checks the trained artifact round by round.)"""
+    import duckdb
+
+    from hrtech_etl_spark.workload.extensions import _bpe_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    final = " UNION ALL ".join(
+        f"SELECT {n} AS r, a, b FROM m{n}" for n in range(1, 31)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    rows = con.execute(_bpe_oracle_sql(final_select=final)).fetchall()
+    sql_merges = [(a, b) for _, a, b in sorted(rows)]
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    spark_merges = bpe.bpe_train(docs, "text", num_merges=30)
+    assert sql_merges == [tuple(m) for m in spark_merges]
+    assert len(sql_merges) == 30
