@@ -157,7 +157,10 @@ def _load_floors() -> dict[str, float]:
     try:
         with open(path) as fh:
             return {k: float(v) for k, v in json.load(fh).items()}
-    except (OSError, ValueError):
+    except (OSError, ValueError, AttributeError, TypeError):
+        # fail OPEN on any malformed file (list top-level, nested
+        # values, ...): a bad floors file must never abort the bench —
+        # it just runs floor-less, exactly like a missing file
         return {}
 
 

@@ -167,3 +167,27 @@ def bounded_window_key(col) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.hash(c), F.lit(1))
+
+
+def unpartitioned_windows(df: DataFrame) -> int:
+    """Count Window/WindowGroupLimit nodes with an EMPTY partitionSpec
+    in the OPTIMIZED logical plan — the plan shape that moves every
+    row to one partition (``WindowExec: No Partition Defined``),
+    invisible at test SFs and fatal at 100 TB. Post-constant-folding
+    on purpose: a foldable partition key that optimizes away counts as
+    unpartitioned, which is exactly why :func:`bounded_window_key` is
+    non-foldable. ONE definition shared by the repo-wide plan-contract
+    test (tests/test_window_contract.py) and the rank scale smoke
+    (tools/scale_smoke.py)."""
+    n = [0]
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
+            n[0] += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return n[0]

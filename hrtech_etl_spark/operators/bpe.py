@@ -235,16 +235,59 @@ def bpe_train(
     ``tests/test_bpe.py`` asserts both strategies produce identical
     merge lists on the same corpus.
     """
-    merges, _ = bpe_train_with_vocab(
-        docs,
-        text_col,
-        num_merges=num_merges,
-        min_count=min_count,
-        end_of_word=end_of_word,
-        checkpoint_every=checkpoint_every,
-        max_collect=max_collect,
+    words = bpe_word_table(docs, text_col, end_of_word=end_of_word)
+    head = _collect_word_types(words, max_collect)
+    if head is not None:
+        merges, _ = _train_local(head, num_merges, min_count, end_of_word)
+        return merges
+    merges, _ = _train_distributed(
+        words, num_merges, min_count, checkpoint_every
     )
     return merges
+
+
+def _collect_word_types(
+    words: DataFrame, max_collect: int
+) -> list[tuple[str, int]] | None:
+    """Collect the word-TYPE table when it fits under ``max_collect``
+    (the collected-trainer gate); None → stay distributed."""
+    if not max_collect:
+        return None
+    head = words.select("word", "freq").limit(max_collect + 1).collect()
+    if len(head) > max_collect:
+        return None
+    return [(r["word"], r["freq"]) for r in head]
+
+
+def _train_distributed(
+    words: DataFrame,
+    num_merges: int,
+    min_count: int,
+    checkpoint_every: int,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """The distributed merge-round loop; returns the merges and the
+    word table carrying each type's final segmentation."""
+    words = words.localCheckpoint()  # cut the corpus lineage once
+    merges: list[tuple[str, str]] = []
+    for r in range(num_merges):
+        best = (
+            words.select(
+                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("pr")
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+        if (r + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges, words
 
 
 def bpe_train_with_vocab(
@@ -266,39 +309,18 @@ def bpe_train_with_vocab(
     :func:`bpe_encode_with_vocab` uses."""
     spark = docs.sparkSession
     words = bpe_word_table(docs, text_col, end_of_word=end_of_word)
-    if max_collect:
-        head = words.select("word", "freq").limit(max_collect + 1).collect()
-        if len(head) <= max_collect:
-            merges, vocab_rows = _train_local(
-                [(r["word"], r["freq"]) for r in head],
-                num_merges,
-                min_count,
-                end_of_word,
-            )
-            vocab = spark.createDataFrame(
-                vocab_rows, "word string, freq long, syms array<string>"
-            )
-            return merges, vocab
-    words = words.localCheckpoint()  # cut the corpus lineage once
-    merges: list[tuple[str, str]] = []
-    for r in range(num_merges):
-        best = (
-            words.select(
-                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("pr")
-            )
-            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
-            .collect()
+    head = _collect_word_types(words, max_collect)
+    if head is not None:
+        merges, vocab_rows = _train_local(
+            head, num_merges, min_count, end_of_word
         )
-        if not best or best[0]["n"] < min_count:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        words = words.withColumn("syms", _merge_fold(F.col("syms"), a, b))
-        if (r + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint()
+        vocab = spark.createDataFrame(
+            vocab_rows, "word string, freq long, syms array<string>"
+        )
+        return merges, vocab
+    merges, words = _train_distributed(
+        words, num_merges, min_count, checkpoint_every
+    )
     return merges, words.select("word", "freq", "syms")
 
 

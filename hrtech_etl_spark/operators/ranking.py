@@ -68,6 +68,16 @@ from hrtech_etl_spark.core.partitioning import bounded_window_key
 
 __all__ = ["with_global_ranks"]
 
+#: local windows hand back int32; a bucket past this row count would
+#: wrap before the long casts (patched down by the guard's unit test).
+_MAX_BUCKET_ROWS = 2**31 - 1
+
+#: temp columns the implementation appends (validated against the
+#: input frame so a collision fails at the call, not at a downstream
+#: AMBIGUOUS_REFERENCE)
+_INTERNAL_COLS = ("__rb", "__lrn", "__lrk", "__ldr", "__cnt", "__ndv",
+                  "__coff", "__doff", "__N", "__bnds")
+
 _BUCKETABLE = (
     T.ByteType,
     T.ShortType,
@@ -117,6 +127,13 @@ def with_global_ranks(
         )
     if not (out_total or rank or dense_rank):
         raise ValueError("with_global_ranks: no output columns requested")
+    requested = out_total + [c for c in (rank, dense_rank) if c]
+    clash = (set(requested) | set(_INTERNAL_COLS)) & set(df.columns)
+    if clash or len(set(requested)) != len(requested):
+        raise ValueError(
+            "with_global_ranks: output/internal column names collide "
+            f"with the input frame (or each other): {sorted(clash)}"
+        )
     vtype = df.schema[value_col].dataType
     if not isinstance(vtype, _BUCKETABLE):
         raise ValueError(
@@ -173,6 +190,27 @@ def with_global_ranks(
     if need_dense:
         aggs.append(F.max("__ldr").alias("__ndv"))
     totals = b.groupBy("__rb").agg(*aggs)
+    # overflow guard: local window functions return int32, so a bucket
+    # beyond 2^31-1 rows (one value holding billions of rows — the
+    # documented hot-bucket skew case) would WRAP silently before the
+    # long casts below. Route the count through a raise_error branch —
+    # it feeds the offset sums, so pruning can never drop the check —
+    # making the failure loud instead of corrupt.
+    totals = totals.withColumn(
+        "__cnt",
+        F.when(F.col("__cnt") <= F.lit(_MAX_BUCKET_ROWS), F.col("__cnt"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "with_global_ranks: bucket %s holds %s rows — beyond "
+                    "the int32 local-window range; pre-aggregate the "
+                    "heavy value (see module skew caveat)",
+                    F.col("__rb"),
+                    F.col("__cnt"),
+                )
+            ).cast("int")
+        ),
+    )
     # bounded_window_key: a DECLARED single partition over a frame
     # bounded by the n_buckets knob, never by the data — this is a
     # partitioned WindowExec, not a move-everything global window (a

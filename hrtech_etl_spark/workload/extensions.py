@@ -26,10 +26,12 @@ from hrtech_etl_spark.functions.hashing import (
     portable_hash_sql,
 )
 from hrtech_etl_spark.workload.text_llm import (
+    SIG_COLS,
     TOKENS_SQL,
     VEC_DOUBLE,
     bands_sql,
     cosine_sql,
+    lsh_cluster_edges_ctes,
     minhash_sql,
     quality_score_sql,
     shingles_from_tokens_sql,
@@ -96,7 +98,7 @@ def layout_zorder_key(spark, sf_dir):
 # Incremental dedup: odd-doc_id batch cleaned against even-doc_id corpus
 # ---------------------------------------------------------------------------
 
-_INC_SIG = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
+_INC_SIG = SIG_COLS  # shared signature projection (text_llm.SIG_COLS)
 
 #: (applicationId, sf_dir) → persisted LSH index dir, see
 #: dedup_incremental's docstring. The lock guards the check-then-build
@@ -1353,9 +1355,6 @@ def corpus_pack_concat_split(spark, sf_dir):
     )
 
 
-_CLUSTER_SIG_COLS = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
-
-
 @query(
     "dedup_clusters",
     # Round-13 rewrite (r12 verdict "What's wrong" #2): candidates now
@@ -1367,46 +1366,7 @@ _CLUSTER_SIG_COLS = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
     # hashed-shingle verify, then states the SAME recursive-CTE fixed
     # point (min reachable id over the undirected closure) as before.
     sql=f"""
-    WITH RECURSIVE w AS MATERIALIZED (
-      SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM documents
-    ),
-    sh AS MATERIALIZED (
-      SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM w
-    ),
-    hs AS MATERIALIZED (
-      SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh
-      FROM sh
-    ),
-    sig AS MATERIALIZED (SELECT doc_id, {_CLUSTER_SIG_COLS} FROM sh),
-    banded AS MATERIALIZED ({bands_sql()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-       AND a.doc_id < b.doc_id
-    ),
-    pairs AS MATERIALIZED (
-      SELECT id_a, id_b FROM (
-        SELECT c.id_a, c.id_b,
-               round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
-                          THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                               / len(list_distinct(x.sh || y.sh))
-                          ELSE 0.0 END, 4) AS jaccard
-        FROM cand c
-        JOIN hs x ON c.id_a = x.doc_id
-        JOIN hs y ON c.id_b = y.doc_id
-      ) WHERE jaccard >= 0.3
-    ),
-    edges AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    reach(id, root) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
-    )
+    WITH RECURSIVE {lsh_cluster_edges_ctes(threshold=0.3)}
     SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id
     """,
 )
@@ -1428,6 +1388,15 @@ def dedup_clusters(spark, sf_dir):
     all-pairs Jaccard — quadratic in block size at 100×; the verdict
     flagged it and this entry now exercises the same candidate
     machinery production dedup uses.)"""
+    labels = _lsh_cluster_labels(spark, sf_dir)
+    return labels.select(F.col("id").alias("doc_id"), "cluster")
+
+
+def _lsh_cluster_labels(spark, sf_dir):
+    """Shared Spark-side clustering cascade for the two gates above
+    and below (ONE definition, mirroring text_llm.lsh_cluster_edges_
+    ctes on the oracle side): shingle once, banded MinHash candidates,
+    exact-Jaccard verify at 0.3, min-label clusters."""
     d = load_table(spark, "documents", sf_dir)
     sh = dd.shingle_table(d, "text", "doc_id")
     cand = dd.minhash_lsh_pairs(
@@ -1436,8 +1405,7 @@ def dedup_clusters(spark, sf_dir):
     pairs = dd.jaccard_verify(
         cand, d, "text", "doc_id", threshold=0.3, shingles=sh
     )
-    labels = dd.near_dup_clusters(pairs, d, "doc_id", accelerate=True)
-    return labels.select(F.col("id").alias("doc_id"), "cluster")
+    return dd.near_dup_clusters(pairs, d, "doc_id", accelerate=True)
 
 
 @query(
@@ -2254,7 +2222,7 @@ _CAP_STEP = _CAP_CHUNK - _CAP_OVERLAP
 _CAP_SEQ = 128
 _CAP_SEED, _CAP_NSH = 11, 8
 
-_CAP_SIG = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(8))
+_CAP_SIG = SIG_COLS  # shared signature projection (text_llm.SIG_COLS)
 _CAP_PH_CHUNK = portable_hash_sql("chunk_id", seed=_CAP_SEED)
 _CAP_TOKENS = TOKENS_SQL.format(t="chunk_text")
 
@@ -3045,46 +3013,7 @@ _SPLIT_H = portable_hash_sql("CAST(cluster AS VARCHAR)", seed=11)
     # this entry shared with pre-r13 dedup_clusters was quadratic in
     # block size at 100×; now both gates exercise the scale path.
     sql=f"""
-    WITH RECURSIVE w AS MATERIALIZED (
-      SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM documents
-    ),
-    sh AS MATERIALIZED (
-      SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM w
-    ),
-    hs AS MATERIALIZED (
-      SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh
-      FROM sh
-    ),
-    sig AS MATERIALIZED (SELECT doc_id, {_CLUSTER_SIG_COLS} FROM sh),
-    banded AS MATERIALIZED ({bands_sql()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-       AND a.doc_id < b.doc_id
-    ),
-    pairs AS MATERIALIZED (
-      SELECT id_a, id_b FROM (
-        SELECT c.id_a, c.id_b,
-               round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
-                          THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                               / len(list_distinct(x.sh || y.sh))
-                          ELSE 0.0 END, 4) AS jaccard
-        FROM cand c
-        JOIN hs x ON c.id_a = x.doc_id
-        JOIN hs y ON c.id_b = y.doc_id
-      ) WHERE jaccard >= 0.3
-    ),
-    edges AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    reach(id, root) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
-    ),
+    WITH RECURSIVE {lsh_cluster_edges_ctes(threshold=0.3)},
     clusters AS (SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id)
     SELECT doc_id, cluster,
            CASE WHEN {_SPLIT_H} % 10 < 2 THEN 'val' ELSE 'train' END AS split
@@ -3104,18 +3033,11 @@ def corpus_leakage_safe_split(spark, sf_dir):
     splits miss. The oracle replays the identical hash family,
     banding, verify, and recursive-CTE closure. Reproducible across
     engines and epochs; a new seed re-splits with zero data
-    movement."""
+    movement. Clusters come from `_lsh_cluster_labels` — the ONE
+    Spark-side cascade both gates share."""
     from hrtech_etl_spark.operators.corpus import leakage_safe_split
 
-    d = load_table(spark, "documents", sf_dir)
-    sh = dd.shingle_table(d, "text", "doc_id")
-    cand = dd.minhash_lsh_pairs(
-        d, "text", "doc_id", num_hashes=8, rows_per_band=2, shingles=sh
-    )
-    pairs = dd.jaccard_verify(
-        cand, d, "text", "doc_id", threshold=0.3, shingles=sh
-    )
-    labels = dd.near_dup_clusters(pairs, d, "doc_id", accelerate=True)
+    labels = _lsh_cluster_labels(spark, sf_dir)
     return leakage_safe_split(
         labels, id_col="id", cluster_col="cluster", val_frac=0.2, seed=11,
         buckets=10,
@@ -5399,8 +5321,14 @@ def events_rfm_segments(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary_d"),
     )
     u = u.localCheckpoint(eager=False)
+    # each scoring pass sits behind its own lazy checkpoint: pass k+1's
+    # boundary scan + bucket exchange would otherwise replay pass k's
+    # full window/join subtree (only u was materialized), tripling the
+    # bucket stages per action (round-13 review finding)
     s = rk.with_global_ranks(u, "recency", ("user_id",), ntile={"r_score": 5})
+    s = s.localCheckpoint(eager=False)
     s = rk.with_global_ranks(s, "frequency", ("user_id",), ntile={"f_score": 5})
+    s = s.localCheckpoint(eager=False)
     s = rk.with_global_ranks(s, "monetary_d", ("user_id",), ntile={"m_score": 5})
     s = s.select("user_id", "monetary_d", "r_score", "f_score", "m_score")
     return (

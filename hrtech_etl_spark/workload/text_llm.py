@@ -318,7 +318,10 @@ def dedup_exact(spark, sf_dir):
 
 
 _NUM_HASHES = 8
-_SIG_COLS = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(_NUM_HASHES))
+#: the ONE minhash signature projection (mh0..mh7) every LSH oracle
+#: shares — workload modules import this instead of re-deriving it
+SIG_COLS = ", ".join(minhash_sql(j) + f" AS mh{j}" for j in range(_NUM_HASHES))
+_SIG_COLS = SIG_COLS
 
 
 def bands_sql(src: str = "sig", num_hashes: int = _NUM_HASHES) -> str:
@@ -333,6 +336,57 @@ def bands_sql(src: str = "sig", num_hashes: int = _NUM_HASHES) -> str:
 
 
 _BANDS_SQL = bands_sql()
+
+
+def lsh_cluster_edges_ctes(threshold: float = 0.3) -> str:
+    """Shared CTE chain for the clustering gates (`dedup_clusters`,
+    `corpus_leakage_safe_split`): banded MinHash candidates →
+    hashed-shingle exact-Jaccard verify at ``threshold`` → undirected
+    ``edges`` → ``reach`` recursive closure seeded from every
+    document. ONE definition so the two gates can never silently
+    diverge (round-13 review finding — the round had to rewrite the
+    same block twice in lockstep). Callers prepend ``WITH RECURSIVE``
+    and append their final SELECT over ``reach``."""
+    return f"""w AS MATERIALIZED (
+      SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM w
+    ),
+    hs AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh
+      FROM sh
+    ),
+    sig AS MATERIALIZED (SELECT doc_id, {_SIG_COLS} FROM sh),
+    banded AS MATERIALIZED ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
+                          THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                               / len(list_distinct(x.sh || y.sh))
+                          ELSE 0.0 END, 4) AS jaccard
+        FROM cand c
+        JOIN hs x ON c.id_a = x.doc_id
+        JOIN hs y ON c.id_b = y.doc_id
+      ) WHERE jaccard >= {threshold}
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    )"""
 
 @query(
     "dedup_minhash_lsh",

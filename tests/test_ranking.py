@@ -102,3 +102,30 @@ def test_rejects_unorderable_column_and_empty_request(spark):
         with_global_ranks(df, "s", ("v",), ntile={"q": 2})
     with pytest.raises(ValueError, match="no output columns"):
         with_global_ranks(df, "v", ("s",))
+
+
+def test_output_name_collision_raises(spark):
+    df = spark.createDataFrame([(1.0, 1)], "v double, id long")
+    with pytest.raises(ValueError, match="collide"):
+        with_global_ranks(df, "v", ("id",), rank="v")
+    with pytest.raises(ValueError, match="collide"):
+        with_global_ranks(
+            df.withColumn("__rb", F.lit(1)), "v", ("id",), rank="r"
+        )
+    with pytest.raises(ValueError, match="collide"):
+        with_global_ranks(df, "v", ("id",), rank="same", dense_rank="same")
+
+
+def test_bucket_overflow_guard_raises(spark, monkeypatch):
+    """A bucket past the int32 local-window range must fail LOUDLY (the
+    un-guarded plan would wrap and return corrupt ranks); the threshold
+    is patched down so the test doesn't need 2^31 rows."""
+    from hrtech_etl_spark.operators import ranking
+
+    monkeypatch.setattr(ranking, "_MAX_BUCKET_ROWS", 10)
+    df = spark.range(64).select(
+        F.lit(1.0).alias("v"), F.col("id")
+    )  # one value -> one hot bucket of 64 > 10
+    ranked = ranking.with_global_ranks(df, "v", ("id",), row_number="rn")
+    with pytest.raises(Exception, match="int32 local-window range"):
+        ranked.collect()

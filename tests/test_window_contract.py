@@ -15,28 +15,10 @@ from __future__ import annotations
 
 import pytest
 
+from hrtech_etl_spark.core.partitioning import unpartitioned_windows
 from hrtech_etl_spark.workload import REGISTRY
 
 SF_DIR = "/root/testdata/sf0.001"
-
-
-def unpartitioned_windows(df) -> int:
-    """Count Window/WindowGroupLimit nodes with an empty partitionSpec
-    in the OPTIMIZED logical plan (post-constant-folding — a foldable
-    partition key that optimizes away counts as unpartitioned, which is
-    exactly why bounded_window_key is non-foldable)."""
-    n = [0]
-
-    def walk(node):
-        name = node.getClass().getSimpleName()
-        if name in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
-            n[0] += 1
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    walk(df._jdf.queryExecution().optimizedPlan())
-    return n[0]
 
 
 @pytest.mark.parametrize("name", ["window_rank_suite", "events_rfm_segments"])

@@ -759,6 +759,7 @@ def run_rank_stage(spark, meter, args, root) -> None:
     #      group (rank semantics), max(dense_rank) == countDistinct
     #      (value), ntile(100) counts differ by <= 1;
     #   4. job count FLAT in data volume (rows/10 vs rows).
+    from hrtech_etl_spark.core.partitioning import unpartitioned_windows
     from hrtech_etl_spark.operators.ranking import with_global_ranks
 
     def synth(n_rows: int):
@@ -766,20 +767,6 @@ def run_rank_stage(spark, meter, args, root) -> None:
             F.col("id"),
             (F.col("id") % (n_rows // 10)).cast("double").alias("value"),
         )
-
-    def unpartitioned_windows(df) -> int:
-        n = [0]
-
-        def walk(node):
-            name = node.getClass().getSimpleName()
-            if name in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
-                n[0] += 1
-            ch = node.children()
-            for i in range(ch.size()):
-                walk(ch.apply(i))
-
-        walk(df._jdf.queryExecution().optimizedPlan())
-        return n[0]
 
     def rank_all(n_rows: int):
         ranked = with_global_ranks(
@@ -792,6 +779,9 @@ def run_rank_stage(spark, meter, args, root) -> None:
             ntile={"pct": 100},
         )
         assert unpartitioned_windows(ranked) == 0, "empty partitionSpec"
+        # the four verification actions below each replay the rank
+        # plan otherwise (the smoke paid ~4x the plan's cost)
+        ranked = ranked.localCheckpoint(eager=False)
         total, peak = partition_stats(ranked)
         agg = ranked.agg(
             F.sum("rn").alias("s"),
