@@ -8,6 +8,8 @@ from __future__ import annotations
 import random
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -129,3 +131,59 @@ def test_bucket_overflow_guard_raises(spark, monkeypatch):
     ranked = ranking.with_global_ranks(df, "v", ("id",), row_number="rn")
     with pytest.raises(Exception, match="int32 local-window range"):
         ranked.collect()
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-3, max_value=3),
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                min_value=-2.0,
+                max_value=2.0,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=9),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_property_matches_native_windows(spark, vals, n_buckets, k):
+    """Hypothesis: for ARBITRARY value multisets (NULL-heavy, ±0.0,
+    adversarial tie shapes), arbitrary bucket counts, and arbitrary
+    ntile k, every rank column is bit-identical to the native
+    unpartitioned window — the rewrite may only ever change the PLAN."""
+    rows = [(i, float(v) if v is not None else None) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id INT, val DOUBLE").repartition(3)
+    got = with_global_ranks(
+        df,
+        "val",
+        ("id",),
+        row_number="rn",
+        rank="rk",
+        dense_rank="dr",
+        percent_rank="pr",
+        cume_dist="cd",
+        ntile={"nt": k},
+        n_buckets=n_buckets,
+    )
+    w = W.orderBy("val", "id")
+    wv = W.orderBy("val")
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wv).alias("rk").cast("long"),
+        F.dense_rank().over(wv).alias("dr").cast("long"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(k).over(w).alias("nt"),
+    )
+    g = {r["id"]: (r["rn"], r["rk"], r["dr"], r["pr"], r["cd"], r["nt"])
+         for r in got.collect()}
+    e = {r["id"]: (r["rn"], r["rk"], r["dr"], r["pr"], r["cd"], r["nt"])
+         for r in want.collect()}
+    assert g == e
