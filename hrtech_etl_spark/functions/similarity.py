@@ -913,3 +913,105 @@ def mmr_topk(
     spark = embeddings.sparkSession
     out = spark.createDataFrame(picked, f"step int, {id_col} long, mmr double")
     return out.orderBy("step")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning — coarse-cluster the embeddings, connect
+    within-cluster pairs with cosine ≥ ``threshold`` into components,
+    and in each component KEEP the member FARTHEST from its cluster
+    centroid (the paper's keep rule: the least-prototypical example
+    carries the most marginal information), tie-broken to the lowest
+    id. Returns ``(id_col, cid, component, keep)`` for every vector —
+    callers drop ``keep = false`` rows.
+
+    Scale shape: clustering IS the blocking (the paper's design — the
+    within-cluster pair join is quadratic only in cluster size, and
+    ``n_centroids`` grows with the corpus to keep clusters bounded).
+    Assignment reuses the ivf_cosine_topk contract: deterministic seed
+    vectors by default so the oracle replays it exactly, a trained
+    quantizer via ``centroids=`` in production — either way the
+    quantizer collapses to ONE broadcast row and assignment is a
+    per-row argmax fold, zero shuffle. Components come from the same
+    iterative min-label machinery as text dedup
+    (functions/dedup.py::near_dup_clusters).
+    """
+    from hrtech_etl_spark.functions.dedup import near_dup_clusters
+
+    if centroids is not None:
+        cent_rows = centroids.select(
+            "__cid", "__cvec", _norm(F.col("__cvec")).alias("__cn")
+        )
+    else:
+        cent_rows = embeddings.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            _norm(F.col(vec_col)).alias("__cn"),
+        )
+    cents_arr = F.broadcast(
+        cent_rows.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__cid", "__cvec", "__cn"))
+            ).alias("__cents")
+        )
+    )
+    # argmax fold over the broadcast centroid array (highest rounded
+    # cosine, then lowest cid — the ivf_cosine_topk tie-break), keeping
+    # BOTH the assigned cid and the cosine to it (the keep-rule key)
+    sims = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine_vs(
+                F.col(vec_col), c.getField("__cvec"), c.getField("__cn")
+            ).alias("sim"),
+            (-c.getField("__cid")).alias("negcid"),
+        ),
+    )
+    best = F.array_max(sims)
+    assigned = (
+        _spread(embeddings)
+        .crossJoin(cents_arr)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            (-best.getField("negcid")).cast("int").alias("cid"),
+            best.getField("sim").alias("csim"),
+        )
+        .localCheckpoint(eager=False)  # pairs + components + keep all
+        # read this frame; without the pin each consumer replays the
+        # scan + fold
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    comp = near_dup_clusters(
+        pairs, assigned.select("id"), "id", accelerate=True
+    ).withColumnRenamed("cluster", "component")
+    scored = assigned.join(comp, "id")
+    keepers = scored.groupBy("component").agg(
+        F.min_by("id", F.struct("csim", "id")).alias("__keep_id")
+    )
+    return (
+        scored.join(keepers, "component")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            "component",
+            (F.col("id") == F.col("__keep_id")).alias("keep"),
+        )
+    )

@@ -7336,3 +7336,81 @@ def join_null_safe_eq(spark, sf_dir):
         )
         .orderBy("match_kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-duplicate pruning over embeddings
+# ---------------------------------------------------------------------------
+
+_SEM_VD = VEC_DOUBLE.format(v="embedding")
+
+@query(
+    "dedup_semantic_prune",
+    sql=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, {_SEM_VD} AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8),
+    assign AS MATERIALIZED (
+      SELECT vec_id, v, cid, csim FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               {cosine_sql('e.v', 'c.cvec')} AS csim,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {cosine_sql('e.v', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    prs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cosine_sql('a.v', 'b.v')} >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ),
+    reach(id, root) AS (
+      SELECT vec_id, vec_id FROM assign
+      UNION
+      SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.id
+    ),
+    comp AS (SELECT id AS vec_id, min(root) AS component FROM reach GROUP BY id),
+    keepers AS (
+      SELECT component, vec_id AS keep_id FROM (
+        SELECT comp.component, assign.vec_id,
+               row_number() OVER (
+                 PARTITION BY comp.component
+                 ORDER BY assign.csim ASC, assign.vec_id
+               ) AS rn
+        FROM comp JOIN assign USING (vec_id)
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cid, comp.component,
+           a.vec_id = k.keep_id AS keep
+    FROM assign a
+    JOIN comp USING (vec_id)
+    JOIN keepers k ON comp.component = k.component
+    """,
+)
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic near-dup pruning over
+    the embedding column (functions/similarity.py::semantic_dedup):
+    coarse-cluster (deterministic seed-vector quantizer, the
+    ivf_cosine_topk contract — swap in a trained one at scale), connect
+    within-cluster pairs at cosine ≥ 0.4 into components with the SAME
+    iterative min-label machinery as text dedup, keep per component
+    the member FARTHEST from its centroid (the paper's keep rule: the
+    least-prototypical example carries the most marginal information).
+    Clustering IS the blocking — the pair join is quadratic only in
+    cluster size, never all-pairs. The oracle replays assignment
+    (argmax with the highest-cosine-then-lowest-cid tie-break), the
+    rounded-6 cosine threshold, the recursive closure, and the
+    (csim ASC, id ASC) keep rule. Completes the dedup family's
+    embedding corner: `dedup_embedding_cosine` finds pairs,
+    this entry performs the prune."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return sim.semantic_dedup(e, n_centroids=8, threshold=0.4)

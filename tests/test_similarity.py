@@ -204,3 +204,38 @@ def test_mmr_empty_corpus_raises(spark):
     q = _emb(spark).where(F.col("vec_id") == 0)
     with pytest.raises(ValueError, match="empty"):
         sim.mmr_topk(e, q, k=5)
+
+
+def test_semantic_dedup_hand_checked(spark):
+    """Two tight groups + one singleton in one cluster: components form
+    at cosine >= threshold; each component keeps the member FARTHEST
+    from the centroid (lowest cosine-to-centroid, tie lowest id)."""
+    from hrtech_etl_spark.functions.similarity import semantic_dedup
+
+    # centroid = seed vector id 0 (n_centroids=1 -> single cluster)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # centroid seed
+        (1, [1.0, 0.01, 0.0, 0.0]),       # near-dup of 0 (and centroid)
+        (2, [0.0, 1.0, 0.0, 0.0]),        # group B
+        (3, [0.0, 1.0, 0.05, 0.0]),       # near-dup of 2
+        (4, [0.5, 0.5, 0.5, 0.5]),        # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in semantic_dedup(df, n_centroids=1, threshold=0.95).collect()
+    }
+    # components: {0,1}, {2,3}, {4}
+    assert got[0][0] == got[1][0] and got[2][0] == got[3][0]
+    assert got[4][0] not in (got[0][0], got[2][0])
+    # {0,1}: both ~cos 1 to centroid; 0 is exactly 1.0, 1 slightly less
+    # -> farthest is 1
+    assert got[1][1] is True and got[0][1] is False
+    # {2,3}: 2 has cos 0 to centroid, 3 slightly more -> keep 2
+    assert got[2][1] is True and got[3][1] is False
+    # singleton always kept
+    assert got[4][1] is True
+    # exactly one keeper per component
+    from collections import Counter
+    keeps = Counter(c for c, k in got.values() if k)
+    assert all(v == 1 for v in keeps.values()) and len(keeps) == 3
