@@ -139,6 +139,8 @@ EXTENDED = [
     "events_user_features",
     "sketch_hll_accuracy",
     "join_null_safe_eq",
+    "dedup_semantic_prune",
+    "corpus_dsir_select",
 ]
 
 

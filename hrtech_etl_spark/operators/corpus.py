@@ -853,3 +853,118 @@ def span_corruption(
         F.array_join(input_arr, " ").alias("input_text"),
         F.array_join(target_arr, " ").alias("target_text"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target,
+    *,
+    n_buckets: int = 1024,
+    select_frac: float = 0.2,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much its
+    hashed n-gram profile looks like a TARGET domain, then select the
+    top ``select_frac`` by importance weight. The standard recipe for
+    skimming a web-scale crawl toward a quality / domain corpus
+    without training a classifier.
+
+    - **Features**: non-distinct word BIGRAMS hashed into
+      ``n_buckets`` buckets (the paper's hashed n-gram features) —
+      one corpus explode, occurrence-counted.
+    - **Weights**: per bucket, the add-1-smoothed log-likelihood
+      ratio ``ln((c_t+1)/(N_t+B)) - ln((c_r+1)/(N_r+B))`` (target vs
+      raw), rounded to 6 decimals; a document's log importance weight
+      is the sum of its feature occurrences' ratios, accumulated in
+      DECIMAL so the sum is order-independent across engines (the
+      bigram-LM portability rule).
+    - **Selection**: exact top-``ceil(select_frac * N)`` by
+      ``(logw DESC, id)`` via the DISTRIBUTED rank plan
+      (operators/ranking.py) — no single-partition window at any
+      size.
+
+    Scale shape: one explode + one keyed count per bucket (map-side
+    partials), the ≤``n_buckets``-row ratio table broadcasts back, the
+    scalar totals ride a 1-row crossJoin — the corpus is never
+    shuffled except by the final rank's range exchange.
+
+    ``target`` is a boolean Column marking target-domain rows (e.g.
+    ``F.col("lang") == "en"``). Docs with < 2 tokens have no features
+    and score 0. Returns ``(id_col, n_feats, logw, sel_rank,
+    selected)`` for EVERY document.
+    """
+    from hrtech_etl_spark.functions.text import word_ngrams
+    from hrtech_etl_spark.operators.ranking import with_global_ranks
+
+    base = docs.select(
+        F.col(id_col), target.alias("__t"), F.col(text_col).alias("__txt")
+    )
+    feats = base.select(
+        id_col,
+        "__t",
+        F.explode(word_ngrams(F.col("__txt"), 2)).alias("__g"),
+    ).select(
+        id_col,
+        "__t",
+        F.pmod(portable_hash(F.col("__g"), seed=seed), F.lit(n_buckets)).alias(
+            "__b"
+        ),
+    )
+    counts = feats.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+    )
+    totals = counts.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.log((F.col("__ct") + 1) / (F.col("__nt") + n_buckets))
+            - F.log((F.col("__cr") + 1) / (F.col("__nr") + n_buckets)),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("__lam"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("__lam").alias("__lw"),
+        )
+    )
+    scored = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce(F.col("__lw").cast("double"), F.lit(0.0)).alias("logw"),
+        )
+        .withColumn("__neg", -F.col("logw"))
+    )
+    ranked = with_global_ranks(
+        scored, "__neg", (id_col,), row_number="sel_rank"
+    ).drop("__neg")
+    # exact-DECIMAL threshold: 0.2 is not IEEE-representable, so a
+    # double product can land just above an integer (ceil(100.0000..01)
+    # = 101) while DECIMAL engines get exactly 100 — multiply in
+    # DECIMAL on both sides instead
+    n_total = docs.select(
+        F.ceil(
+            F.count(F.lit(1)).cast("decimal(20,0)")
+            * F.lit(select_frac).cast("decimal(10,6)")
+        ).alias("__k")
+    )
+    return ranked.crossJoin(F.broadcast(n_total)).select(
+        id_col,
+        "n_feats",
+        "logw",
+        "sel_rank",
+        (F.col("sel_rank") <= F.col("__k")).alias("selected"),
+    )

@@ -7414,3 +7414,81 @@ def dedup_semantic_prune(spark, sf_dir):
 
     e = load_table(spark, "embeddings", sf_dir)
     return sim.semantic_dedup(e, n_centroids=8, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram LLR)
+# ---------------------------------------------------------------------------
+
+_DSIR_H = portable_hash_sql("g")
+
+@query(
+    "corpus_dsir_select",
+    sql=f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, (lang = 'en') AS t, {TOKENS_SQL.format(t='text')} AS w
+      FROM documents
+    ),
+    f AS MATERIALIZED (
+      SELECT doc_id, t, {_DSIR_H} % 1024 AS b FROM (
+        SELECT doc_id, t,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS g
+        FROM w
+      )
+    ),
+    counts AS (
+      SELECT b, count(*) AS cr,
+             count(CASE WHEN t THEN 1 END) AS ct
+      FROM f GROUP BY b
+    ),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+    lam AS (
+      SELECT b,
+             CAST(round(ln((ct + 1.0) / (nt + 1024))
+                        - ln((cr + 1.0) / (nr + 1024)), 6)
+                  AS DECIMAL(28,6)) AS lam
+      FROM counts CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT f.doc_id, count(*) AS n_feats, sum(lam.lam) AS lw
+      FROM f JOIN lam USING (b) GROUP BY f.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+             coalesce(CAST(p.lw AS DOUBLE), 0.0) AS logw
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY logw DESC, doc_id)
+                     AS BIGINT) AS sel_rank
+      FROM scored
+    )
+    SELECT doc_id, n_feats, logw, sel_rank,
+           sel_rank <= CAST(ceil(0.2 * (SELECT count(*) FROM documents))
+                            AS BIGINT) AS selected
+    FROM ranked
+    """,
+)
+def corpus_dsir_select(spark, sf_dir):
+    """DSIR — data selection via importance resampling
+    (operators/corpus.py::dsir_select; Xie et al. 2023): score every
+    document by the add-1-smoothed log-likelihood ratio of its hashed
+    word-bigram profile under the TARGET domain (here lang='en', the
+    majority slice) vs the raw corpus, then select the exact top 20%
+    by (logw DESC, doc_id) — the classifier-free crawl-skimming recipe.
+    Per-bucket ratios are rounded to 6 decimals and summed in DECIMAL
+    (order-independent across engines, the bigram-LM rule); ranking
+    uses the DISTRIBUTED exact-rank plan (zero unpartitioned windows);
+    the selection threshold multiplies in exact DECIMAL on both sides
+    (an IEEE 0.2*N can land just above the integer a DECIMAL engine
+    gets). The oracle replays features, smoothing, ratio, rank, and
+    threshold exactly."""
+    from hrtech_etl_spark.operators.corpus import dsir_select
+
+    d = load_table(spark, "documents", sf_dir)
+    return dsir_select(
+        d, "text", "doc_id", F.col("lang") == "en",
+        n_buckets=1024, select_frac=0.2,
+    )

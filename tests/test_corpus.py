@@ -621,3 +621,38 @@ def test_span_corruption_deterministic_and_zero_pct(spark):
     none = span_corruption(df, "text", "doc_id", mask_pct=0).collect()[0]
     assert none["n_masked"] == 0 and none["target_text"] == ""
     assert none["input_text"] == "a b c d e f g h i j"
+
+
+def test_dsir_select_prefers_target_profile(spark):
+    """Docs sharing the target domain's bigram profile must outscore
+    off-domain docs; short docs (no bigrams) score 0; the selection
+    cut is exactly ceil(frac * N) by (logw DESC, id)."""
+    from pyspark.sql import functions as F
+
+    from hrtech_etl_spark.operators.corpus import dsir_select
+
+    rows = [
+        # target domain: "alpha beta" profile
+        (0, "alpha beta alpha beta alpha beta", "en"),
+        (1, "alpha beta gamma alpha beta", "en"),
+        # raw-only docs: one matches the target profile, one does not
+        (2, "alpha beta alpha beta", "de"),
+        (3, "zeta eta theta zeta eta", "de"),
+        (4, "solo", "de"),  # < 2 tokens -> no features
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_select(
+            d, "text", "doc_id", F.col("lang") == "en", select_frac=0.4
+        ).collect()
+    }
+    assert got[4]["n_feats"] == 0 and got[4]["logw"] == 0.0
+    # target-profile doc 2 must outscore off-profile doc 3
+    assert got[2]["logw"] > got[3]["logw"]
+    # ceil(0.4 * 5) = 2 selected, and they are the top-2 ranks
+    sel = {i for i, r in got.items() if r["selected"]}
+    assert len(sel) == 2
+    ranks = sorted(r["sel_rank"] for r in got.values())
+    assert ranks == [1, 2, 3, 4, 5]
+    assert all(got[i]["sel_rank"] <= 2 for i in sel)
