@@ -937,8 +937,11 @@ def semantic_dedup(
     within-cluster pair join is quadratic only in cluster size, and
     ``n_centroids`` grows with the corpus to keep clusters bounded).
     Assignment reuses the ivf_cosine_topk contract: deterministic seed
-    vectors by default so the oracle replays it exactly, a trained
-    quantizer via ``centroids=`` in production — either way the
+    vectors by default (the ``n_centroids`` vectors with
+    ``id < n_centroids`` — the id space must contain them, or the call
+    raises) so the oracle replays it exactly, a trained quantizer via
+    ``centroids=`` in production — a ``(__cid, __cvec)`` frame, the
+    exact shape :func:`train_ivf_centroids` returns. Either way the
     quantizer collapses to ONE broadcast row and assignment is a
     per-row argmax fold, zero shuffle. Components come from the same
     iterative min-label machinery as text dedup
@@ -976,13 +979,28 @@ def semantic_dedup(
         ),
     )
     best = F.array_max(sims)
+    # loud empty-quantizer guard: an id space with nothing below
+    # n_centroids (hashed ids, 1-based ids) would otherwise yield an
+    # empty centroid array → NULL cid for every row → zero pairs →
+    # every vector silently kept (a dedup that does nothing)
+    cid = F.when(
+        F.size("__cents") > 0, (-best.getField("negcid")).cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "semantic_dedup: empty quantizer — no seed vectors with "
+                f"{id_col} < n_centroids; pass centroids= (a trained "
+                "(__cid, __cvec) frame) for non-contiguous id spaces"
+            )
+        ).cast("int")
+    )
     assigned = (
         _spread(embeddings)
         .crossJoin(cents_arr)
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            (-best.getField("negcid")).cast("int").alias("cid"),
+            cid.alias("cid"),
             best.getField("sim").alias("csim"),
         )
         .localCheckpoint(eager=False)  # pairs + components + keep all

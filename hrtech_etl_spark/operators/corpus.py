@@ -882,9 +882,13 @@ def dsir_select(
       DECIMAL so the sum is order-independent across engines (the
       bigram-LM portability rule).
     - **Selection**: exact top-``ceil(select_frac * N)`` by
-      ``(logw DESC, id)`` via the DISTRIBUTED rank plan
-      (operators/ranking.py) — no single-partition window at any
-      size.
+      ``(logw DESC, id)`` AMONG SCORED DOCUMENTS via the DISTRIBUTED
+      rank plan (operators/ranking.py) — no single-partition window
+      at any size. Documents with < 2 tokens have no features and
+      rank LAST (their 0.0 weight would otherwise beat the
+      negative-on-average weights of real documents — the average
+      smoothed LLR under the raw distribution is ≤ 0 — and a crawl's
+      empty-page tail would crowd out every scored document).
 
     Scale shape: one explode + one keyed count per bucket (map-side
     partials), the ≤``n_buckets``-row ratio table broadcasts back, the
@@ -912,7 +916,10 @@ def dsir_select(
         F.pmod(portable_hash(F.col("__g"), seed=seed), F.lit(n_buckets)).alias(
             "__b"
         ),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ three consumers (bucket counts, totals via the counts, the
+    # per-doc weight join) would each replay the corpus explode+hash
+    # otherwise — the "one corpus explode" contract is this pin
     counts = feats.groupBy("__b").agg(
         F.count(F.lit(1)).alias("__cr"),
         F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
@@ -946,7 +953,16 @@ def dsir_select(
             F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
             F.coalesce(F.col("__lw").cast("double"), F.lit(0.0)).alias("logw"),
         )
-        .withColumn("__neg", -F.col("logw"))
+        # featureless docs sort LAST: +inf rank key (bucketing and
+        # ordering both handle it — inf lands in the top bucket)
+        .withColumn(
+            "__neg",
+            F.when(F.col("n_feats") > 0, -F.col("logw")).otherwise(
+                F.lit(float("inf"))
+            ),
+        )
+        .localCheckpoint(eager=False)  # the rank plan's boundary scan
+        # + bucket window would replay the weight join otherwise
     )
     ranked = with_global_ranks(
         scored, "__neg", (id_col,), row_number="sel_rank"

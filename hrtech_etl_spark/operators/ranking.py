@@ -18,12 +18,14 @@ classic distributed-exact-rank plan used here instead:
 2. **Local windows per bucket** — ``row_number``/``rank``/``dense_rank``
    over ``PARTITION BY bucket``, i.e. a properly partitioned WindowExec.
 3. **Two-phase prefix sum** (the same idiom as
-   ``operators/corpus.py::concat_split_packing``): per-bucket totals are
-   read off the local window columns themselves (``max(local_rn)`` =
-   bucket row count, ``max(local_dense)`` = bucket distinct count —
-   consuming the window output keeps both consumers behind ONE bucket
-   exchange as a ReusedExchange), then the ≤``n_buckets``-row totals
-   frame gets an exclusive cumsum on a single *declared* partition
+   ``operators/corpus.py::concat_split_packing``): per-bucket totals
+   aggregate over the SAME ``hashpartitioning(bucket)`` exchange the
+   windows consume (ReusedExchange either way) — the row count is a
+   true long ``count(1)`` (an int32 ``max(row_number)`` would wrap
+   together with the overflow it is supposed to detect) and the
+   distinct count is ``max(local_dense)``; the ≤``n_buckets``-row
+   totals frame then gets an exclusive cumsum on a single *declared*
+   partition
    (``partitionBy(lit(0))`` — bounded by the knob, never by the data)
    and broadcasts back as per-bucket base offsets.
 4. Global values are ``base + local``; ``ntile``/``percent_rank``/
@@ -129,10 +131,11 @@ def with_global_ranks(
         raise ValueError("with_global_ranks: no output columns requested")
     requested = out_total + [c for c in (rank, dense_rank) if c]
     clash = (set(requested) | set(_INTERNAL_COLS)) & set(df.columns)
-    if clash or len(set(requested)) != len(requested):
+    dupes = {c for c in requested if requested.count(c) > 1}
+    if clash or dupes:
         raise ValueError(
             "with_global_ranks: output/internal column names collide "
-            f"with the input frame (or each other): {sorted(clash)}"
+            f"with the input frame (or each other): {sorted(clash | dupes)}"
         )
     vtype = df.schema[value_col].dataType
     if not isinstance(vtype, _BUCKETABLE):
@@ -186,7 +189,12 @@ def with_global_ranks(
     # Totals read the window columns (max local row_number == bucket
     # count), so Catalyst cannot push the aggregate below the window —
     # both consumers share one bucket exchange (ReusedExchange).
-    aggs = [F.max("__lrn").alias("__cnt")]
+    # bucket count is a TRUE long count(1) — NOT max(local row_number):
+    # row_number is int32, so on a >2^31-row bucket max(__lrn) would
+    # itself wrap (or saturate at exactly 2^31-1), making any guard on
+    # it unreachable; count(1) cannot wrap and detects the overflow
+    # BEFORE the wrapped local ranks are trusted
+    aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")]
     if need_dense:
         aggs.append(F.max("__ldr").alias("__ndv"))
     totals = b.groupBy("__rb").agg(*aggs)
@@ -208,7 +216,7 @@ def with_global_ranks(
                     F.col("__rb"),
                     F.col("__cnt"),
                 )
-            ).cast("int")
+            ).cast("long")
         ),
     )
     # bounded_window_key: a DECLARED single partition over a frame

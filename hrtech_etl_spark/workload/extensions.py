@@ -7461,7 +7461,8 @@ _DSIR_H = portable_hash_sql("g")
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
     ),
     ranked AS (
-      SELECT *, CAST(row_number() OVER (ORDER BY logw DESC, doc_id)
+      SELECT *, CAST(row_number() OVER (
+                       ORDER BY (n_feats = 0), logw DESC, doc_id)
                      AS BIGINT) AS sel_rank
       FROM scored
     )
@@ -7478,6 +7479,9 @@ def corpus_dsir_select(spark, sf_dir):
     word-bigram profile under the TARGET domain (here lang='en', the
     majority slice) vs the raw corpus, then select the exact top 20%
     by (logw DESC, doc_id) — the classifier-free crawl-skimming recipe.
+    Featureless (<2-token) docs rank LAST: their 0.0 weight would
+    otherwise beat real documents' negative-on-average smoothed ratios
+    and a crawl's empty-page tail would crowd out every scored doc.
     Per-bucket ratios are rounded to 6 decimals and summed in DECIMAL
     (order-independent across engines, the bigram-LM rule); ranking
     uses the DISTRIBUTED exact-rank plan (zero unpartitioned windows);

@@ -648,11 +648,14 @@ def test_dsir_select_prefers_target_profile(spark):
         ).collect()
     }
     assert got[4]["n_feats"] == 0 and got[4]["logw"] == 0.0
+    # featureless docs rank LAST — a 0.0 weight must never beat the
+    # negative-on-average weights of real documents
+    assert got[4]["sel_rank"] == 5 and not got[4]["selected"]
     # target-profile doc 2 must outscore off-profile doc 3
     assert got[2]["logw"] > got[3]["logw"]
     # ceil(0.4 * 5) = 2 selected, and they are the top-2 ranks
     sel = {i for i, r in got.items() if r["selected"]}
-    assert len(sel) == 2
+    assert len(sel) == 2 and 4 not in sel
     ranks = sorted(r["sel_rank"] for r in got.values())
     assert ranks == [1, 2, 3, 4, 5]
     assert all(got[i]["sel_rank"] <= 2 for i in sel)

@@ -239,3 +239,18 @@ def test_semantic_dedup_hand_checked(spark):
     from collections import Counter
     keeps = Counter(c for c, k in got.values() if k)
     assert all(v == 1 for v in keeps.values()) and len(keeps) == 3
+
+
+def test_semantic_dedup_empty_quantizer_raises(spark):
+    """An id space containing no seed ids (< n_centroids) must fail
+    LOUDLY — the pre-guard behavior silently kept every vector."""
+    import pytest
+
+    from hrtech_etl_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1000, [1.0, 0.0]), (1001, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="empty quantizer"):
+        semantic_dedup(df, n_centroids=8, threshold=0.9).collect()
