@@ -659,3 +659,87 @@ def test_dsir_select_prefers_target_profile(spark):
     ranks = sorted(r["sel_rank"] for r in got.values())
     assert ranks == [1, 2, 3, 4, 5]
     assert all(got[i]["sel_rank"] <= 2 for i in sel)
+
+
+def test_dsir_select_matches_bruteforce(spark):
+    """Property-style sweep: dsir_select == a pure-Python reference
+    (same md5 bucket hash, same HALF_UP round-6 ratios, same DECIMAL
+    sums, same featureless-last rank, same DECIMAL ceil threshold)
+    across seeded random corpora."""
+    import hashlib
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from hrtech_etl_spark.operators.corpus import dsir_select
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    def bucket(g, B):
+        return int(hashlib.md5(f"0:{g}".encode()).hexdigest()[:8], 16) % B
+
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(4):
+        rng = random.Random(100 + trial)
+        n_docs = rng.randint(4, 25)
+        B = rng.choice([16, 64])
+        frac = rng.choice([0.2, 0.25, 0.5])
+        docs = {
+            i: " ".join(
+                rng.choice(words) for _ in range(rng.randint(0, 8))
+            )
+            for i in range(n_docs)
+        }
+        d = spark.createDataFrame(
+            [(i, t) for i, t in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_feats"], r["logw"], r["sel_rank"], r["selected"])
+            for r in dsir_select(
+                d, "text", "doc_id", F.col("doc_id") % 2 == 0,
+                n_buckets=B, select_frac=frac,
+            ).collect()
+        }
+
+        # reference
+        feats = {}  # doc -> list of buckets
+        for i, t in docs.items():
+            ws = t.split()
+            feats[i] = [
+                bucket(f"{ws[j]} {ws[j+1]}", B) for j in range(len(ws) - 1)
+            ]
+        cr, ct = {}, {}
+        for i, bs in feats.items():
+            for b in bs:
+                cr[b] = cr.get(b, 0) + 1
+                if i % 2 == 0:
+                    ct[b] = ct.get(b, 0) + 1
+        nr, nt = sum(cr.values()), sum(ct.get(b, 0) for b in cr)
+        lam = {
+            b: r6(
+                math.log((ct.get(b, 0) + 1) / (nt + B))
+                - math.log((cr[b] + 1) / (nr + B))
+            )
+            for b in cr
+        }
+        logw = {
+            i: float(sum((lam[b] for b in bs), Decimal(0))) if bs else 0.0
+            for i, bs in feats.items()
+        }
+        order = sorted(
+            docs,
+            key=lambda i: (
+                not feats[i] and 1 or 0,
+                -logw[i] if feats[i] else 0.0,
+                i,
+            ),
+        )
+        rank = {i: r + 1 for r, i in enumerate(order)}
+        k = math.ceil(Decimal(n_docs) * Decimal(str(frac)))
+        want = {
+            i: (len(feats[i]), logw[i], rank[i], rank[i] <= k) for i in docs
+        }
+        assert got == want, f"trial {trial}"

@@ -254,3 +254,87 @@ def test_semantic_dedup_empty_quantizer_raises(spark):
     )
     with pytest.raises(Exception, match="empty quantizer"):
         semantic_dedup(df, n_centroids=8, threshold=0.9).collect()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _r6(x: float) -> float:
+    """Spark F.round(x, 6): HALF_UP on the shortest decimal repr (Java
+    BigDecimal.valueOf semantics — Python repr() is the same shortest
+    round-trip string)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _cos(a, b):
+    """cosine() twin: LEFT-fold dot/norms (F.aggregate order), round 6."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return _r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.integers(-3, 3), min_size=3, max_size=3),
+        min_size=3,
+        max_size=20,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    tau_i=st.integers(min_value=3, max_value=9),
+)
+def test_semantic_dedup_matches_bruteforce(spark, data, k, tau_i):
+    """Property: semantic_dedup == a pure-Python union-find reference
+    (same rounded-6 cosine, same argmax/keep tie-breaks) on arbitrary
+    small integer vectors (a constant 1-dim appended so no vector is
+    zero-norm)."""
+    from hrtech_etl_spark.functions.similarity import semantic_dedup
+
+    tau = tau_i / 10.0
+    vecs = {i: [float(x) for x in v] + [1.0] for i, v in enumerate(data)}
+    rows = [(i, v) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cid"], r["component"], r["keep"])
+        for r in semantic_dedup(df, n_centroids=k, threshold=tau).collect()
+    }
+
+    # reference: assign (max cosine, then lowest cid), pairs, union-find
+    cents = {c: vecs[c] for c in range(min(k, len(vecs)))}
+    assign, csim = {}, {}
+    for i, v in vecs.items():
+        best = max(
+            ((_cos(v, cv), -c) for c, cv in cents.items())
+        )
+        assign[i], csim[i] = -best[1], best[0]
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in vecs:
+        for j in vecs:
+            if i < j and assign[i] == assign[j] and _cos(vecs[i], vecs[j]) >= tau:
+                parent[find(j)] = find(i)
+    comp = {i: min(j for j in vecs if find(j) == find(i)) for i in vecs}
+    keep_of = {}
+    for c in set(comp.values()):
+        members = [i for i in vecs if comp[i] == c]
+        keep_of[c] = min(members, key=lambda i: (csim[i], i))
+    want = {i: (assign[i], comp[i], i == keep_of[comp[i]]) for i in vecs}
+    assert got == want
