@@ -923,6 +923,7 @@ def semantic_dedup(
     n_centroids: int = 8,
     threshold: float = 0.4,
     centroids: DataFrame | None = None,
+    max_cluster_size: int | None = 20_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning — coarse-cluster the embeddings, connect
@@ -946,6 +947,21 @@ def semantic_dedup(
     per-row argmax fold, zero shuffle. Components come from the same
     iterative min-label machinery as text dedup
     (functions/dedup.py::near_dup_clusters).
+
+    ``max_cluster_size`` is the LOUD VALVE on that quadratic block —
+    the semantic twin of the stop-shingle valve
+    (functions/dedup.py::remove_stop_shingles): blocking only bounds
+    the pair join if cluster populations actually stay bounded, and a
+    fixed ``n_centroids`` under a growing corpus silently turns each
+    cluster into an all-pairs join (corpus/k members → (corpus/k)²/2
+    candidate pairs per cluster). Any cluster past the cap raises —
+    at the default 20k members a cluster already means 2×10⁸
+    candidate cosines — with the fix in the message: raise
+    ``n_centroids`` (or pass a ``centroids=`` quantizer with more
+    centroids) so expected membership stays under the cap; pass
+    ``None`` only when the quadratic block is deliberate. The check
+    rides the pair join's own broadcast (≤ n_centroids counted rows),
+    zero extra shuffle over the corpus.
     """
     from hrtech_etl_spark.functions.dedup import near_dup_clusters
 
@@ -1007,7 +1023,42 @@ def semantic_dedup(
         # read this frame; without the pin each consumer replays the
         # scan + fold
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_src = assigned
+    if max_cluster_size is not None:
+        # cluster-size valve: counts aggregate to ≤ n_centroids rows,
+        # broadcast back onto the pair join's build of each side; the
+        # trivially-true filter on the guarded count is what keeps
+        # column pruning from dropping the raise_error branch
+        csize = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        csize = csize.select(
+            "cid",
+            F.when(F.col("__csz") <= F.lit(int(max_cluster_size)), F.col("__csz"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "semantic_dedup: cluster %s holds %s vectors — "
+                        f"past max_cluster_size={int(max_cluster_size)}; "
+                        "the within-cluster pair join is quadratic in "
+                        "cluster size. Raise n_centroids (or pass a "
+                        "trained centroids= quantizer with more "
+                        "centroids) so clusters stay bounded, or set "
+                        "max_cluster_size=None if the quadratic block "
+                        "is deliberate",
+                        F.col("cid"),
+                        F.col("__csz"),
+                    )
+                ).cast("long")
+            )
+            .alias("__csz"),
+        )
+        pair_src = (
+            assigned.join(F.broadcast(csize), "cid")
+            .where(F.col("__csz") >= 1)
+            .drop("__csz")
+        )
+    a, b = pair_src.alias("a"), pair_src.alias("b")
     pairs = (
         a.join(
             b,

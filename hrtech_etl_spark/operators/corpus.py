@@ -454,10 +454,22 @@ def prepare_training_corpus(
     packing: str = "ffd",
     shuffle_seed: int | None = None,
     n_shards: int = 8,
+    dsir_target=None,
+    dsir_frac: float = 0.2,
+    dsir_knobs: dict | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_knobs: dict | None = None,
 ) -> DataFrame:
     """The capstone one-call corpus-prep pipeline, composing the
     engine's LLM-data operators in their canonical order:
 
+    -1. (optional, ``dsir_target``) DSIR domain selection
+       (:func:`dsir_select`) — the crawl-skimming pass runs FIRST, on
+       the raw corpus, exactly where the paper puts it: keep only the
+       top ``dsir_frac`` of documents by hashed-bigram importance
+       weight against the target domain (``dsir_target`` is the
+       boolean Column marking target rows; ``dsir_knobs`` forwards
+       ``n_buckets``/``seed``)
     0. (optional, ``boilerplate_frac``) cross-document boilerplate
        line removal — lines in more than that fraction of documents
        drop from every document BEFORE dedup, so shared banners can't
@@ -467,6 +479,23 @@ def prepare_training_corpus(
        ``dedup_knobs`` forwards the corpus-scale knobs —
        ``stop_shingle_frac``, ``max_bucket_size``, ``accelerate``,
        ``checkpoint_dir``)
+    2b. (optional, ``embeddings``) SemDeDup semantic pruning
+       (functions/similarity.py::semantic_dedup) — drops documents a
+       lexical dedup can't see as duplicates (paraphrases, templated
+       rewrites) AFTER MinHash so the quadratic-bounded pair join
+       only sees lexically-unique survivors' redundancy.
+       ``embeddings`` is a frame whose id column carries THE SAME ids
+       as ``id_col`` (default column names ``vec_id``/``embedding``;
+       override via ``semantic_knobs`` — which also forwards
+       ``n_centroids``/``threshold``/``centroids``/
+       ``max_cluster_size``). The prune runs over the FULL embeddings
+       frame, not the lexical survivors: the keep decision must be a
+       pure function of the embedding space (and the seed-vector
+       quantizer's ids must stay present); a ``keep = false`` doc
+       whose semantic keeper was itself lexically dropped is still
+       redundant — its content survives through the keeper's own
+       lexical-cluster representative. Docs with no embedding row are
+       kept (nothing to judge them against).
     3. benchmark decontamination vs ``test_set`` (13-gram overlap by
        default; ``decon_knobs`` forwards ``shingle_k`` /
        ``min_overlap`` / ``test_text_col`` for corpora where the
@@ -508,6 +537,18 @@ def prepare_training_corpus(
     from hrtech_etl_spark.functions import dedup as dd
     from hrtech_etl_spark.functions import text as tx
 
+    if dsir_target is not None:
+        sel = dsir_select(
+            docs,
+            text_col,
+            id_col,
+            dsir_target,
+            select_frac=dsir_frac,
+            **(dsir_knobs or {}),
+        )
+        docs = docs.join(
+            sel.where("selected").select(id_col), id_col, "left_semi"
+        )
     if boilerplate_frac is not None:
         docs = tx.remove_boilerplate(
             docs, text_col, id_col, max_doc_frac=boilerplate_frac
@@ -528,6 +569,17 @@ def prepare_training_corpus(
         threshold=near_dup_threshold,
         **(dedup_knobs or {}),
     )
+    if embeddings is not None:
+        from hrtech_etl_spark.functions.similarity import semantic_dedup
+
+        sk = dict(semantic_knobs or {})
+        emb_id = sk.pop("id_col", "vec_id")
+        sem = semantic_dedup(embeddings, id_col=emb_id, **sk)
+        cleaned = cleaned.join(
+            sem.where(~F.col("keep")).select(F.col(emb_id).alias(id_col)),
+            id_col,
+            "left_anti",
+        )
     if test_set is not None:
         cleaned = dd.remove_contaminated(
             cleaned, test_set, text_col, id_col, **(decon_knobs or {})

@@ -105,6 +105,7 @@ def with_global_ranks(
     cume_dist: str | None = None,
     ntile: dict[str, int] | None = None,
     n_buckets: int | None = None,
+    boundaries: DataFrame | None = None,
 ) -> DataFrame:
     """Append exact global ranking columns to ``df`` without an
     unpartitioned window.
@@ -119,6 +120,18 @@ def with_global_ranks(
     ``ntile`` maps output column name → bucket count, e.g.
     ``{"quartile": 4}``. All ranks are ascending, NULLS FIRST (Spark's
     ASC default).
+
+    ``boundaries`` (optional): a ONE-row, ONE-column frame whose single
+    value is an ascending ``array<double>`` of bucket boundaries —
+    e.g. one slice of a multi-column ``percentile_approx`` aggregate
+    shared by SEVERAL ranking passes over the same frame (the RFM
+    query scores three metrics; one boundary scan instead of three).
+    Boundaries steer load balance only, never exactness, so any
+    ascending array over the ``value_col``-cast-double domain is
+    valid. The array must hold at most ``n_buckets - 1`` entries
+    (the binary search's static probe depth — pass
+    ``n_buckets = len + 1``); longer arrays raise at run time rather
+    than silently under-counting.
     """
     ntile = dict(ntile or {})
     out_total = [c for c in (row_number, percent_rank, cume_dist) if c] + list(ntile)
@@ -150,22 +163,118 @@ def with_global_ranks(
     vd = v.cast("double")
 
     # -- phase 1: broadcast boundary array (load balance only) ---------
-    if n_buckets >= 2:
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        bnd = df.agg(
-            F.percentile_approx(vd, F.lit(qs), F.lit(1000)).alias("__bnds")
+    if boundaries is not None and n_buckets < 2:
+        raise ValueError(
+            "with_global_ranks: boundaries= needs n_buckets >= 2 "
+            "(pass n_buckets = boundary array length + 1)"
         )
+    if n_buckets >= 2:
+        if boundaries is not None:
+            if len(boundaries.columns) != 1:
+                raise ValueError(
+                    "with_global_ranks: boundaries= must be a one-row, "
+                    f"ONE-column frame, got columns {boundaries.columns}"
+                )
+            # one-row enforcement: a multi-row boundaries frame would
+            # silently MULTIPLY df through the crossJoin (and an empty
+            # one would erase it) — re-aggregate to exactly one row and
+            # raise loudly on any cardinality but 1
+            bnd = (
+                boundaries.select(
+                    F.col(boundaries.columns[0])
+                    .cast("array<double>")
+                    .alias("__bv")
+                )
+                .agg(
+                    F.first("__bv").alias("__bv"),
+                    F.count(F.lit(1)).alias("__bc"),
+                )
+                .select(
+                    # ascending check rides the same one-row branch:
+                    # the binary search is monotone only over SORTED
+                    # boundaries (the load-balance-only contract holds
+                    # regardless of the values, not of their order) —
+                    # an unsorted caller array would corrupt ranks
+                    # silently. A NULL array is fine (empty → bucket 0,
+                    # same as an all-NULL self-computed scan).
+                    F.when(
+                        (F.col("__bc") == 1)
+                        & (
+                            F.col("__bv").isNull()
+                            | (F.col("__bv") == F.array_sort("__bv"))
+                        ),
+                        F.col("__bv"),
+                    )
+                    .otherwise(
+                        F.array(
+                            F.raise_error(
+                                F.format_string(
+                                    "with_global_ranks: boundaries= must "
+                                    "hold exactly ONE row with an "
+                                    "ASCENDING array, got %s row(s)",
+                                    F.col("__bc"),
+                                )
+                            ).cast("double")
+                        )
+                    )
+                    .alias("__bnds")
+                )
+            )
+        else:
+            qs = [i / n_buckets for i in range(1, n_buckets)]
+            bnd = df.agg(
+                F.percentile_approx(vd, F.lit(qs), F.lit(1000)).alias("__bnds")
+            )
         b = df.crossJoin(F.broadcast(bnd))
+        # bucket = |{t in boundaries : t < v}| — computed by BINARY
+        # SEARCH over the sorted boundary array, not a linear fold: on
+        # a cluster n_buckets tracks parallelism (thousands), and a
+        # per-row O(n_buckets) fold does thousands of comparisons per
+        # row where log₂ steps do ~11. The bitwise lower-bound walk
+        # (p += k when the element k past p is still < v) runs as ONE
+        # higher-order aggregate over the descending powers of two, so
+        # the accumulator stays a lambda VARIABLE — an unrolled
+        # when-chain would re-expand the partial result 3^steps times.
+        # An all-NULL column yields a NULL boundary array; coalesce to
+        # empty → size 0 → every probe gated off → single bucket 0
+        # (identical to the old fold over an empty array).
+        bsteps = []
+        k = 1
+        while k << 1 <= n_buckets - 1:
+            k <<= 1
+        while k >= 1:
+            bsteps.append(k)
+            k >>= 1
+        barr = F.coalesce("__bnds", F.array())
+        sz = F.size(barr)
+        if boundaries is not None:
+            # caller-provided arrays have RUNTIME length; one longer
+            # than the static probe depth would silently under-count
+            # (the missing high powers can never be stepped) — raise
+            # instead. Self-computed arrays are exactly n_buckets-1
+            # by construction, so the branch costs nothing there.
+            sz = F.when(sz <= n_buckets - 1, sz).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "with_global_ranks: boundaries= array holds %s "
+                        "entries — more than n_buckets-1 = %s and beyond "
+                        "the binary search's probe depth; pass "
+                        "n_buckets = array length + 1",
+                        F.size(barr),
+                        F.lit(n_buckets - 1),
+                    )
+                ).cast("int")
+            )
         bucket = (
             F.when(v.isNull(), F.lit(-1))
             .otherwise(
                 F.aggregate(
-                    # an all-NULL column yields a NULL boundary array;
-                    # coalesce to empty → single bucket 0
-                    F.coalesce("__bnds", F.array()),
+                    F.array(*[F.lit(s) for s in bsteps]),
                     F.lit(0),
-                    lambda acc, t: acc
-                    + F.when(vd > t, F.lit(1)).otherwise(F.lit(0)),
+                    lambda p, s: F.when(
+                        (p + s <= sz) & (vd > F.element_at(barr, p + s)),
+                        p + s,
+                    ).otherwise(p),
                 )
             )
             .alias("__rb")

@@ -5304,11 +5304,14 @@ def events_rfm_segments(spark, sf_dir):
     metric, bucket-local row_number, two-phase prefix-sum offsets):
     no unpartitioned window anywhere, so the plan holds even where
     the per-ENTITY aggregate is itself cluster-sized. The aggregate
-    is lazily localCheckpoint-ed so the three scoring passes (each
-    needs its own boundary scan + bucket exchange) read the
+    is lazily localCheckpoint-ed so the three scoring passes read the
     materialized |users| frame instead of replaying the |events|
-    groupBy per pass. The monetary sum is exact DECIMAL, so both the
-    ntile order and the final per-cell total are engine-portable.
+    groupBy per pass, and ALL THREE bucket-boundary arrays come from
+    ONE percentile_approx aggregate over that frame (round-14: one
+    boundary scan, not three), fed back via
+    with_global_ranks(boundaries=). The monetary sum is exact
+    DECIMAL, so both the ntile order and the final per-cell total are
+    engine-portable.
     Green at sf0.001/0.01/0.1."""
     e = load_table(spark, "events", sf_dir).where(
         F.col("ts").isNotNull()
@@ -5321,15 +5324,41 @@ def events_rfm_segments(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary_d"),
     )
     u = u.localCheckpoint(eager=False)
+    # ONE boundary scan for all three metrics (round-14): each scoring
+    # pass used to run its own percentile_approx aggregate over u —
+    # three narrow scans where one aggregate emitting three arrays
+    # does; the 1-row result is lazily pinned so the three slices read
+    # it instead of re-running the scan, then feeds each pass through
+    # with_global_ranks(boundaries=) (load balance only — hashes are
+    # boundary-independent by construction)
+    nb = spark.sparkContext.defaultParallelism
+    qs = F.lit([i / nb for i in range(1, nb)])
+    bnd = u.agg(
+        F.percentile_approx(F.col("recency").cast("double"), qs, F.lit(1000))
+        .alias("__b_r"),
+        F.percentile_approx(F.col("frequency").cast("double"), qs, F.lit(1000))
+        .alias("__b_f"),
+        F.percentile_approx(F.col("monetary_d").cast("double"), qs, F.lit(1000))
+        .alias("__b_m"),
+    ).localCheckpoint(eager=False)
     # each scoring pass sits behind its own lazy checkpoint: pass k+1's
-    # boundary scan + bucket exchange would otherwise replay pass k's
-    # full window/join subtree (only u was materialized), tripling the
-    # bucket stages per action (round-13 review finding)
-    s = rk.with_global_ranks(u, "recency", ("user_id",), ntile={"r_score": 5})
+    # bucket exchange would otherwise replay pass k's full window/join
+    # subtree (only u was materialized), tripling the bucket stages per
+    # action (round-13 review finding)
+    s = rk.with_global_ranks(
+        u, "recency", ("user_id",), ntile={"r_score": 5},
+        boundaries=bnd.select("__b_r"), n_buckets=nb,
+    )
     s = s.localCheckpoint(eager=False)
-    s = rk.with_global_ranks(s, "frequency", ("user_id",), ntile={"f_score": 5})
+    s = rk.with_global_ranks(
+        s, "frequency", ("user_id",), ntile={"f_score": 5},
+        boundaries=bnd.select("__b_f"), n_buckets=nb,
+    )
     s = s.localCheckpoint(eager=False)
-    s = rk.with_global_ranks(s, "monetary_d", ("user_id",), ntile={"m_score": 5})
+    s = rk.with_global_ranks(
+        s, "monetary_d", ("user_id",), ntile={"m_score": 5},
+        boundaries=bnd.select("__b_m"), n_buckets=nb,
+    )
     s = s.select("user_id", "monetary_d", "r_score", "f_score", "m_score")
     return (
         s.groupBy("r_score", "f_score", "m_score")
@@ -7495,4 +7524,256 @@ def corpus_dsir_select(spark, sf_dir):
     return dsir_select(
         d, "text", "doc_id", F.col("lang") == "en",
         n_buckets=1024, select_frac=0.2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# prepare_training_corpus v2: the MODERN recipe — DSIR domain selection
+# and SemDeDup semantic pruning composed into the same capstone
+# ---------------------------------------------------------------------------
+
+_V2_FRAC = 0.5  # DSIR keeps the top half of the train slice
+
+
+@query(
+    "corpus_prepare_training_v2",
+    sql=f"""
+    WITH RECURSIVE
+    train0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 <> 0),
+    test0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    -- [-1] DSIR domain selection over the raw train slice (target =
+    -- lang 'en'), exact top-half by hashed-bigram LLR importance —
+    -- the same replay as the corpus_dsir_select gate, scoped to train0
+    dw AS MATERIALIZED (
+      SELECT doc_id, (lang = 'en') AS t, {TOKENS_SQL.format(t='text')} AS w
+      FROM train0
+    ),
+    dfe AS MATERIALIZED (
+      SELECT doc_id, t, {_DSIR_H} % 1024 AS b FROM (
+        SELECT doc_id, t,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS g
+        FROM dw
+      )
+    ),
+    dcnt AS (
+      SELECT b, count(*) AS cr, count(CASE WHEN t THEN 1 END) AS ct
+      FROM dfe GROUP BY b
+    ),
+    dtot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM dcnt),
+    dlam AS (
+      SELECT b,
+             CAST(round(ln((ct + 1.0) / (nt + 1024))
+                        - ln((cr + 1.0) / (nr + 1024)), 6)
+                  AS DECIMAL(28,6)) AS lam
+      FROM dcnt CROSS JOIN dtot
+    ),
+    dper AS (
+      SELECT dfe.doc_id, count(*) AS n_feats, sum(dlam.lam) AS lw
+      FROM dfe JOIN dlam USING (b) GROUP BY dfe.doc_id
+    ),
+    dsc AS (
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+             coalesce(CAST(p.lw AS DOUBLE), 0.0) AS logw
+      FROM train0 d LEFT JOIN dper p USING (doc_id)
+    ),
+    drk AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY (n_feats = 0), logw DESC, doc_id) AS BIGINT) AS rnk
+      FROM dsc
+    ),
+    t0 AS MATERIALIZED (
+      SELECT tr.doc_id, tr.text FROM train0 tr JOIN drk USING (doc_id)
+      WHERE drk.rnk <= CAST(ceil({_V2_FRAC} * (SELECT count(*) FROM train0))
+                            AS BIGINT)
+    ),
+    -- 1. exact dedup: min-id keep per canonical fingerprint
+    fp AS MATERIALIZED (SELECT doc_id, text, {FINGERPRINT_SQL.format(expr='text')} AS fp FROM t0),
+    keepx AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    t1 AS MATERIALIZED (SELECT f.doc_id, f.text FROM fp f JOIN keepx USING (doc_id)),
+    -- 2. near-dup: minhash(8)+LSH(4x2) -> jaccard verify -> CC -> min-id keep
+    t1w AS MATERIALIZED (SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM t1),
+    sh AS MATERIALIZED (SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM t1w),
+    hs AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh FROM sh),
+    sig AS MATERIALIZED (SELECT doc_id, {_CAP_SIG} FROM sh),
+    banded AS MATERIALIZED ({bands_sql('sig')}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN hs x ON c.id_a = x.doc_id JOIN hs y ON c.id_b = y.doc_id
+      WHERE round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
+                  THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh))
+                  ELSE 0.0 END, 4) >= {_CAP_NEAR_T}
+    ),
+    edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM t1
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    labels AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+    t2 AS MATERIALIZED (SELECT t.doc_id, t.text FROM t1 t
+           WHERE t.doc_id IN (SELECT DISTINCT cluster FROM labels)),
+    -- 2b. SemDeDup semantic prune over the FULL embeddings table
+    -- (the dedup_semantic_prune replay); keep=false ids anti-join t2
+    se AS (SELECT vec_id, {_SEM_VD} AS v FROM embeddings),
+    sc AS (SELECT vec_id AS cid, v AS cvec FROM se WHERE vec_id < 8),
+    sassign AS MATERIALIZED (
+      SELECT vec_id, v, cid, csim FROM (
+        SELECT se.vec_id, se.v, sc.cid,
+               {cosine_sql('se.v', 'sc.cvec')} AS csim,
+               row_number() OVER (
+                 PARTITION BY se.vec_id
+                 ORDER BY {cosine_sql('se.v', 'sc.cvec')} DESC, sc.cid
+               ) AS rn
+        FROM se CROSS JOIN sc
+      ) WHERE rn = 1
+    ),
+    sprs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sassign a JOIN sassign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cosine_sql('a.v', 'b.v')} >= 0.4
+    ),
+    sedges AS (
+      SELECT id_a AS src, id_b AS dst FROM sprs
+      UNION
+      SELECT id_b, id_a FROM sprs
+    ),
+    sreach(id, root) AS (
+      SELECT vec_id, vec_id FROM sassign
+      UNION
+      SELECT e2.dst, r.root FROM sreach r JOIN sedges e2 ON e2.src = r.id
+    ),
+    scomp AS (SELECT id AS vec_id, min(root) AS component FROM sreach GROUP BY id),
+    skeep AS (
+      SELECT component, vec_id AS keep_id FROM (
+        SELECT scomp.component, sassign.vec_id,
+               row_number() OVER (
+                 PARTITION BY scomp.component
+                 ORDER BY sassign.csim ASC, sassign.vec_id
+               ) AS rn
+        FROM scomp JOIN sassign USING (vec_id)
+      ) WHERE rn = 1
+    ),
+    semdrop AS (
+      SELECT a.vec_id FROM sassign a
+      JOIN scomp USING (vec_id)
+      JOIN skeep k ON scomp.component = k.component
+      WHERE a.vec_id <> k.keep_id
+    ),
+    t2s AS MATERIALIZED (
+      SELECT * FROM t2 WHERE doc_id NOT IN (SELECT vec_id FROM semdrop)
+    ),
+    -- 3. decontaminate: hashed word-5-gram overlap >= 2 vs the test slice
+    tsh AS MATERIALIZED (
+      SELECT DISTINCT unnest(list_distinct(list_transform({shingles_from_tokens_sql('w', 5)}, s -> {_PH_S}))) AS h
+      FROM (SELECT {TOKENS_SQL.format(t='text')} AS w FROM test0)
+    ),
+    trsh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(list_transform({shingles_from_tokens_sql('w', 5)}, s -> {_PH_S}))) AS h
+      FROM (SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM t2s)
+    ),
+    contaminated AS (
+      SELECT doc_id FROM trsh JOIN tsh USING (h) GROUP BY doc_id HAVING count(*) >= 2
+    ),
+    t3 AS (SELECT * FROM t2s WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    -- 4. quality filter
+    t4 AS (SELECT * FROM t3 WHERE {quality_score_sql()} >= {_CAP_QMIN}),
+    -- 5. PII redaction
+    t5 AS (SELECT doc_id, {_pii_chain_sql('text')} AS text FROM t4),
+    -- 6. chunk into overlapping windows (offsets step {_CAP_STEP})
+    ch AS (
+      SELECT doc_id, CAST(off / {_CAP_STEP} AS INT) AS chunk_idx,
+             substring(text, CAST(off AS INT) + 1, {_CAP_CHUNK}) AS chunk_text
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - {_CAP_OVERLAP} - 1, 0), {_CAP_STEP})) AS off
+        FROM t5
+      )
+    ),
+    -- 7. whitespace token count + chunk identity
+    tok AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             CAST(len({_CAP_TOKENS}) AS INT) AS n_tokens,
+             CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) AS chunk_id
+      FROM ch
+    ),
+    -- 8. concat-split packing: exclusive cumsum over (shard, shuffle_key, id)
+    keyed AS (
+      SELECT *, {_CAP_PH_CHUNK} AS shuffle_key,
+             CAST({_CAP_PH_CHUNK} % {_CAP_NSH} AS INT) AS shard
+      FROM tok
+    ),
+    packed AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY shard, shuffle_key, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_offset
+      FROM keyed
+    )
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens, tok_offset,
+           CAST(floor(tok_offset / {_CAP_SEQ}) AS BIGINT) AS block_first,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE floor((tok_offset + n_tokens - 1) / {_CAP_SEQ}) - floor(tok_offset / {_CAP_SEQ}) + 1
+                END AS BIGINT) AS n_blocks,
+           shard, shuffle_key
+    FROM packed
+    """,
+)
+def corpus_prepare_training_v2(spark, sf_dir):
+    """The MODERN pretraining recipe under one gate: the
+    `prepare_training_corpus` capstone with its two round-14 optional
+    stages switched ON — DSIR domain selection (Xie et al. 2023) runs
+    FIRST on the raw train slice (target = lang 'en', exact top-half
+    by hashed-bigram LLR importance, the classifier-free
+    crawl-skimming pass), and SemDeDup semantic pruning (Abbas et al.
+    2023) runs between lexical near-dup dedup and decontamination
+    (paraphrase-level redundancy MinHash structurally can't see).
+    Both stages replay their individually-gated oracles
+    (corpus_dsir_select, dedup_semantic_prune) inside the same DuckDB
+    statement as the v1 composition, so the gate value-locks the full
+    nine-plus-two-stage pipeline end to end: DSIR select → exact
+    dedup → MinHash-LSH near-dup → semantic prune (keep = false ids
+    anti-joined; docs without an embedding row are kept) →
+    decontaminate → quality → redact → chunk → token-count →
+    concat-split pack → shuffle/shard. Semantic pruning deliberately
+    judges the FULL embeddings table, not the lexical survivors (see
+    the operator docstring: the keep rule must be a pure function of
+    the embedding space, and the seed quantizer's ids must stay
+    present). Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.corpus import prepare_training_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "text", "lang"
+    )
+    test = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf_dir)
+    return prepare_training_corpus(
+        train,
+        "text",
+        "doc_id",
+        test_set=test,
+        quality_min=_CAP_QMIN,
+        near_dup_threshold=_CAP_NEAR_T,
+        chunk_chars=_CAP_CHUNK,
+        chunk_overlap=_CAP_OVERLAP,
+        pack_max_len=_CAP_SEQ,
+        redact=True,
+        decon_knobs=dict(shingle_k=5, min_overlap=2),
+        packing="concat_split",
+        shuffle_seed=_CAP_SEED,
+        n_shards=_CAP_NSH,
+        dsir_target=F.col("lang") == "en",
+        dsir_frac=_V2_FRAC,
+        dsir_knobs=dict(n_buckets=1024),
+        embeddings=emb,
+        semantic_knobs=dict(n_centroids=8, threshold=0.4),
     )

@@ -184,3 +184,102 @@ def test_packing_mode_validation(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     with pytest.raises(ValueError, match="packing"):
         prepare_training_corpus(docs, "text", "doc_id", packing="zip")
+
+
+# ---------------------------------------------------------------------------
+# DSIR + SemDeDup stages (round 14): planted off-domain doc and planted
+# semantic twin must be dropped by their stage, and ONLY by their stage
+# ---------------------------------------------------------------------------
+
+STEM = (
+    "the quarterly engineering report shows steady growth and hiring "
+    "on track across the platform with detailed staffing plans"
+)
+
+
+def _modern_corpus(spark):
+    base = [
+        (i, f"{STEM} for unit{i} sector{i} zone{i} theme{i}")
+        for i in range(10)
+    ]
+    # off-domain hazard: repeated alien bigrams, zero target overlap →
+    # most-negative DSIR importance weight, must rank dead last
+    alien = [(10, "zxq wvu qpz xkj " * 12)]
+    # semantic-twin hazard: lexically DISTINCT paraphrases (MinHash
+    # can't see them) with near-identical embeddings
+    twins = [
+        (11, f"{STEM} while management expects strong momentum by spring"),
+        (12, f"{STEM} and leadership anticipates robust acceleration soon"),
+    ]
+    docs = spark.createDataFrame(
+        base + alien + twins, "doc_id long, text string"
+    )
+    # one-hot-ish dim-16 embeddings: everything mutually orthogonal
+    # except the twins; centroid seed = doc 0's basis vector; twin 11
+    # sits exactly orthogonal to the centroid, twin 12 a hair closer —
+    # the keep-farthest rule must keep 11 and drop 12
+    def onehot(i, eps=0.0):
+        v = [0.0] * 16
+        v[i % 16] = 1.0
+        v[0] += eps
+        return v
+
+    emb = spark.createDataFrame(
+        [(i, onehot(i)) for i in range(12)] + [(12, onehot(11, eps=0.001))],
+        "vec_id long, embedding array<float>",
+    )
+    return docs, emb
+
+
+def test_dsir_and_semantic_stages(spark):
+    docs, emb = _modern_corpus(spark)
+    knobs = dict(
+        quality_min=0.0,
+        near_dup_threshold=0.9,
+        chunk_chars=400,
+        chunk_overlap=50,
+        pack_max_len=128,
+    )
+    out = prepare_training_corpus(
+        docs,
+        "text",
+        "doc_id",
+        dsir_target=F.col("doc_id") <= 5,
+        dsir_frac=0.92,  # ceil(0.92 * 13) = 12 → exactly the worst drops
+        embeddings=emb,
+        semantic_knobs=dict(n_centroids=1, threshold=0.9),
+        **knobs,
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert 10 not in ids, "off-domain doc survived DSIR"
+    assert 11 in ids and 12 not in ids, "semantic twin not pruned to keeper"
+    assert set(range(10)) <= ids, "an on-domain doc was lost"
+
+
+def test_dsir_and_semantic_stage_ablations(spark):
+    """Attribution: without its stage, each hazard SURVIVES — the drops
+    in the composed run come from the stage under test, not a
+    side-effect of another filter."""
+    docs, emb = _modern_corpus(spark)
+    knobs = dict(
+        quality_min=0.0,
+        near_dup_threshold=0.9,
+        chunk_chars=400,
+        chunk_overlap=50,
+        pack_max_len=128,
+    )
+    no_dsir = prepare_training_corpus(
+        docs, "text", "doc_id",
+        embeddings=emb, semantic_knobs=dict(n_centroids=1, threshold=0.9),
+        **knobs,
+    )
+    ids = {r["doc_id"] for r in no_dsir.select("doc_id").distinct().collect()}
+    assert 10 in ids and 11 in ids and 12 not in ids
+
+    no_sem = prepare_training_corpus(
+        docs, "text", "doc_id",
+        dsir_target=F.col("doc_id") <= 5, dsir_frac=0.92,
+        **knobs,
+    )
+    ids = {r["doc_id"] for r in no_sem.select("doc_id").distinct().collect()}
+    assert 10 not in ids and 11 in ids and 12 in ids

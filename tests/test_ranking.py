@@ -187,3 +187,96 @@ def test_property_matches_native_windows(spark, vals, n_buckets, k):
     e = {r["id"]: (r["rn"], r["rk"], r["dr"], r["pr"], r["cd"], r["nt"])
          for r in want.collect()}
     assert g == e
+
+
+# ---------------------------------------------------------------------------
+# boundaries= (precomputed / shared boundary arrays — round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_precomputed_boundaries_bit_identical(spark, skewed):
+    """boundaries steer load balance only: an externally supplied
+    ascending array — here deliberately NOT the percentile array the
+    default path would compute — must leave every rank value
+    bit-identical."""
+    base = with_global_ranks(
+        skewed, "val", ("id",), row_number="rn", rank="rk",
+        dense_rank="dr", ntile={"t5": 5},
+    )
+    bnd = spark.createDataFrame([([3.0, 7.0, 29.0, 41.0],)], "b ARRAY<DOUBLE>")
+    got = with_global_ranks(
+        skewed, "val", ("id",), row_number="rn", rank="rk",
+        dense_rank="dr", ntile={"t5": 5}, boundaries=bnd, n_buckets=5,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_shared_boundary_aggregate_slices(spark, skewed):
+    """The RFM shape: ONE aggregate emits several boundary arrays; each
+    slice feeds its own ranking pass."""
+    bnd = skewed.agg(
+        F.percentile_approx(F.col("val").cast("double"), F.lit([0.25, 0.5, 0.75]), F.lit(1000)).alias("bv"),
+        F.percentile_approx(F.col("id").cast("double"), F.lit([0.25, 0.5, 0.75]), F.lit(1000)).alias("bi"),
+    ).localCheckpoint(eager=False)
+    a = with_global_ranks(
+        skewed, "val", ("id",), row_number="rn",
+        boundaries=bnd.select("bv"), n_buckets=4,
+    )
+    b = with_global_ranks(
+        a, "id", ("name",), row_number="rn2",
+        boundaries=bnd.select("bi"), n_buckets=4,
+    )
+    ref = with_global_ranks(
+        with_global_ranks(skewed, "val", ("id",), row_number="rn"),
+        "id", ("name",), row_number="rn2",
+    )
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_boundaries_guards(spark, skewed):
+    import pyspark.errors
+
+    two_rows = spark.createDataFrame(
+        [([1.0],), ([2.0],)], "b ARRAY<DOUBLE>"
+    )
+    with pytest.raises(Exception, match="exactly ONE row"):
+        with_global_ranks(
+            skewed, "val", ("id",), row_number="rn",
+            boundaries=two_rows, n_buckets=2,
+        ).collect()
+    unsorted = spark.createDataFrame([([9.0, 1.0],)], "b ARRAY<DOUBLE>")
+    with pytest.raises(Exception, match="ASCENDING"):
+        with_global_ranks(
+            skewed, "val", ("id",), row_number="rn",
+            boundaries=unsorted, n_buckets=3,
+        ).collect()
+    too_long = spark.createDataFrame([([1.0, 2.0, 3.0],)], "b ARRAY<DOUBLE>")
+    with pytest.raises(Exception, match="probe depth"):
+        with_global_ranks(
+            skewed, "val", ("id",), row_number="rn",
+            boundaries=too_long, n_buckets=3,
+        ).collect()
+    two_cols = spark.createDataFrame([([1.0], [2.0])], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="ONE-column"):
+        with_global_ranks(
+            skewed, "val", ("id",), row_number="rn",
+            boundaries=two_cols, n_buckets=3,
+        )
+    with pytest.raises(ValueError, match="n_buckets >= 2"):
+        with_global_ranks(
+            skewed, "val", ("id",), row_number="rn",
+            boundaries=spark.createDataFrame([([1.0],)], "b ARRAY<DOUBLE>"),
+            n_buckets=1,
+        )
+
+
+def test_null_boundary_array_single_bucket(spark, skewed):
+    """A NULL boundary array (what percentile_approx over an all-NULL
+    column yields) degrades to one bucket — same values, no error."""
+    bnd = spark.createDataFrame([(None,)], "b ARRAY<DOUBLE>")
+    got = with_global_ranks(
+        skewed, "val", ("id",), row_number="rn",
+        boundaries=bnd, n_buckets=4,
+    )
+    ref = with_global_ranks(skewed, "val", ("id",), row_number="rn")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))

@@ -338,3 +338,30 @@ def test_semantic_dedup_matches_bruteforce(spark, data, k, tau_i):
         keep_of[c] = min(members, key=lambda i: (csim[i], i))
     want = {i: (assign[i], comp[i], i == keep_of[comp[i]]) for i in vecs}
     assert got == want
+
+
+def test_semantic_dedup_cluster_size_valve(spark):
+    """The quadratic-block valve (round 14): a cluster past
+    max_cluster_size raises LOUDLY with the fix in the message —
+    fixed n_centroids under a growing corpus must never silently turn
+    the within-cluster pair join into all-pairs. None disables."""
+    import pytest
+
+    from hrtech_etl_spark.functions.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i) * 0.001]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="max_cluster_size"):
+        semantic_dedup(
+            df, n_centroids=1, threshold=0.99, max_cluster_size=5
+        ).collect()
+    # the same frame under the cap — and with the valve disabled —
+    # completes and agrees
+    ok = semantic_dedup(
+        df, n_centroids=1, threshold=0.99, max_cluster_size=6
+    ).collect()
+    off = semantic_dedup(
+        df, n_centroids=1, threshold=0.99, max_cluster_size=None
+    ).collect()
+    assert sorted(map(tuple, ok)) == sorted(map(tuple, off))
+    assert sum(r["keep"] for r in ok) >= 1

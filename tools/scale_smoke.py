@@ -53,7 +53,11 @@ synthetic 64-bit perceptual hashes (planted near-dup clusters),
 at ``--skew-rows``, asserted against their uniform twins,
 ``rank`` = distributed exact global ranking (operators/ranking.py)
 over ``--rank-rows`` rows with heavy ties — zero unpartitioned
-WindowExec, bounded peak partition, closed-form exactness invariants)
+WindowExec, bounded peak partition, closed-form exactness invariants,
+``semantic`` = SemDeDup over ``--sem-copies`` replicated embedding
+corpora with planted semantic twin pairs — n_centroids SCALED with
+the corpus under the default max_cluster_size valve, planted-twin
+recall and flat job counts asserted)
 so each path can be scaled independently of the 1M-doc dedup stages.
 """
 
@@ -130,6 +134,7 @@ def main() -> None:
     ap.add_argument("--phash-rows", type=int, default=1_000_000)
     ap.add_argument("--skew-rows", type=int, default=10_000_000)
     ap.add_argument("--rank-rows", type=int, default=10_000_000)
+    ap.add_argument("--sem-copies", type=int, default=50)
     args = ap.parse_args()
     groups = {g.strip() for g in args.only.split(",") if g.strip()}
 
@@ -151,6 +156,8 @@ def main() -> None:
             run_skew_stages(spark, meter, args, root)
         if "rank" in groups:
             run_rank_stage(spark, meter, args, root)
+        if "semantic" in groups:
+            run_semantic_stage(spark, meter, args, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -822,6 +829,119 @@ def run_rank_stage(spark, meter, args, root) -> None:
         f"  exactness invariants green at {total_s:,} and {total:,} rows; "
         f"peak partition {peak:,} ({peak / total:.1%}); "
         f"jobs {jobs_small} -> {jobs_big}",
+        flush=True,
+    )
+
+
+def run_semantic_stage(spark, meter, args, root) -> None:
+    # --- SemDeDup over a replicated embedding corpus -------------------
+    # The round-14 stage proving semantic_dedup's scale shape: the
+    # sf0.1 embeddings replicated --sem-copies times (500 -> the
+    # 1M-vector README run) with a per-copy jitter LARGE enough
+    # (0.02/dim) that replicas are NOT semantic twins — except every
+    # 50th copy, which reuses its predecessor's jitter plus a 1e-6
+    # nudge, planting n_base * copies/50 KNOWN twin pairs. n_centroids
+    # SCALES with the corpus (N / 2000 -> ~2000-member clusters), the
+    # thing the valve exists to enforce; the assertions are:
+    #   1. every planted twin pair lands in one component with exactly
+    #      one keeper (full recall of the planted semantic twins);
+    #   2. kept count == N - n_pairs exactly (components drop one
+    #      member per planted pair; nothing else merges at tau=0.999);
+    #   3. job count FLAT in corpus size (copies/10 vs copies) — the
+    #      blocked pair join + touched-set clustering never add plan
+    #      stages with volume;
+    #   4. peak partition stays bucket-sized (no single-node collapse);
+    #   5. the run holds under the default max_cluster_size valve —
+    #      scaled k keeps every cluster under the cap.
+    from hrtech_etl_spark.functions import similarity as sim
+
+    base = load_table(spark, "embeddings", args.sf_dir).select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+
+    def corpus(copies: int):
+        # twin copies (copy % 50 == 1) reuse the PREVIOUS copy's jitter
+        # stream, so (base + (c-1)*STRIDE, base + c*STRIDE) are planted
+        # near-identical pairs; everyone else sits ~0.013 cosine apart
+        # from every other replica of the same base — far below
+        # tau=0.999, far above any cluster-assignment ambiguity
+        eff = (
+            F.col("__copy")
+            - (F.col("__copy") % 50 == 1).cast("int")
+        )
+        return (
+            base.crossJoin(
+                spark.range(copies).select(F.col("id").alias("__copy"))
+            )
+            .select(
+                (F.col("vec_id") + F.col("__copy") * STRIDE).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x.cast("double")
+                        + F.sin(eff * (i + 1)) * F.lit(0.02)
+                        + F.sin(F.col("__copy") * (i + 2)) * F.lit(1e-6)
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+            .repartition(64, "vec_id")
+        )
+
+    def run_once(copies: int):
+        vecs = corpus(copies)
+        n = n_base * copies
+        k = max(8, n // 2000)
+        out = sim.semantic_dedup(
+            vecs, n_centroids=k, threshold=0.999
+        ).localCheckpoint(eager=False)
+        total, peak = partition_stats(out)
+        assert total == n, f"row count {total:,} != {n:,}"
+        kept = out.where("keep").count()
+        n_pairs = n_base * sum(1 for c in range(copies) if c % 50 == 1)
+        assert kept == n - n_pairs, (
+            f"kept {kept:,}, expected {n - n_pairs:,} "
+            f"({n:,} vectors - {n_pairs:,} planted twin pairs)"
+        )
+        x = out.select(
+            F.col("vec_id").alias("a"),
+            F.col("component").alias("ca"),
+            F.col("keep").cast("int").alias("ka"),
+        )
+        y = out.select(
+            (F.col("vec_id") + STRIDE).alias("a"),
+            F.col("component").alias("cb"),
+            F.col("keep").cast("int").alias("kb"),
+        )
+        tw = x.join(y, "a").where(F.floor(F.col("a") / STRIDE) % 50 == 1)
+        n_tw = tw.count()
+        assert n_tw == n_pairs, f"twin join found {n_tw:,} of {n_pairs:,}"
+        bad = tw.where(
+            (F.col("ca") != F.col("cb")) | (F.col("ka") + F.col("kb") != 1)
+        ).count()
+        assert bad == 0, f"{bad} planted twin pairs split or double-kept"
+        return total, peak, kept, k
+
+    small = max(10, args.sem_copies // 10)
+    (t_s, _, _, k_s), _ = meter.run(
+        f"semantic dedup {n_base * small:,} vectors (k={max(8, n_base * small // 2000)})",
+        lambda: run_once(small),
+    )
+    jobs_small = meter.last_jobs
+    (total, peak, kept, k), dt = meter.run(
+        f"semantic dedup {n_base * args.sem_copies:,} vectors "
+        f"(k={max(8, n_base * args.sem_copies // 2000)})",
+        lambda: run_once(args.sem_copies),
+    )
+    jobs_big = meter.last_jobs
+    assert peak < total // 4, f"peak partition {peak:,} of {total:,}"
+    assert jobs_big <= jobs_small + 2, (
+        f"job count grows with volume: {jobs_small} -> {jobs_big}"
+    )
+    print(
+        f"  planted-twin recall 100% at {t_s:,} and {total:,} vectors; "
+        f"kept {kept:,}; peak partition {peak:,} ({peak / total:.1%}); "
+        f"jobs {jobs_small} -> {jobs_big} ({total / dt:,.0f} vec/s)",
         flush=True,
     )
 
