@@ -141,6 +141,10 @@ EXTENDED = [
     "join_null_safe_eq",
     "dedup_semantic_prune",
     "corpus_dsir_select",
+    # round 14 (corpus_prepare_training_v2 follows the v1 precedent:
+    # the capstone composition is oracle-gated but not benched — it
+    # re-times already-benched stages through one lineage)
+    "dedup_signature_merge",
 ]
 
 

@@ -952,6 +952,143 @@ def drop_near_duplicates_incremental(
 
 
 # ---------------------------------------------------------------------------
+# Mergeable signature tables (cross-corpus / federated dedup)
+# ---------------------------------------------------------------------------
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """The MERGEABLE dedup artifact: one row per document carrying just
+    ``(id, sig array<long>)`` — ``num_hashes`` longs (64 bytes at the
+    default 8) regardless of document size. A signature is a pure
+    function of the text (the portable md5+affine minhash family, same
+    values as :func:`minhash_lsh_pairs`), so per-shard tables computed
+    INDEPENDENTLY — different clusters, different ingest days,
+    different organizations — union into one logical index with zero
+    recomputation and zero text exchange; cross-corpus near-dup
+    detection then runs over the stored tables alone
+    (:func:`merged_signature_pairs`). This is the projection you ship
+    when even the hashed shingle sets (:func:`lsh_index`) are too
+    heavy to move; the price is ESTIMATED Jaccard (matching-minhash
+    fraction) instead of exact shingle verification. Empty-shingle
+    docs carry a NULL sig and can never match.
+
+    Reference parity: none — the reference engine has no dedup; this
+    extends the §2.10 dedup family to the federated/multi-corpus case
+    the incremental `lsh_index` covers for single-corpus ingest.
+    """
+    sh = shingle_table(
+        df, text_col, id_col, shingle_k=shingle_k, hashed=True, materialize=False
+    )
+    sig = sh.select(
+        F.col(id_col),
+        minhash_signature(F.col("sh"), num_hashes, pre_hashed=True).alias(
+            "sig"
+        ),
+    )
+    return keyed_barrier(sig, id_col, factor=2)
+
+
+def merged_signature_pairs(
+    parts: list[DataFrame],
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    cross_shard_only: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs from persisted signature
+    tables ALONE — union the per-shard :func:`minhash_signature_table`
+    outputs, band the stored signatures, bucket-join, and score every
+    candidate by signature agreement: ``est_jaccard`` = fraction of
+    matching minhash positions, the textbook unbiased Jaccard
+    estimator. No text, no shingles, no rescans — the whole join moves
+    ``num_hashes`` longs per doc.
+
+    ``parts`` is the list of signature frames in shard order (each
+    gets its position as its shard tag); ``cross_shard_only`` keeps
+    only pairs spanning two shards (the federated question — each
+    shard already deduped itself). A doc stored in two shards under
+    the SAME id still pairs (ordered by shard), so re-ingested exact
+    copies surface with est 1.0. ``max_bucket_size`` is the same
+    hot-bucket valve as :func:`minhash_lsh_pairs`: a band bucket
+    holding more rows is shed (documented recall trade for
+    degenerate templates).
+
+    Returns ``(id_a, id_b, shard_a, shard_b, est_jaccard)`` with
+    ``est_jaccard >= threshold``, distinct.
+    """
+    tagged = [
+        p.select(
+            F.col(id_col), F.col("sig"), F.lit(i).cast("int").alias("__shard")
+        )
+        for i, p in enumerate(parts)
+    ]
+    merged = tagged[0]
+    for t in tagged[1:]:
+        merged = merged.unionByName(t)
+    banded = merged.where(F.col("sig").isNotNull()).select(
+        F.col(id_col),
+        "__shard",
+        "sig",
+        F.posexplode(
+            F.array(*lsh_bands("sig", num_hashes, rows_per_band))
+        ).alias("band_idx", "bucket"),
+    )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_idx", "bucket").count()
+        keep = sizes.where(F.col("count") <= max_bucket_size).drop("count")
+        banded = banded.join(keep, ["band_idx", "bucket"], "left_semi")
+    a, b = banded.alias("a"), banded.alias("b")
+    same_band = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+        F.col("a.bucket") == F.col("b.bucket")
+    )
+    ordered = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) | (
+        (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+        & (F.col("a.__shard") < F.col("b.__shard"))
+    )
+    cand = (
+        a.join(b, same_band & ordered)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__shard").alias("shard_a"),
+            F.col("b.__shard").alias("shard_b"),
+            F.col("a.sig").alias("__sa"),
+            F.col("b.sig").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b", "shard_a", "shard_b"])
+    )
+    if cross_shard_only:
+        cand = cand.where(F.col("shard_a") != F.col("shard_b"))
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                "__sa",
+                "__sb",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .drop("__sa", "__sb")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Test-set decontamination
 # ---------------------------------------------------------------------------
 

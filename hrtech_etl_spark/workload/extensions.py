@@ -7777,3 +7777,64 @@ def corpus_prepare_training_v2(spark, sf_dir):
         embeddings=emb,
         semantic_knobs=dict(n_centroids=8, threshold=0.4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable signature tables: cross-corpus dedup without rescanning
+# ---------------------------------------------------------------------------
+
+_SIGM_EST = "round((" + " + ".join(
+    f"CAST(x.mh{j} = y.mh{j} AS INT)" for j in range(8)
+) + ") / 8.0, 4)"
+
+
+@query(
+    "dedup_signature_merge",
+    sql=f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, CAST(doc_id % 2 AS INT) AS shard,
+             {TOKENS_SQL.format(t='text')} AS w
+      FROM documents
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, shard, {shingles_from_tokens_sql('w')} AS sh FROM w),
+    sig AS MATERIALIZED (SELECT doc_id, shard, {_CAP_SIG} FROM sh),
+    banded AS MATERIALIZED ({bands_sql('sig')}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b, x.shard AS shard_a, y.shard AS shard_b,
+             {_SIGM_EST} AS est_jaccard
+      FROM cand c JOIN sig x ON c.id_a = x.doc_id JOIN sig y ON c.id_b = y.doc_id
+    )
+    SELECT id_a, id_b, shard_a, shard_b, est_jaccard
+    FROM est
+    WHERE shard_a <> shard_b AND est_jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_signature_merge(spark, sf_dir):
+    """Cross-corpus dedup from MERGEABLE signature tables
+    (functions/dedup.py::minhash_signature_table /
+    merged_signature_pairs): the corpus split into two "shards" (by
+    doc_id parity, standing in for two independently-ingested
+    corpora), each signed separately into a 64-byte-per-doc
+    (id, sig) table, then near-dup pairs SPANNING the shards found
+    from the stored signatures alone — banded bucket join plus the
+    matching-minhash-fraction Jaccard estimator, threshold 0.5 (>= 4
+    of 8 positions agree). No text is rescanned or exchanged: this is
+    the federated sibling of the incremental `lsh_index` path, for
+    when even hashed shingle sets are too heavy to move between
+    clusters. The oracle replays the identical md5+affine hash
+    family, banding, estimator arithmetic, and threshold. Green at
+    sf0.001/0.01/0.1."""
+    d = load_table(spark, "documents", sf_dir)
+    even = d.where(F.col("doc_id") % 2 == 0)
+    odd = d.where(F.col("doc_id") % 2 == 1)
+    sig_a = dd.minhash_signature_table(even, "text", "doc_id")
+    sig_b = dd.minhash_signature_table(odd, "text", "doc_id")
+    return dd.merged_signature_pairs(
+        [sig_a, sig_b], "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")

@@ -895,7 +895,13 @@ def run_semantic_stage(spark, meter, args, root) -> None:
         out = sim.semantic_dedup(
             vecs, n_centroids=k, threshold=0.999
         ).localCheckpoint(eager=False)
-        total, peak = partition_stats(out)
+        total = out.count()
+        # the operator's real hot-spot metric is CLUSTER population
+        # (the pair join is quadratic per cluster) — partition stats on
+        # the final label frame only measure AQE's small-output packing
+        peak = (
+            out.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
+        )
         assert total == n, f"row count {total:,} != {n:,}"
         kept = out.where("keep").count()
         n_pairs = n_base * sum(1 for c in range(copies) if c % 50 == 1)
@@ -934,13 +940,14 @@ def run_semantic_stage(spark, meter, args, root) -> None:
         lambda: run_once(args.sem_copies),
     )
     jobs_big = meter.last_jobs
-    assert peak < total // 4, f"peak partition {peak:,} of {total:,}"
+    assert peak <= 20_000, f"cluster {peak:,} members — valve should have fired"
     assert jobs_big <= jobs_small + 2, (
         f"job count grows with volume: {jobs_small} -> {jobs_big}"
     )
     print(
         f"  planted-twin recall 100% at {t_s:,} and {total:,} vectors; "
-        f"kept {kept:,}; peak partition {peak:,} ({peak / total:.1%}); "
+        f"kept {kept:,}; max cluster {peak:,} members ({peak / total:.1%} "
+        f"of corpus, under the 20k valve); "
         f"jobs {jobs_small} -> {jobs_big} ({total / dt:,.0f} vec/s)",
         flush=True,
     )
