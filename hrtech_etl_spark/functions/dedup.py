@@ -976,7 +976,11 @@ def minhash_signature_table(
     when even the hashed shingle sets (:func:`lsh_index`) are too
     heavy to move; the price is ESTIMATED Jaccard (matching-minhash
     fraction) instead of exact shingle verification. Empty-shingle
-    docs carry a NULL sig and can never match.
+    docs are dropped BEFORE the signature fold — they could never
+    match anyway, and the cheap ``size(sh) > 0`` predicate here is
+    what keeps any downstream null-guard from being pushed back into
+    the projection and re-running the interpreted minhash fold per
+    row (the round-13 minhash_lsh_pairs profiling find, −41%).
 
     Reference parity: none — the reference engine has no dedup; this
     extends the §2.10 dedup family to the federated/multi-corpus case
@@ -985,7 +989,7 @@ def minhash_signature_table(
     sh = shingle_table(
         df, text_col, id_col, shingle_k=shingle_k, hashed=True, materialize=False
     )
-    sig = sh.select(
+    sig = sh.where(F.size("sh") > 0).select(
         F.col(id_col),
         minhash_signature(F.col("sh"), num_hashes, pre_hashed=True).alias(
             "sig"
@@ -1034,12 +1038,23 @@ def merged_signature_pairs(
     merged = tagged[0]
     for t in tagged[1:]:
         merged = merged.unionByName(t)
-    banded = merged.where(F.col("sig").isNotNull()).select(
+    # NULL-sig defense for hand-built/persisted tables rides the band
+    # projection, not a filter: posexplode of a NULL array emits no
+    # rows, so NULL-sig docs never band (without this, concat_ws would
+    # collapse every NULL signature into one shared md5('') bucket).
+    # A filter on sig here would be pushed into the signature
+    # projection and re-run the minhash fold per row — the round-13
+    # minhash_lsh_pairs trap; minhash_signature_table already emits no
+    # NULLs, so for in-plan composition this branch never fires.
+    banded = merged.select(
         F.col(id_col),
         "__shard",
         "sig",
         F.posexplode(
-            F.array(*lsh_bands("sig", num_hashes, rows_per_band))
+            F.when(
+                F.col("sig").isNotNull(),
+                F.array(*lsh_bands("sig", num_hashes, rows_per_band)),
+            )
         ).alias("band_idx", "bucket"),
     )
     if max_bucket_size is not None:

@@ -488,14 +488,16 @@ def prepare_training_corpus(
        as ``id_col`` (default column names ``vec_id``/``embedding``;
        override via ``semantic_knobs`` — which also forwards
        ``n_centroids``/``threshold``/``centroids``/
-       ``max_cluster_size``). The prune runs over the FULL embeddings
-       frame, not the lexical survivors: the keep decision must be a
-       pure function of the embedding space (and the seed-vector
-       quantizer's ids must stay present); a ``keep = false`` doc
-       whose semantic keeper was itself lexically dropped is still
-       redundant — its content survives through the keeper's own
-       lexical-cluster representative. Docs with no embedding row are
-       kept (nothing to judge them against).
+       ``max_cluster_size``). The keep DECISION runs over the FULL
+       embeddings frame (a pure function of the embedding space, and
+       the seed-vector quantizer's ids stay present), but the DROP is
+       keeper-present: a ``keep = false`` doc leaves the corpus only
+       if its component's keeper is still in it — a keeper removed
+       upstream (DSIR rejection, lexical dedup) means the pruned doc
+       would have no surviving representative, so it stays.
+       One-level rule: no keeper re-election among survivors. Docs
+       with no embedding row are kept (nothing to judge them
+       against).
     3. benchmark decontamination vs ``test_set`` (13-gram overlap by
        default; ``decon_knobs`` forwards ``shingle_k`` /
        ``min_overlap`` / ``test_text_col`` for corpora where the
@@ -549,6 +551,10 @@ def prepare_training_corpus(
         docs = docs.join(
             sel.where("selected").select(id_col), id_col, "left_semi"
         )
+        # exact dedup (and the optional boilerplate pass) reads docs
+        # twice — don't re-run dsir_select's rank plan per read (the
+        # same two-read pattern the boilerplate branch below pins)
+        docs = docs.localCheckpoint(eager=False)
     if boilerplate_frac is not None:
         docs = tx.remove_boilerplate(
             docs, text_col, id_col, max_doc_frac=boilerplate_frac
@@ -575,11 +581,29 @@ def prepare_training_corpus(
         sk = dict(semantic_knobs or {})
         emb_id = sk.pop("id_col", "vec_id")
         sem = semantic_dedup(embeddings, id_col=emb_id, **sk)
-        cleaned = cleaned.join(
-            sem.where(~F.col("keep")).select(F.col(emb_id).alias(id_col)),
-            id_col,
-            "left_anti",
+        # keeper-present rule: a keep=false doc drops ONLY when its
+        # component's keeper is itself still in the corpus — a keeper
+        # removed upstream (DSIR rejection, lexical dedup of a
+        # paraphrase's twin) means the pruned doc would have NO
+        # surviving representative and its content would silently
+        # vanish from the training set. One-level rule by design: if
+        # the keeper is gone, ALL its component's members survive (no
+        # keeper re-election among the remainder — re-running the
+        # component's keep rule over survivors is a different, corpus-
+        # dependent operator; this stage stays a pure prune).
+        alive = (
+            sem.where(F.col("keep"))
+            .select(F.col(emb_id).alias(id_col), "component")
+            .join(cleaned.select(id_col), id_col, "left_semi")
+            .select("component")
         )
+        drop = (
+            sem.where(~F.col("keep"))
+            .select(F.col(emb_id).alias(id_col), "component")
+            .join(alive, "component", "left_semi")
+            .select(id_col)
+        )
+        cleaned = cleaned.join(drop, id_col, "left_anti")
     if test_set is not None:
         cleaned = dd.remove_contaminated(
             cleaned, test_set, text_col, id_col, **(decon_knobs or {})

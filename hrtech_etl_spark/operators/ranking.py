@@ -68,7 +68,7 @@ from pyspark.sql import types as T
 
 from hrtech_etl_spark.core.partitioning import bounded_window_key
 
-__all__ = ["with_global_ranks"]
+__all__ = ["shared_boundaries", "with_global_ranks"]
 
 #: local windows hand back int32; a bucket past this row count would
 #: wrap before the long casts (patched down by the guard's unit test).
@@ -79,6 +79,83 @@ _MAX_BUCKET_ROWS = 2**31 - 1
 #: AMBIGUOUS_REFERENCE)
 _INTERNAL_COLS = ("__rb", "__lrn", "__lrk", "__ldr", "__cnt", "__ndv",
                   "__coff", "__doff", "__N", "__bnds")
+
+#: below this bucket count the plain linear fold BEATS the binary
+#: search (A/B at 5M rows, AB_rank_bucketing_r14.json: fold 0.65s vs
+#: bsearch 0.82s at 32 buckets; bsearch 8.1x faster at 512, 6.3x at
+#: 2048) — the probe bookkeeping costs more than ~64 straight-line
+#: comparisons. Both expressions are value-identical (the A/B asserts
+#: zero mismatching rows), so the switch is purely a cost choice.
+_FOLD_MAX_BUCKETS = 64
+
+
+def _fold_bucket_expr(vd: Column, barr: Column) -> Column:
+    """|{t in boundaries : t < vd}| by linear fold — O(len) per row,
+    order-independent (used below _FOLD_MAX_BUCKETS, and by the A/B
+    tool as the small-n reference)."""
+    return F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, t: acc + F.when(vd > t, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def _bsearch_bucket_expr(
+    vd: Column, barr: Column, sz: Column, n_buckets: int
+) -> Column:
+    """|{t in boundaries : t < vd}| by bitwise lower-bound binary
+    search over the ASCENDING boundary array — O(log2 n_buckets) per
+    row. Runs as ONE higher-order aggregate over the descending powers
+    of two so the accumulator stays a lambda VARIABLE (an unrolled
+    when-chain would re-expand the partial result 3^steps times).
+    ``sz`` gates every probe, so arrays shorter than the static bound
+    (including the empty array a NULL boundary scan coalesces to) just
+    stop early."""
+    bsteps = []
+    k = 1
+    while k << 1 <= n_buckets - 1:
+        k <<= 1
+    while k >= 1:
+        bsteps.append(k)
+        k >>= 1
+    return F.aggregate(
+        F.array(*[F.lit(s) for s in bsteps]),
+        F.lit(0),
+        lambda p, s: F.when(
+            (p + s <= sz) & (vd > F.element_at(barr, p + s)), p + s
+        ).otherwise(p),
+    )
+
+
+def shared_boundaries(
+    df: DataFrame,
+    value_cols: list[str] | tuple[str, ...],
+    *,
+    n_buckets: int,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """ONE ``percentile_approx`` aggregate emitting the bucket-boundary
+    array for SEVERAL value columns — the multi-metric companion to
+    :func:`with_global_ranks`'s ``boundaries=``: a query scoring k
+    metrics over the same frame (the RFM query scores three) pays one
+    boundary scan instead of k. Output: one lazily-pinned row with one
+    ``array<double>`` column PER value column, named after it — slice
+    with ``.select(col)`` and pass the SAME ``n_buckets``. The quantile
+    spacing and accuracy here are the exact recipe the operator uses
+    for self-computed boundaries, kept in one place so external arrays
+    can never drift from the internal ones."""
+    if n_buckets < 2:
+        raise ValueError("shared_boundaries: n_buckets must be >= 2")
+    qs = F.lit([i / n_buckets for i in range(1, n_buckets)])
+    return df.agg(
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"), qs, F.lit(accuracy)
+            ).alias(c)
+            for c in value_cols
+        ]
+    ).localCheckpoint(eager=False)
+
 
 _BUCKETABLE = (
     T.ByteType,
@@ -226,33 +303,24 @@ def with_global_ranks(
                 F.percentile_approx(vd, F.lit(qs), F.lit(1000)).alias("__bnds")
             )
         b = df.crossJoin(F.broadcast(bnd))
-        # bucket = |{t in boundaries : t < v}| — computed by BINARY
-        # SEARCH over the sorted boundary array, not a linear fold: on
-        # a cluster n_buckets tracks parallelism (thousands), and a
-        # per-row O(n_buckets) fold does thousands of comparisons per
-        # row where log₂ steps do ~11. The bitwise lower-bound walk
-        # (p += k when the element k past p is still < v) runs as ONE
-        # higher-order aggregate over the descending powers of two, so
-        # the accumulator stays a lambda VARIABLE — an unrolled
-        # when-chain would re-expand the partial result 3^steps times.
-        # An all-NULL column yields a NULL boundary array; coalesce to
-        # empty → size 0 → every probe gated off → single bucket 0
-        # (identical to the old fold over an empty array).
-        bsteps = []
-        k = 1
-        while k << 1 <= n_buckets - 1:
-            k <<= 1
-        while k >= 1:
-            bsteps.append(k)
-            k >>= 1
+        # bucket = |{t in boundaries : t < v}|. Two value-identical
+        # expressions, chosen by cost (_FOLD_MAX_BUCKETS, A/B'd): the
+        # linear fold wins at local-scale bucket counts; on a cluster
+        # where n_buckets tracks parallelism (thousands) the BINARY
+        # SEARCH does ~11 probes where the fold does thousands of
+        # per-row comparisons. An all-NULL column yields a NULL
+        # boundary array; coalesce to empty → every probe/fold step
+        # gated off → single bucket 0 on both paths.
         barr = F.coalesce("__bnds", F.array())
         sz = F.size(barr)
         if boundaries is not None:
             # caller-provided arrays have RUNTIME length; one longer
             # than the static probe depth would silently under-count
-            # (the missing high powers can never be stepped) — raise
-            # instead. Self-computed arrays are exactly n_buckets-1
-            # by construction, so the branch costs nothing there.
+            # on the binary-search path (the missing high powers can
+            # never be stepped) — raise instead, on BOTH paths so the
+            # contract doesn't shift with the cost-based switch.
+            # Self-computed arrays are exactly n_buckets-1 by
+            # construction, so the branch costs nothing there.
             sz = F.when(sz <= n_buckets - 1, sz).otherwise(
                 F.raise_error(
                     F.format_string(
@@ -265,19 +333,14 @@ def with_global_ranks(
                     )
                 ).cast("int")
             )
-        bucket = (
-            F.when(v.isNull(), F.lit(-1))
-            .otherwise(
-                F.aggregate(
-                    F.array(*[F.lit(s) for s in bsteps]),
-                    F.lit(0),
-                    lambda p, s: F.when(
-                        (p + s <= sz) & (vd > F.element_at(barr, p + s)),
-                        p + s,
-                    ).otherwise(p),
-                )
+        if n_buckets <= _FOLD_MAX_BUCKETS:
+            counted = _fold_bucket_expr(
+                vd, F.slice(barr, F.lit(1), sz) if boundaries is not None else barr
             )
-            .alias("__rb")
+        else:
+            counted = _bsearch_bucket_expr(vd, barr, sz, n_buckets)
+        bucket = (
+            F.when(v.isNull(), F.lit(-1)).otherwise(counted).alias("__rb")
         )
         b = b.withColumn("__rb", bucket).drop("__bnds")
     else:

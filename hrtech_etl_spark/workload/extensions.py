@@ -5327,37 +5327,32 @@ def events_rfm_segments(spark, sf_dir):
     # ONE boundary scan for all three metrics (round-14): each scoring
     # pass used to run its own percentile_approx aggregate over u —
     # three narrow scans where one aggregate emitting three arrays
-    # does; the 1-row result is lazily pinned so the three slices read
-    # it instead of re-running the scan, then feeds each pass through
-    # with_global_ranks(boundaries=) (load balance only — hashes are
-    # boundary-independent by construction)
-    nb = spark.sparkContext.defaultParallelism
-    qs = F.lit([i / nb for i in range(1, nb)])
-    bnd = u.agg(
-        F.percentile_approx(F.col("recency").cast("double"), qs, F.lit(1000))
-        .alias("__b_r"),
-        F.percentile_approx(F.col("frequency").cast("double"), qs, F.lit(1000))
-        .alias("__b_f"),
-        F.percentile_approx(F.col("monetary_d").cast("double"), qs, F.lit(1000))
-        .alias("__b_m"),
-    ).localCheckpoint(eager=False)
+    # does; shared_boundaries keeps the quantile recipe inside the
+    # ranking module and lazily pins the 1-row result, then each pass
+    # reads its slice via with_global_ranks(boundaries=) (load balance
+    # only — hashes are boundary-independent by construction). The
+    # max(2, ...) floor keeps 1-core sessions on the valid-arity path.
+    nb = max(2, spark.sparkContext.defaultParallelism)
+    bnd = rk.shared_boundaries(
+        u, ["recency", "frequency", "monetary_d"], n_buckets=nb
+    )
     # each scoring pass sits behind its own lazy checkpoint: pass k+1's
     # bucket exchange would otherwise replay pass k's full window/join
     # subtree (only u was materialized), tripling the bucket stages per
     # action (round-13 review finding)
     s = rk.with_global_ranks(
         u, "recency", ("user_id",), ntile={"r_score": 5},
-        boundaries=bnd.select("__b_r"), n_buckets=nb,
+        boundaries=bnd.select("recency"), n_buckets=nb,
     )
     s = s.localCheckpoint(eager=False)
     s = rk.with_global_ranks(
         s, "frequency", ("user_id",), ntile={"f_score": 5},
-        boundaries=bnd.select("__b_f"), n_buckets=nb,
+        boundaries=bnd.select("frequency"), n_buckets=nb,
     )
     s = s.localCheckpoint(eager=False)
     s = rk.with_global_ranks(
         s, "monetary_d", ("user_id",), ntile={"m_score": 5},
-        boundaries=bnd.select("__b_m"), n_buckets=nb,
+        boundaries=bnd.select("monetary_d"), n_buckets=nb,
     )
     s = s.select("user_id", "monetary_d", "r_score", "f_score", "m_score")
     return (
@@ -7662,10 +7657,15 @@ _V2_FRAC = 0.5  # DSIR keeps the top half of the train slice
       ) WHERE rn = 1
     ),
     semdrop AS (
+      -- keeper-present rule: prune a non-keeper only when its
+      -- component's keeper actually survives the lexical stages —
+      -- otherwise the pruned doc would have no surviving
+      -- representative (see the operator docstring)
       SELECT a.vec_id FROM sassign a
       JOIN scomp USING (vec_id)
       JOIN skeep k ON scomp.component = k.component
       WHERE a.vec_id <> k.keep_id
+        AND k.keep_id IN (SELECT doc_id FROM t2)
     ),
     t2s AS MATERIALIZED (
       SELECT * FROM t2 WHERE doc_id NOT IN (SELECT vec_id FROM semdrop)

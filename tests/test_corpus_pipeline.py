@@ -202,22 +202,28 @@ def _modern_corpus(spark):
         (i, f"{STEM} for unit{i} sector{i} zone{i} theme{i}")
         for i in range(10)
     ]
-    # off-domain hazard: repeated alien bigrams, zero target overlap →
-    # most-negative DSIR importance weight, must rank dead last
-    alien = [(10, "zxq wvu qpz xkj " * 12)]
-    # semantic-twin hazard: lexically DISTINCT paraphrases (MinHash
-    # can't see them) with near-identical embeddings
+    # off-domain hazards: repeated alien bigrams, zero target overlap →
+    # most-negative DSIR importance weights, must rank dead last
+    aliens = [
+        (10, "zxq wvu qpz xkj " * 12),
+        (13, "qqj wxz jjq zzx " * 12),  # also the semantic KEEPER of 14
+    ]
+    # semantic-twin hazards: lexically DISTINCT paraphrases (MinHash
+    # can't see them) with near-identical embeddings. Pair (11, 12):
+    # keeper 11 survives DSIR → 12 must drop. Pair (13, 14): keeper 13
+    # is DSIR-rejected → the keeper-present rule must KEEP 14.
     twins = [
         (11, f"{STEM} while management expects strong momentum by spring"),
         (12, f"{STEM} and leadership anticipates robust acceleration soon"),
+        (14, f"{STEM} because the committee projects remarkable traction"),
     ]
     docs = spark.createDataFrame(
-        base + alien + twins, "doc_id long, text string"
+        base + aliens + twins, "doc_id long, text string"
     )
     # one-hot-ish dim-16 embeddings: everything mutually orthogonal
-    # except the twins; centroid seed = doc 0's basis vector; twin 11
-    # sits exactly orthogonal to the centroid, twin 12 a hair closer —
-    # the keep-farthest rule must keep 11 and drop 12
+    # except the twin pairs; centroid seed = doc 0's basis vector; in
+    # each pair the lower id sits exactly orthogonal to the centroid,
+    # its twin a hair closer — keep-farthest keeps 11 and 13
     def onehot(i, eps=0.0):
         v = [0.0] * 16
         v[i % 16] = 1.0
@@ -225,7 +231,9 @@ def _modern_corpus(spark):
         return v
 
     emb = spark.createDataFrame(
-        [(i, onehot(i)) for i in range(12)] + [(12, onehot(11, eps=0.001))],
+        [(i, onehot(i)) for i in range(12)]
+        + [(12, onehot(11, eps=0.001))]
+        + [(13, onehot(13)), (14, onehot(13, eps=0.001))],
         "vec_id long, embedding array<float>",
     )
     return docs, emb
@@ -245,14 +253,18 @@ def test_dsir_and_semantic_stages(spark):
         "text",
         "doc_id",
         dsir_target=F.col("doc_id") <= 5,
-        dsir_frac=0.92,  # ceil(0.92 * 13) = 12 → exactly the worst drops
+        dsir_frac=0.86,  # ceil(0.86 * 15) = 13 → exactly the two worst drop
         embeddings=emb,
         semantic_knobs=dict(n_centroids=1, threshold=0.9),
         **knobs,
     )
     ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
-    assert 10 not in ids, "off-domain doc survived DSIR"
+    assert 10 not in ids and 13 not in ids, "off-domain doc survived DSIR"
     assert 11 in ids and 12 not in ids, "semantic twin not pruned to keeper"
+    assert 14 in ids, (
+        "keeper-present rule violated: 14's keeper (13) was DSIR-dropped, "
+        "so 14 must survive as its content's only representative"
+    )
     assert set(range(10)) <= ids, "an on-domain doc was lost"
 
 
@@ -274,12 +286,16 @@ def test_dsir_and_semantic_stage_ablations(spark):
         **knobs,
     )
     ids = {r["doc_id"] for r in no_dsir.select("doc_id").distinct().collect()}
-    assert 10 in ids and 11 in ids and 12 not in ids
+    # with DSIR off both keepers are present, so BOTH twins drop
+    assert 10 in ids and 13 in ids
+    assert 11 in ids and 12 not in ids
+    assert 14 not in ids
 
     no_sem = prepare_training_corpus(
         docs, "text", "doc_id",
-        dsir_target=F.col("doc_id") <= 5, dsir_frac=0.92,
+        dsir_target=F.col("doc_id") <= 5, dsir_frac=0.86,
         **knobs,
     )
     ids = {r["doc_id"] for r in no_sem.select("doc_id").distinct().collect()}
-    assert 10 not in ids and 11 in ids and 12 in ids
+    assert 10 not in ids and 13 not in ids
+    assert 11 in ids and 12 in ids and 14 in ids

@@ -30,33 +30,22 @@ from pyspark.sql import functions as F  # noqa: E402
 from hrtech_etl_spark.core.session import get_spark  # noqa: E402
 
 
+from hrtech_etl_spark.operators.ranking import (  # noqa: E402
+    _bsearch_bucket_expr,
+    _fold_bucket_expr,
+)
+
+
 def fold_bucket(vd, n_buckets):
-    """The pre-round-14 linear fold (kept here, verbatim shape, as the
-    A side — ranking.py no longer carries it)."""
-    return F.aggregate(
-        F.coalesce("__bnds", F.array()),
-        F.lit(0),
-        lambda acc, t: acc + F.when(vd > t, F.lit(1)).otherwise(F.lit(0)),
-    )
+    """The A side — ranking.py's own linear fold (its small-n path),
+    imported so the tool always measures the shipped expression."""
+    return _fold_bucket_expr(vd, F.coalesce("__bnds", F.array()))
 
 
 def bsearch_bucket(vd, n_buckets):
-    """The round-14 binary search (same construction as ranking.py)."""
-    bsteps = []
-    k = 1
-    while k << 1 <= n_buckets - 1:
-        k <<= 1
-    while k >= 1:
-        bsteps.append(k)
-        k >>= 1
+    """The B side — ranking.py's own binary search (its large-n path)."""
     barr = F.coalesce("__bnds", F.array())
-    return F.aggregate(
-        F.array(*[F.lit(s) for s in bsteps]),
-        F.lit(0),
-        lambda p, s: F.when(
-            (p + s <= F.size(barr)) & (vd > F.element_at(barr, p + s)), p + s
-        ).otherwise(p),
-    )
+    return _bsearch_bucket_expr(vd, barr, F.size(barr), n_buckets)
 
 
 def main() -> None:
