@@ -145,6 +145,7 @@ EXTENDED = [
     # the capstone composition is oracle-gated but not benched — it
     # re-times already-benched stages through one lineage)
     "dedup_signature_merge",
+    "sim_kmeans_lloyd",
 ]
 
 

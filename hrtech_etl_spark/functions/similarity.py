@@ -1084,3 +1084,150 @@ def semantic_dedup(
             (F.col("id") == F.col("__keep_id")).alias("keep"),
         )
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic, ENGINE-PORTABLE Lloyd k-means over the PQ
+    subspace layout — the value-gateable sibling of
+    :func:`pq_codebook_trained` (whose Spark-ML kmeans|| init is
+    engine-specific, leaving its gate rows-only). Every arithmetic
+    step follows the repo's portability recipe so an independent SQL
+    engine replays the training bit-for-bit:
+
+    - points are the per-subspace slices with every component
+      ``round(x, 6)`` (the empirically-portable double rounding the
+      cosine/PQ oracles already rely on);
+    - distances are fixed-order IEEE sums of squared diffs, rounded
+      to 6 — argmin tie-breaks on the lowest centroid id (the
+      ``min(struct(d, j))`` idiom the PQ encode gate uses);
+    - means sum components in DECIMAL(18,6) (exact and
+      order-independent — the one place float summation order could
+      diverge across engines), then ``round(sum/n, 6)`` back to
+      doubles;
+    - init is the ``ksub`` lowest-id vectors' slices (the seed-vector
+      convention of ivf/pq codebooks); an id space without them
+      raises loudly;
+    - EMPTY clusters keep their previous centroid (stated rule, both
+      engines).
+
+    Each iteration's ≤ ``m * ksub``-row centroid state is eagerly
+    localCheckpoint-ed — the iteration reads a 128-row materialized
+    frame, never a growing lineage (the same discipline as
+    near_dup_clusters' label iteration). The corpus-side cost per
+    iteration is one broadcast join + one groupBy over the exploded
+    subspace points: linear in corpus size, independent of iteration
+    count. At 100 TB train on a sample — PQ codebooks saturate at
+    ~100k points (pq_codebook_trained's documented guidance).
+
+    Returns ``(s, cid, centroid array<double>, n_assigned)`` —
+    ``n_assigned`` counted under the FINAL centroids.
+    """
+    if dim % m != 0:
+        raise ValueError(f"kmeans_lloyd: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    pts = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.transform(
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"),
+                            s * dsub + 1,
+                            dsub,
+                        ),
+                        lambda x: F.round(x, 6),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("s", "x"),
+    ).localCheckpoint(eager=False)
+
+    cents = pts.where(F.col("id") < ksub).select(
+        "s", F.col("id").cast("int").alias("cid"), F.col("x").alias("c")
+    )
+    n_seeds = cents.count()
+    if n_seeds != m * ksub:
+        raise ValueError(
+            f"kmeans_lloyd: init needs the {ksub} lowest ids present "
+            f"(< ksub), found {n_seeds // m if m else 0} — pass a frame "
+            "with contiguous low ids or lower ksub"
+        )
+
+    def assign_to(cents_df: DataFrame) -> DataFrame:
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        cands = pts.join(F.broadcast(cents_df), "s").select(
+            "id", "s", "cid", d2.alias("d2")
+        )
+        return (
+            cands.groupBy("id", "s")
+            .agg(F.min(F.struct("d2", "cid")).alias("__m"))
+            .select("id", "s", F.col("__m.cid").alias("cid"))
+        )
+
+    for _ in range(iters):
+        assign = assign_to(cents)
+        joined = assign.join(pts, ["id", "s"])
+        sums = [
+            F.sum(F.element_at("x", i + 1).cast("decimal(18,6)")).alias(
+                f"__s{i}"
+            )
+            for i in range(dsub)
+        ]
+        mm = joined.groupBy("s", "cid").agg(
+            F.count(F.lit(1)).alias("__n"), *sums
+        )
+        newc = mm.select(
+            "s",
+            "cid",
+            F.array(
+                *[
+                    F.round(
+                        F.col(f"__s{i}").cast("double") / F.col("__n"), 6
+                    )
+                    for i in range(dsub)
+                ]
+            ).alias("__cnew"),
+        )
+        cents = (
+            cents.join(newc, ["s", "cid"], "left")
+            .select(
+                "s",
+                "cid",
+                F.coalesce("__cnew", "c").alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    final_counts = (
+        assign_to(cents)
+        .groupBy("s", "cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    return (
+        cents.join(final_counts, ["s", "cid"], "left")
+        .select(
+            F.col("s").cast("int").alias("s"),
+            "cid",
+            F.col("c").alias("centroid"),
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_assigned"),
+        )
+        .orderBy("s", "cid")
+    )

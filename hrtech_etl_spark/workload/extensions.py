@@ -7838,3 +7838,103 @@ def dedup_signature_merge(spark, sf_dir):
     return dd.merged_signature_pairs(
         [sig_a, sig_b], "doc_id", threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic portable Lloyd k-means: iterative training under a gate
+# ---------------------------------------------------------------------------
+
+_KM_M, _KM_KSUB, _KM_DIM, _KM_ITERS = 8, 16, 64, 5
+
+
+def _kmeans_lloyd_sql(
+    m: int = _KM_M,
+    ksub: int = _KM_KSUB,
+    dim: int = _KM_DIM,
+    iters: int = _KM_ITERS,
+) -> str:
+    """DuckDB replay of functions/similarity.py::kmeans_lloyd — the
+    training unrolled as ``iters`` CTE rounds (the corpus_bpe_tokenize
+    technique applied to an iterative NUMERIC algorithm): per round,
+    argmin assignment over fixed-order round-6 IEEE distances with the
+    min(struct) tie-break, then DECIMAL(18,6) component sums divided
+    back to round-6 double centroids; empty clusters keep the previous
+    centroid via the LEFT JOIN coalesce."""
+    dsub = dim // m
+    vd = VEC_DOUBLE.format(v="embedding")
+    pts_branches = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {s} AS s, ["
+        + ", ".join(f"round(v[{s * dsub + i + 1}], 6)" for i in range(dsub))
+        + "] AS x FROM e"
+        for s in range(m)
+    )
+    dist = " + ".join(
+        f"(p.x[{i + 1}] - t.c[{i + 1}]) * (p.x[{i + 1}] - t.c[{i + 1}])"
+        for i in range(dsub)
+    )
+    argmin = "min({'d': round(" + dist + ", 6), 'j': t.cid})['j']"
+    mean_arr = "[" + ", ".join(
+        f"round(CAST(sum(CAST(p.x[{i + 1}] AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / count(*), 6)"
+        for i in range(dsub)
+    ) + "]"
+    ctes = [
+        f"e AS (SELECT vec_id, {vd} AS v FROM embeddings)",
+        f"pts AS MATERIALIZED ({pts_branches})",
+        f"it0 AS (SELECT s, CAST(id AS INT) AS cid, x AS c FROM pts "
+        f"WHERE id < {ksub})",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT p.id, p.s, {argmin} AS cid "
+            f"FROM pts p JOIN it{t - 1} t ON p.s = t.s GROUP BY p.id, p.s)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT a.s, a.cid, count(*) AS n, {mean_arr} AS c "
+            f"FROM a{t} a JOIN pts p ON a.id = p.id AND a.s = p.s "
+            f"GROUP BY a.s, a.cid)"
+        )
+        ctes.append(
+            f"it{t} AS MATERIALIZED (SELECT t.s, t.cid, "
+            f"coalesce(m.c, t.c) AS c FROM it{t - 1} t "
+            f"LEFT JOIN m{t} m ON t.s = m.s AND t.cid = m.cid)"
+        )
+    ctes.append(
+        f"af AS (SELECT p.id, p.s, {argmin} AS cid FROM pts p "
+        f"JOIN it{iters} t ON p.s = t.s GROUP BY p.id, p.s)"
+    )
+    ctes.append(
+        "cf AS (SELECT s, cid, CAST(count(*) AS BIGINT) AS n_assigned "
+        "FROM af GROUP BY s, cid)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(t.s AS INT) AS s, t.cid AS cid, t.c AS centroid, "
+        f"coalesce(cf.n_assigned, 0) AS n_assigned "
+        f"FROM it{iters} t LEFT JOIN cf ON t.s = cf.s AND t.cid = cf.cid "
+        f"ORDER BY s, cid"
+    )
+
+
+@query("sim_kmeans_lloyd", sql=_kmeans_lloyd_sql())
+def sim_kmeans_lloyd(spark, sf_dir):
+    """Deterministic portable Lloyd k-means over the PQ subspace
+    layout (functions/similarity.py::kmeans_lloyd): 8 subspaces x 16
+    centroids x 5 iterations, seed-vector init, trained on the
+    embeddings table and VALUE-GATED end to end — the oracle replays
+    every iteration (assignment argmin over fixed-order round-6
+    distances, DECIMAL-exact component means, empty-cluster
+    retention) as unrolled SQL rounds, the corpus_bpe_tokenize
+    technique applied to iterative NUMERIC training. This closes the
+    'iterative algorithms are oracle-hard' caveat for clustering the
+    way BPE closed it for tokenizer training; the Spark-ML
+    kmeans||-initialized production trainer keeps its rows-only
+    recall canary (`sim_pq_trained_recall`) — this entry proves the
+    engine can train a codebook an independent engine reproduces
+    bit-for-bit. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions.similarity import kmeans_lloyd
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return kmeans_lloyd(
+        e, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, iters=_KM_ITERS
+    )

@@ -112,3 +112,49 @@ def test_trained_codebook_rerank_recall(emb):
         }
         recalls.append(len(got & _brute_top10(emb, qid)) / 10)
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# Deterministic portable Lloyd k-means (round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_lloyd_converges_to_planted_means(spark):
+    from hrtech_etl_spark.functions.similarity import kmeans_lloyd
+
+    # dim 4, m=2 subspaces of width 2; ids 0,2,4 cluster at a, ids
+    # 1,3,5 at b (seeds = ids 0 and 1, one per planted group)
+    a, b = [0.0, 0.0], [1.0, 1.0]
+    rows = []
+    for i in range(6):
+        base = a if i % 2 == 0 else b
+        jit = 0.01 * (i // 2)
+        rows.append((i, [base[0] + jit, base[1] - jit] * 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, m=2, ksub=2, dim=4, iters=4).collect()
+    assert len(out) == 4  # 2 subspaces x 2 centroids
+    for r in out:
+        assert r["n_assigned"] == 3
+        want = 0.01 if r["cid"] == 0 else None  # group means: a+mean(jit)
+        mean_jit = (0.0 + 0.01 + 0.02) / 3
+        base = a if r["cid"] == 0 else b
+        assert abs(r["centroid"][0] - round(base[0] + mean_jit, 6)) < 1e-9
+        assert abs(r["centroid"][1] - round(base[1] - mean_jit, 6)) < 1e-9
+    # determinism: a second run is bit-identical
+    out2 = kmeans_lloyd(df, m=2, ksub=2, dim=4, iters=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_kmeans_lloyd_guards(spark):
+    import pytest
+
+    from hrtech_etl_spark.functions.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(100, [1.0] * 4), (101, [2.0] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="lowest ids"):
+        kmeans_lloyd(df, m=2, ksub=2, dim=4, iters=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        kmeans_lloyd(df, m=3, ksub=1, dim=4, iters=1)
