@@ -1131,6 +1131,11 @@ def kmeans_lloyd(
     Returns ``(s, cid, centroid array<double>, n_assigned)`` —
     ``n_assigned`` counted under the FINAL centroids.
     """
+    if m <= 0 or ksub <= 0 or iters < 0:
+        raise ValueError(
+            f"kmeans_lloyd: m={m}, ksub={ksub}, iters={iters} — m and "
+            "ksub must be positive, iters non-negative"
+        )
     if dim % m != 0:
         raise ValueError(f"kmeans_lloyd: dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -1156,12 +1161,20 @@ def kmeans_lloyd(
     cents = pts.where(F.col("id") < ksub).select(
         "s", F.col("id").cast("int").alias("cid"), F.col("x").alias("c")
     )
-    n_seeds = cents.count()
-    if n_seeds != m * ksub:
+    # BOTH counts, not just the total: duplicate seed ids offsetting a
+    # missing one would pass a row-count check yet leave `cents` with
+    # a doubled cid and a hole — every later iteration preserves the
+    # duplicate and the output is silently wrong
+    chk = cents.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.countDistinct("s", "cid").alias("__ids"),
+    ).collect()[0]
+    if chk["__rows"] != m * ksub or chk["__ids"] != m * ksub:
         raise ValueError(
             f"kmeans_lloyd: init needs the {ksub} lowest ids present "
-            f"(< ksub), found {n_seeds // m if m else 0} — pass a frame "
-            "with contiguous low ids or lower ksub"
+            f"exactly once (< ksub): {chk['__rows']} seed rows, "
+            f"{chk['__ids']} distinct — pass a frame with contiguous "
+            "unique low ids or lower ksub"
         )
 
     def assign_to(cents_df: DataFrame) -> DataFrame:

@@ -578,9 +578,15 @@ def prepare_training_corpus(
     if embeddings is not None:
         from hrtech_etl_spark.functions.similarity import semantic_dedup
 
+        # the keeper-present rule reads cleaned TWICE (alive semi-join
+        # probe + the final anti-join) and sem twice (keepers, drops) —
+        # pin both or the whole LSH+verify+clustering dedup subtree
+        # above re-executes per read (the dedup.py:930 measurement)
+        cleaned = cleaned.localCheckpoint(eager=False)
         sk = dict(semantic_knobs or {})
         emb_id = sk.pop("id_col", "vec_id")
         sem = semantic_dedup(embeddings, id_col=emb_id, **sk)
+        sem = sem.localCheckpoint(eager=False)
         # keeper-present rule: a keep=false doc drops ONLY when its
         # component's keeper is itself still in the corpus — a keeper
         # removed upstream (DSIR rejection, lexical dedup of a

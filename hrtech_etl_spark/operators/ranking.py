@@ -127,6 +127,18 @@ def _bsearch_bucket_expr(
     )
 
 
+def _boundary_agg_expr(
+    vd: Column, n_buckets: int, accuracy: int = 1000
+) -> Column:
+    """THE bucket-boundary recipe — ``n_buckets - 1`` equally-spaced
+    approximate quantiles at the given accuracy. Single definition:
+    both :func:`with_global_ranks`' self-computed branch and
+    :func:`shared_boundaries` render exactly this expression, so
+    externally-built arrays can never drift from internal ones."""
+    qs = F.lit([i / n_buckets for i in range(1, n_buckets)])
+    return F.percentile_approx(vd, qs, F.lit(accuracy))
+
+
 def shared_boundaries(
     df: DataFrame,
     value_cols: list[str] | tuple[str, ...],
@@ -146,11 +158,10 @@ def shared_boundaries(
     can never drift from the internal ones."""
     if n_buckets < 2:
         raise ValueError("shared_boundaries: n_buckets must be >= 2")
-    qs = F.lit([i / n_buckets for i in range(1, n_buckets)])
     return df.agg(
         *[
-            F.percentile_approx(
-                F.col(c).cast("double"), qs, F.lit(accuracy)
+            _boundary_agg_expr(
+                F.col(c).cast("double"), n_buckets, accuracy
             ).alias(c)
             for c in value_cols
         ]
@@ -298,10 +309,7 @@ def with_global_ranks(
                 )
             )
         else:
-            qs = [i / n_buckets for i in range(1, n_buckets)]
-            bnd = df.agg(
-                F.percentile_approx(vd, F.lit(qs), F.lit(1000)).alias("__bnds")
-            )
+            bnd = df.agg(_boundary_agg_expr(vd, n_buckets).alias("__bnds"))
         b = df.crossJoin(F.broadcast(bnd))
         # bucket = |{t in boundaries : t < v}|. Two value-identical
         # expressions, chosen by cost (_FOLD_MAX_BUCKETS, A/B'd): the

@@ -211,3 +211,25 @@ def test_merged_signature_pairs_bucket_valve_and_within(spark):
         max_bucket_size=5,
     )
     assert valved.count() == 0
+
+
+def test_merged_signature_pairs_null_sig_hand_built(spark):
+    """A hand-built/persisted signature table CAN carry NULL sigs;
+    they must emit no band rows (posexplode-of-NULL guard) — without
+    it every NULL sig collapses into one shared md5('') bucket and
+    manufactures bogus pairs."""
+    from hrtech_etl_spark.functions.dedup import merged_signature_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            (1, [7, 7, 7, 7, 7, 7, 7, 7]),
+            (2, [7, 7, 7, 7, 7, 7, 7, 7]),
+            (3, None),
+            (4, None),
+        ],
+        "doc_id long, sig array<long>",
+    )
+    got = merged_signature_pairs(
+        [sigs], "doc_id", threshold=0.0, cross_shard_only=False
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}

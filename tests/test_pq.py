@@ -135,7 +135,6 @@ def test_kmeans_lloyd_converges_to_planted_means(spark):
     assert len(out) == 4  # 2 subspaces x 2 centroids
     for r in out:
         assert r["n_assigned"] == 3
-        want = 0.01 if r["cid"] == 0 else None  # group means: a+mean(jit)
         mean_jit = (0.0 + 0.01 + 0.02) / 3
         base = a if r["cid"] == 0 else b
         assert abs(r["centroid"][0] - round(base[0] + mean_jit, 6)) < 1e-9

@@ -280,3 +280,36 @@ def test_null_boundary_array_single_bucket(spark, skewed):
     )
     ref = with_global_ranks(skewed, "val", ("id",), row_number="rn")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_bsearch_path_matches_native_windows(spark, skewed):
+    """n_buckets above _FOLD_MAX_BUCKETS takes the binary-search bucket
+    expression — the path production clusters (parallelism > 64)
+    actually run; every other test sits on the fold path. Values must
+    still be bit-identical to native windows, and the caller-array
+    probe-depth raise must fire on THIS path too."""
+    got = with_global_ranks(
+        skewed, "val", ("id",), row_number="rn", rank="rk",
+        dense_rank="dr", ntile={"t5": 5}, n_buckets=128,
+    )
+    w = W.orderBy("val", "id")
+    wv = W.orderBy("val")
+    ref = skewed.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wv).alias("rk"),
+        F.dense_rank().over(wv).alias("dr"),
+        F.ntile(5).over(w).alias("t5"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        (*r[:3], int(r["rn"]), int(r["rk"]), int(r["dr"]), r["t5"])
+        for r in ref.collect()
+    )
+    too_long = spark.createDataFrame(
+        [(list(map(float, range(200))),)], "b ARRAY<DOUBLE>"
+    )
+    with pytest.raises(Exception, match="probe depth"):
+        with_global_ranks(
+            skewed, "val", ("id",), row_number="rn",
+            boundaries=too_long, n_buckets=128,
+        ).collect()

@@ -135,6 +135,7 @@ def main() -> None:
     ap.add_argument("--skew-rows", type=int, default=10_000_000)
     ap.add_argument("--rank-rows", type=int, default=10_000_000)
     ap.add_argument("--sem-copies", type=int, default=50)
+    ap.add_argument("--sem-dim", type=int, default=16)
     args = ap.parse_args()
     groups = {g.strip() for g in args.only.split(",") if g.strip()}
 
@@ -840,13 +841,26 @@ def run_semantic_stage(spark, meter, args, root) -> None:
     # 1M-vector README run) with a per-copy jitter LARGE enough
     # (0.02/dim) that replicas are NOT semantic twins — except every
     # 50th copy, which reuses its predecessor's jitter plus a 1e-6
-    # nudge, planting n_base * copies/50 KNOWN twin pairs. n_centroids
-    # SCALES with the corpus (N / 2000 -> ~2000-member clusters), the
-    # thing the valve exists to enforce; the assertions are:
-    #   1. every planted twin pair lands in one component with exactly
-    #      one keeper (full recall of the planted semantic twins);
-    #   2. kept count == N - n_pairs exactly (components drop one
-    #      member per planted pair; nothing else merges at tau=0.999);
+    # nudge, planting n_base * ~copies/50 KNOWN twin pairs. Vectors
+    # are the FIRST --sem-dim (default 16) components of the stored
+    # embeddings: dimensionality is orthogonal to everything this
+    # stage asserts (blocking geometry, valve, job-count flatness,
+    # component recall), and the within-cluster pair join is an
+    # interpreted higher-order cosine — at 64 dims the 1M run is
+    # ~10^11 element-ops, hours on local[32], minutes on a cluster;
+    # 16 dims keeps the identical PLAN measurable locally (the gated
+    # dedup_semantic_prune entry runs the full 64-dim operator at the
+    # SFs). n_centroids SCALES with the corpus (N / 2000 ->
+    # ~2000-member clusters), the thing the valve exists to enforce;
+    # the assertions are:
+    #   1. every planted twin pair lands in ONE component, never both
+    #      kept (full recall of the planted semantic twins; a pair
+    #      swallowed by a larger real-collision component may keep
+    #      neither — its keeper sits elsewhere in the component);
+    #   2. kept count within [N - n_pairs - slack, N - n_pairs]: each
+    #      planted pair drops exactly one member, and the slack bounds
+    #      the few GENUINE near-identical --sem-dim prefixes real
+    #      embedding data carries (47 of 100k at dim 16);
     #   3. job count FLAT in corpus size (copies/10 vs copies) — the
     #      blocked pair join + touched-set clustering never add plan
     #      stages with volume;
@@ -856,9 +870,23 @@ def run_semantic_stage(spark, meter, args, root) -> None:
     from hrtech_etl_spark.functions import similarity as sim
 
     base = load_table(spark, "embeddings", args.sf_dir).select(
-        "vec_id", "embedding"
+        "vec_id", F.slice("embedding", 1, args.sem_dim).alias("embedding")
     )
     n_base = base.count()
+
+    from hrtech_etl_spark.functions.hashing import portable_hash
+
+    def _jit(key_col, i, sep, amp):
+        # uniform ±amp, INDEPENDENT per (key, dim) via the portable
+        # md5 hash — a sin(copy*(i+1)) stream is near-periodic, and on
+        # a LOW-dim prefix two copies ~2πk apart produce almost the
+        # same first-16 jitter pattern (false planted twins — the bug
+        # the first 16-dim run of this stage hit: 86,292 kept vs the
+        # expected 98,000)
+        h = portable_hash(
+            F.concat_ws(sep, key_col.cast("string"), i.cast("string"))
+        )
+        return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0 * amp
 
     def corpus(copies: int):
         # twin copies (copy % 50 == 1) reuse the PREVIOUS copy's jitter
@@ -880,8 +908,8 @@ def run_semantic_stage(spark, meter, args, root) -> None:
                     "embedding",
                     lambda x, i: (
                         x.cast("double")
-                        + F.sin(eff * (i + 1)) * F.lit(0.02)
-                        + F.sin(F.col("__copy") * (i + 2)) * F.lit(1e-6)
+                        + _jit(eff, i, ":", 0.02)
+                        + _jit(F.col("__copy"), i, ";", 1e-6)
                     ).cast("float"),
                 ).alias("embedding"),
             )
@@ -905,9 +933,17 @@ def run_semantic_stage(spark, meter, args, root) -> None:
         assert total == n, f"row count {total:,} != {n:,}"
         kept = out.where("keep").count()
         n_pairs = n_base * sum(1 for c in range(copies) if c % 50 == 1)
-        assert kept == n - n_pairs, (
-            f"kept {kept:,}, expected {n - n_pairs:,} "
-            f"({n:,} vectors - {n_pairs:,} planted twin pairs)"
+        # band, not equality: REAL embeddings carry a few genuine
+        # near-identical --sem-dim prefixes (47 of 100k at dim 16 in
+        # the committed run), which the operator CORRECTLY merges on
+        # top of the planted pairs — extra merges only reduce keeps,
+        # so the lower edge bounds accidental-collision volume and the
+        # upper edge still proves every planted pair dropped one
+        slack = max(100, n // 1000)
+        assert n - n_pairs - slack <= kept <= n - n_pairs, (
+            f"kept {kept:,}, expected [{n - n_pairs - slack:,}, "
+            f"{n - n_pairs:,}] ({n:,} vectors - {n_pairs:,} planted "
+            f"twin pairs - <= {slack:,} real near-dup collisions)"
         )
         x = out.select(
             F.col("vec_id").alias("a"),
@@ -922,8 +958,11 @@ def run_semantic_stage(spark, meter, args, root) -> None:
         tw = x.join(y, "a").where(F.floor(F.col("a") / STRIDE) % 50 == 1)
         n_tw = tw.count()
         assert n_tw == n_pairs, f"twin join found {n_tw:,} of {n_pairs:,}"
+        # recall: every planted pair in ONE component (never split) and
+        # never both kept; a pair merged into a larger real-collision
+        # component may keep neither (its keeper sits elsewhere)
         bad = tw.where(
-            (F.col("ca") != F.col("cb")) | (F.col("ka") + F.col("kb") != 1)
+            (F.col("ca") != F.col("cb")) | (F.col("ka") + F.col("kb") > 1)
         ).count()
         assert bad == 0, f"{bad} planted twin pairs split or double-kept"
         return total, peak, kept, k
