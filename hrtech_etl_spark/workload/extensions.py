@@ -5306,10 +5306,10 @@ def events_rfm_segments(spark, sf_dir):
     the per-ENTITY aggregate is itself cluster-sized. The aggregate
     is lazily localCheckpoint-ed so the three scoring passes read the
     materialized |users| frame instead of replaying the |events|
-    groupBy per pass, and ALL THREE bucket-boundary arrays come from
-    ONE percentile_approx aggregate over that frame (round-14: one
-    boundary scan, not three), fed back via
-    with_global_ranks(boundaries=). The monetary sum is exact
+    groupBy per pass. (A round-14 A/B folded the three boundary scans
+    into one shared aggregate and REJECTED it for this small-frame
+    query — AB_rfm_boundaries_r14.json; the boundaries= API remains
+    for large-frame multi-metric callers.) The monetary sum is exact
     DECIMAL, so both the ntile order and the final per-cell total are
     engine-portable.
     Green at sf0.001/0.01/0.1."""
@@ -5324,36 +5324,26 @@ def events_rfm_segments(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary_d"),
     )
     u = u.localCheckpoint(eager=False)
-    # ONE boundary scan for all three metrics (round-14): each scoring
-    # pass used to run its own percentile_approx aggregate over u —
-    # three narrow scans where one aggregate emitting three arrays
-    # does; shared_boundaries keeps the quantile recipe inside the
-    # ranking module and lazily pins the 1-row result, then each pass
-    # reads its slice via with_global_ranks(boundaries=) (load balance
-    # only — hashes are boundary-independent by construction). The
-    # max(2, ...) floor keeps 1-core sessions on the valid-arity path.
-    nb = max(2, spark.sparkContext.defaultParallelism)
-    bnd = rk.shared_boundaries(
-        u, ["recency", "frequency", "monetary_d"], n_buckets=nb
-    )
-    # each scoring pass sits behind its own lazy checkpoint: pass k+1's
-    # bucket exchange would otherwise replay pass k's full window/join
-    # subtree (only u was materialized), tripling the bucket stages per
-    # action (round-13 review finding)
-    s = rk.with_global_ranks(
-        u, "recency", ("user_id",), ntile={"r_score": 5},
-        boundaries=bnd.select("recency"), n_buckets=nb,
-    )
+    # Boundary strategy (round-14 A/B, AB_rfm_boundaries_r14.json):
+    # folding the three boundary scans into ONE shared aggregate via
+    # with_global_ranks(boundaries=) was built, property-tested, and
+    # REJECTED for this query — the per-user frame is small, so the
+    # saved scans (~10-50ms each against the checkpointed aggregate)
+    # cost less than the shared path's ~6 extra job launches (one
+    # checkpoint materialization + three one-row guard aggs + three
+    # broadcast builds), a 0.5-1s net loss at sf0.1. Each pass
+    # self-computes its boundary array inside its own broadcast build;
+    # shared_boundaries remains the right tool where the ranked frame
+    # is large enough that k boundary scans dominate k*6 job launches.
+    # Each scoring pass sits behind its own lazy checkpoint: pass
+    # k+1's boundary scan + bucket exchange would otherwise replay
+    # pass k's full window/join subtree (only u was materialized),
+    # tripling the bucket stages per action (round-13 review finding).
+    s = rk.with_global_ranks(u, "recency", ("user_id",), ntile={"r_score": 5})
     s = s.localCheckpoint(eager=False)
-    s = rk.with_global_ranks(
-        s, "frequency", ("user_id",), ntile={"f_score": 5},
-        boundaries=bnd.select("frequency"), n_buckets=nb,
-    )
+    s = rk.with_global_ranks(s, "frequency", ("user_id",), ntile={"f_score": 5})
     s = s.localCheckpoint(eager=False)
-    s = rk.with_global_ranks(
-        s, "monetary_d", ("user_id",), ntile={"m_score": 5},
-        boundaries=bnd.select("monetary_d"), n_buckets=nb,
-    )
+    s = rk.with_global_ranks(s, "monetary_d", ("user_id",), ntile={"m_score": 5})
     s = s.select("user_id", "monetary_d", "r_score", "f_score", "m_score")
     return (
         s.groupBy("r_score", "f_score", "m_score")
