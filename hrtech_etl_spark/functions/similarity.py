@@ -1244,3 +1244,36 @@ def kmeans_lloyd(
         )
         .orderBy("s", "cid")
     )
+
+
+def pq_codebook_from_kmeans(
+    centroids: DataFrame, *, m: int = 8, ksub: int = 16
+) -> DataFrame:
+    """Adapt a :func:`kmeans_lloyd` centroid table into the one-row
+    broadcast ``__cb`` codebook every PQ plan consumes
+    (:func:`pq_encode` / :func:`pq_adc_topk` / :func:`pq_rerank_topk`)
+    — the glue that makes the DETERMINISTIC, engine-portable trainer a
+    drop-in replacement for the seed-vector and Spark-ML codebooks:
+    train once, reproducibly, then serve through the unchanged
+    compressed-scan cascade. Same driver-side-artifact contract as
+    :func:`pq_codebook` (one bounded collect of m × ksub × dsub
+    doubles — a few KiB of model state, never data); a centroid table
+    that is not exactly the full (s, cid) grid raises loudly rather
+    than mis-indexing codes."""
+    rows = centroids.select("s", "cid", "centroid").collect()
+    by = {
+        (r["s"], r["cid"]): [float(x) for x in r["centroid"]] for r in rows
+    }
+    want = {(s, j) for s in range(m) for j in range(ksub)}
+    if len(rows) != m * ksub or set(by) != want:
+        raise ValueError(
+            f"pq_codebook_from_kmeans: expected the full {m}x{ksub} "
+            f"(s, cid) grid exactly once, got {len(rows)} rows over "
+            f"{len(by)} distinct keys"
+        )
+    cb = [[by[(s, j)] for j in range(ksub)] for s in range(m)]
+    return F.broadcast(
+        centroids.sparkSession.createDataFrame(
+            [(cb,)], "`__cb` ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+        )
+    )

@@ -157,3 +157,33 @@ def test_kmeans_lloyd_guards(spark):
         kmeans_lloyd(df, m=2, ksub=2, dim=4, iters=1)
     with pytest.raises(ValueError, match="not divisible"):
         kmeans_lloyd(df, m=3, ksub=1, dim=4, iters=1)
+
+
+def test_lloyd_codebook_drives_pq_serving_cascade(spark, sf_dir):
+    """The portable trainer is a drop-in quantizer: kmeans_lloyd →
+    pq_codebook_from_kmeans → encode → ADC shortlist → exact rerank,
+    all through the unchanged PQ plans."""
+    import pytest
+
+    from hrtech_etl_spark.functions.similarity import (
+        kmeans_lloyd,
+        pq_codebook_from_kmeans,
+        pq_encode,
+        pq_rerank_topk,
+    )
+    from hrtech_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    km = kmeans_lloyd(emb, m=8, ksub=16, dim=64, iters=3)
+    cb = pq_codebook_from_kmeans(km, m=8, ksub=16)
+    enc = pq_encode(emb, cb)
+    q = emb.where("vec_id = 0")
+    top = pq_rerank_topk(emb, enc, cb, q, k=10, shortlist=100).collect()
+    assert len(top) == 10
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and top[0]["dist2"] == 0.0  # exact rerank finds self
+    assert len(set(ids)) == 10
+
+    # grid-shape guard: a missing centroid row must raise, not mis-index
+    with pytest.raises(ValueError, match="grid"):
+        pq_codebook_from_kmeans(km.where("cid <> 3"), m=8, ksub=16)
