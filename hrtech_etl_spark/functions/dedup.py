@@ -1046,12 +1046,41 @@ def merged_signature_pairs(
     # projection and re-run the minhash fold per row — the round-13
     # minhash_lsh_pairs trap; minhash_signature_table already emits no
     # NULLs, so for in-plan composition this branch never fires.
+    # length guard, same raise_error-on-projection pattern as the
+    # ranking boundaries check: a table persisted under a DIFFERENT
+    # hash-family width (say num_hashes=16) scored here under the
+    # default 8 would band only the first 8 positions while the
+    # zip_with estimator sums matches over all 16 — est_jaccard
+    # divided by the wrong denominator (values past 1.0), pairs
+    # silently mis-scored. The guard rides the band projection (one
+    # size() per row, no filter — a filter would be pushed into a
+    # live signature projection and re-run the minhash fold, the
+    # round-13 trap), so it costs nothing and fires loudly on the
+    # first wrong-width row.
     banded = merged.select(
         F.col(id_col),
         "__shard",
         "sig",
         F.posexplode(
             F.when(
+                F.col("sig").isNotNull()
+                & (F.size("sig") != F.lit(num_hashes)),
+                F.array(
+                    F.raise_error(
+                        F.format_string(
+                            "merged_signature_pairs: stored signature "
+                            "length %s != num_hashes=%s — this table "
+                            "was built under a different hash-family "
+                            "width; pass num_hashes= matching the "
+                            "stored signatures (minhash_signature_"
+                            "table default is 8)",
+                            F.size("sig").cast("string"),
+                            F.lit(str(num_hashes)),
+                        )
+                    ).cast("string")
+                ),
+            )
+            .when(
                 F.col("sig").isNotNull(),
                 F.array(*lsh_bands("sig", num_hashes, rows_per_band)),
             )

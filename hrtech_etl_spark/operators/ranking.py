@@ -80,12 +80,14 @@ _MAX_BUCKET_ROWS = 2**31 - 1
 _INTERNAL_COLS = ("__rb", "__lrn", "__lrk", "__ldr", "__cnt", "__ndv",
                   "__coff", "__doff", "__N", "__bnds")
 
-#: below this bucket count the plain linear fold BEATS the binary
-#: search (A/B at 5M rows, AB_rank_bucketing_r14.json: fold 0.65s vs
-#: bsearch 0.82s at 32 buckets; bsearch 8.1x faster at 512, 6.3x at
-#: 2048) — the probe bookkeeping costs more than ~64 straight-line
-#: comparisons. Both expressions are value-identical (the A/B asserts
-#: zero mismatching rows), so the switch is purely a cost choice.
+#: below this bucket count the plain linear fold is at worst a wash
+#: against the binary search (A/B at 5M rows,
+#: AB_rank_bucketing_r14.json: fold 0.790s vs bsearch 0.801s at 32
+#: buckets — a tie; bsearch 6.17x faster at 512, 10.62x at 2048) —
+#: the probe bookkeeping costs about as much as ~64 straight-line
+#: comparisons, so the simpler expression wins the small-n regime.
+#: Both expressions are value-identical (the A/B asserts zero
+#: mismatching rows), so the switch is purely a cost choice.
 _FOLD_MAX_BUCKETS = 64
 
 
@@ -262,6 +264,28 @@ def with_global_ranks(
                 raise ValueError(
                     "with_global_ranks: boundaries= must be a one-row, "
                     f"ONE-column frame, got columns {boundaries.columns}"
+                )
+            # eager dtype check (the _BUCKETABLE twin for the array
+            # side): a non-numeric element type — say an array<string>
+            # of labels grabbed from the wrong column — would
+            # element-cast to NULLs below, sail through the ascending
+            # check (NULLs trail after array_sort), and silently
+            # degrade to near-single-bucket load balance. Exactness
+            # never depends on boundaries, so the mistake would be
+            # invisible; fail it at the call instead. Numeric only:
+            # the contract is an array over the value-CAST-DOUBLE
+            # domain (shared_boundaries emits array<double>), so even
+            # date/timestamp order columns pass their boundaries as
+            # the already-cast doubles.
+            btype = boundaries.schema[boundaries.columns[0]].dataType
+            if not (
+                isinstance(btype, T.ArrayType)
+                and isinstance(btype.elementType, T.NumericType)
+            ):
+                raise ValueError(
+                    "with_global_ranks: boundaries= column must be an "
+                    "array of a NUMERIC type (the value_col-cast-"
+                    f"double domain), got {btype.simpleString()}"
                 )
             # one-row enforcement: a multi-row boundaries frame would
             # silently MULTIPLY df through the crossJoin (and an empty

@@ -3,6 +3,7 @@ safety, and the broadcast (zero-corpus-shuffle) join shape."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hrtech_etl_spark.functions import dedup as dd
@@ -233,3 +234,31 @@ def test_merged_signature_pairs_null_sig_hand_built(spark):
         [sigs], "doc_id", threshold=0.0, cross_shard_only=False
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+def test_merged_signature_pairs_wrong_width_raises(spark):
+    """A table persisted under a DIFFERENT num_hashes (here 16) scored
+    under the default 8 would band only the first 8 positions while the
+    estimator divides by 8 over 16 summed matches — est_jaccard > 1.0,
+    silently. The width guard must raise instead."""
+    from hrtech_etl_spark.functions.dedup import merged_signature_pairs
+
+    wide = spark.createDataFrame(
+        [(1, list(range(16))), (2, list(range(16)))],
+        "doc_id long, sig array<long>",
+    )
+    with pytest.raises(Exception, match="num_hashes"):
+        merged_signature_pairs(
+            [wide], "doc_id", threshold=0.0, cross_shard_only=False
+        ).collect()
+    # matching width passes the guard untouched
+    ok = spark.createDataFrame(
+        [(1, list(range(16))), (2, list(range(16)))],
+        "doc_id long, sig array<long>",
+    )
+    got = merged_signature_pairs(
+        [ok], "doc_id", threshold=0.0, cross_shard_only=False,
+        num_hashes=16,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    assert got[0]["est_jaccard"] == 1.0

@@ -268,6 +268,33 @@ def test_boundaries_guards(spark, skewed):
             boundaries=spark.createDataFrame([([1.0],)], "b ARRAY<DOUBLE>"),
             n_buckets=1,
         )
+    # wrong-dtype column (array<string> of labels): would element-cast
+    # to NULLs and silently degrade to one bucket — must raise EAGERLY
+    # (no .collect() here, the check runs at the call)
+    labels = spark.createDataFrame([(["lo", "hi"],)], "b ARRAY<STRING>")
+    with pytest.raises(ValueError, match="NUMERIC"):
+        with_global_ranks(
+            skewed, "val", ("id",), row_number="rn",
+            boundaries=labels, n_buckets=3,
+        )
+    not_array = spark.createDataFrame([(1.0,)], "b DOUBLE")
+    with pytest.raises(ValueError, match="NUMERIC"):
+        with_global_ranks(
+            skewed, "val", ("id",), row_number="rn",
+            boundaries=not_array, n_buckets=3,
+        )
+    # any NUMERIC element type is fine (element-cast to double is
+    # lossless here): array<int> boundaries must pass the eager check
+    # and leave values identical to the self-computed path
+    ints = spark.createDataFrame([([3, 29],)], "b ARRAY<INT>")
+    got = with_global_ranks(
+        skewed, "val", ("id",), row_number="rn",
+        boundaries=ints, n_buckets=3,
+    )
+    ref = with_global_ranks(skewed, "val", ("id",), row_number="rn")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
 
 
 def test_null_boundary_array_single_bucket(spark, skewed):
