@@ -7837,19 +7837,23 @@ def dedup_signature_merge(spark, sf_dir):
 _KM_M, _KM_KSUB, _KM_DIM, _KM_ITERS = 8, 16, 64, 5
 
 
-def _kmeans_lloyd_sql(
+def _kmeans_lloyd_ctes(
     m: int = _KM_M,
     ksub: int = _KM_KSUB,
     dim: int = _KM_DIM,
     iters: int = _KM_ITERS,
-) -> str:
-    """DuckDB replay of functions/similarity.py::kmeans_lloyd — the
-    training unrolled as ``iters`` CTE rounds (the corpus_bpe_tokenize
-    technique applied to an iterative NUMERIC algorithm): per round,
-    argmin assignment over fixed-order round-6 IEEE distances with the
-    min(struct) tie-break, then DECIMAL(18,6) component sums divided
-    back to round-6 double centroids; empty clusters keep the previous
-    centroid via the LEFT JOIN coalesce."""
+) -> tuple[list[str], str]:
+    """Shared CTE chain replaying functions/similarity.py::kmeans_lloyd
+    in DuckDB — the training unrolled as ``iters`` CTE rounds (the
+    corpus_bpe_tokenize technique applied to an iterative NUMERIC
+    algorithm): per round, argmin assignment over fixed-order round-6
+    IEEE distances with the min(struct) tie-break, then DECIMAL(18,6)
+    component sums divided back to round-6 double centroids; empty
+    clusters keep the previous centroid via the LEFT JOIN coalesce.
+    Returns ``(ctes, argmin)`` ending at the trained-centroid table
+    ``it{iters}`` so both the training gate (`sim_kmeans_lloyd`) and
+    the serving-cascade gate (`sim_pq_lloyd_serve`) build on ONE
+    statement of the training math."""
     dsub = dim // m
     vd = VEC_DOUBLE.format(v="embedding")
     pts_branches = " UNION ALL ".join(
@@ -7889,14 +7893,25 @@ def _kmeans_lloyd_sql(
             f"coalesce(m.c, t.c) AS c FROM it{t - 1} t "
             f"LEFT JOIN m{t} m ON t.s = m.s AND t.cid = m.cid)"
         )
-    ctes.append(
+    return ctes, argmin
+
+
+def _kmeans_lloyd_sql(
+    m: int = _KM_M,
+    ksub: int = _KM_KSUB,
+    dim: int = _KM_DIM,
+    iters: int = _KM_ITERS,
+) -> str:
+    """The training gate's full statement: the shared CTE chain plus a
+    final assignment pass counting ``n_assigned`` under the FINAL
+    centroids (empty clusters coalesce to 0)."""
+    ctes, argmin = _kmeans_lloyd_ctes(m, ksub, dim, iters)
+    ctes = ctes + [
         f"af AS (SELECT p.id, p.s, {argmin} AS cid FROM pts p "
-        f"JOIN it{iters} t ON p.s = t.s GROUP BY p.id, p.s)"
-    )
-    ctes.append(
+        f"JOIN it{iters} t ON p.s = t.s GROUP BY p.id, p.s)",
         "cf AS (SELECT s, cid, CAST(count(*) AS BIGINT) AS n_assigned "
-        "FROM af GROUP BY s, cid)"
-    )
+        "FROM af GROUP BY s, cid)",
+    ]
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT CAST(t.s AS INT) AS s, t.cid AS cid, t.c AS centroid, "
@@ -7927,4 +7942,113 @@ def sim_kmeans_lloyd(spark, sf_dir):
     e = load_table(spark, "embeddings", sf_dir)
     return kmeans_lloyd(
         e, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, iters=_KM_ITERS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd-trained PQ serving cascade: train -> adapt -> encode -> ADC -> rerank
+# under ONE value gate (round 15 — closes the train-to-serve ANN path)
+# ---------------------------------------------------------------------------
+
+def _pq_lloyd_serve_sql(
+    m: int = _KM_M,
+    ksub: int = _KM_KSUB,
+    dim: int = _KM_DIM,
+    iters: int = _KM_ITERS,
+    shortlist: int = 100,
+    k: int = 10,
+) -> str:
+    """DuckDB replay of the WHOLE trained-PQ serving cascade: the
+    shared `_kmeans_lloyd_ctes` training rounds produce the centroid
+    table, which then drives the sim_pq_topk/sim_pq_rerank_topk
+    serving fragments — encode (argmin of round-6 L2 between the RAW
+    subvector and the round-6 trained centroid, lowest-cid tie-break),
+    ADC ordering with the id tiebreak, shortlist boundary, and the
+    exact flat-chain re-rank. The only new SQL vs the two parent
+    oracles is the join shape: centroids live as (s, cid, c) rows (the
+    trainer's output grid), so codes pivot to columns via max(CASE)
+    and each subspace joins its own cb alias — value-identical to the
+    seed-codebook fragments' full-vector indexing."""
+    dsub = dim // m
+    if dsub != _PQ_DSUB:
+        raise ValueError("serve cascade reuses _PQ_FLAT_L2: dsub must match")
+    ctes, _ = _kmeans_lloyd_ctes(m, ksub, dim, iters)
+    # encode reads the UNROUNDED subvector (pq_encode slices the raw
+    # cast-double vector; only the TRAINING points are round-6)
+    rp_branches = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {s} AS s, ["
+        + ", ".join(f"v[{s * dsub + i + 1}]" for i in range(dsub))
+        + "] AS x FROM e"
+        for s in range(m)
+    )
+    enc_dist = " + ".join(
+        f"(p.x[{i + 1}] - t.c[{i + 1}]) * (p.x[{i + 1}] - t.c[{i + 1}])"
+        for i in range(dsub)
+    )
+    enc_argmin = "min({'d': round(" + enc_dist + ", 6), 'j': t.cid})['j']"
+    code_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS code{s}" for s in range(m)
+    )
+    cb_joins = " ".join(
+        f"JOIN it{iters} c{s} ON c{s}.s = {s} AND c{s}.cid = c.code{s}"
+        for s in range(m)
+    )
+    # per-subspace parens match pq_adc_topk's accumulation: each
+    # subspace's left-fold L2 completes before joining the outer sum
+    adc_groups = " + ".join(
+        "("
+        + " + ".join(
+            f"(q.v[{s * dsub + i + 1}] - c{s}.c[{i + 1}]) * "
+            f"(q.v[{s * dsub + i + 1}] - c{s}.c[{i + 1}])"
+            for i in range(dsub)
+        )
+        + ")"
+        for s in range(m)
+    )
+    ctes = ctes + [
+        f"rp AS MATERIALIZED ({rp_branches})",
+        f"asg AS MATERIALIZED (SELECT p.id, p.s, {enc_argmin} AS code "
+        f"FROM rp p JOIN it{iters} t ON p.s = t.s GROUP BY p.id, p.s)",
+        f"codes AS (SELECT id AS vec_id, {code_cols} FROM asg GROUP BY id)",
+        "q AS (SELECT v FROM e WHERE vec_id = 0)",
+        f"adc AS (SELECT c.vec_id, round({adc_groups}, 6) AS adist "
+        f"FROM codes c {cb_joins} CROSS JOIN q)",
+        f"short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id "
+        f"LIMIT {shortlist})",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT e.vec_id, round({_PQ_FLAT_L2}, 6) AS dist2 "
+        f"FROM e JOIN short USING (vec_id) CROSS JOIN q "
+        f"ORDER BY dist2, e.vec_id LIMIT {k}"
+    )
+
+
+@query("sim_pq_lloyd_serve", sql=_pq_lloyd_serve_sql())
+def sim_pq_lloyd_serve(spark, sf_dir):
+    """The fully value-locked train→serve ANN path: kmeans_lloyd
+    trains the per-subspace centroids deterministically,
+    pq_codebook_from_kmeans adapts them into the broadcast ``__cb``
+    artifact, and the UNCHANGED compressed-scan cascade serves the
+    query — pq_encode (8 codes/vector), pq_adc_topk shortlist of 100
+    over codes alone, exact re-rank to top-10
+    (functions/similarity.py:1089,1249,487,552,641). sim_pq_topk and
+    sim_pq_rerank_topk gate the serving math under the deterministic
+    seed codebook; sim_kmeans_lloyd gates the trainer; this entry
+    composes them so a TRAINED quantizer's end-to-end answer is
+    reproduced bit-for-bit by an independent engine — the final close
+    of the 'trained ANN can't be value-gated' caveat
+    (`sim_pq_trained_recall` stays as the Spark-ML production
+    canary). Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = sim.kmeans_lloyd(
+        e, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, iters=_KM_ITERS
+    )
+    cb = sim.pq_codebook_from_kmeans(cents, m=_KM_M, ksub=_KM_KSUB)
+    enc = sim.pq_encode(e, cb, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.pq_rerank_topk(
+        e, enc, cb, q, k=10, shortlist=100, m=_KM_M, dim=_KM_DIM
     )
