@@ -998,6 +998,115 @@ def minhash_signature_table(
     return keyed_barrier(sig, id_col, factor=2)
 
 
+#: hash-family/schema version stamped into persisted signature tables —
+#: bump if the portable minhash math or the table layout ever changes
+#: incompatibly, so old stored shards fail loudly instead of silently
+#: merging under different signature semantics
+SIGNATURE_TABLE_VERSION = 1
+
+
+def _sig_meta_tag(num_hashes: int, shingle_k: int) -> str:
+    """The self-describing per-row tag a persisted signature table
+    carries: version + hash-family width + shingle size. Constant per
+    table, so parquet dictionary/RLE encodes it to ~nothing."""
+    return f"sigv{SIGNATURE_TABLE_VERSION}:h{num_hashes}:k{shingle_k}"
+
+
+def write_signature_table(
+    sig: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 2,
+    mode: str = "error",
+) -> None:
+    """Persist a :func:`minhash_signature_table` frame as parquet with
+    its hash-family parameters PINNED IN the data (a ``sig_meta``
+    string column — constant, so it compresses to nothing). This is
+    the federated contract's write half: shards sign locally, store
+    64 bytes/doc, and any later :func:`read_signature_table` of the
+    stored table must state the SAME (version, num_hashes, shingle_k)
+    or fail loudly. Without the pin, a shard signed under shingle_k=3
+    merged against k=2 tables would produce silently-garbage Jaccard
+    estimates — same width, different shingle space, nothing else to
+    catch it. Schema is asserted eagerly: exactly ``(id_col, sig
+    array<bigint>)``."""
+    from pyspark.sql import types as T
+
+    if set(sig.columns) != {id_col, "sig"}:
+        raise ValueError(
+            "write_signature_table: expected exactly columns "
+            f"({id_col!r}, 'sig'), got {sig.columns}"
+        )
+    stype = sig.schema["sig"].dataType
+    if not (
+        isinstance(stype, T.ArrayType)
+        and isinstance(stype.elementType, T.LongType)
+    ):
+        raise ValueError(
+            "write_signature_table: 'sig' must be array<bigint> "
+            f"(minhash_signature_table output), got {stype.simpleString()}"
+        )
+    sig.select(
+        F.col(id_col),
+        "sig",
+        F.lit(_sig_meta_tag(num_hashes, shingle_k)).alias("sig_meta"),
+    ).write.mode(mode).parquet(path)
+
+
+def read_signature_table(
+    spark,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Read a persisted signature table back for merging — the
+    federated contract's read half. The declared (version, num_hashes,
+    shingle_k) must match what :func:`write_signature_table` stamped:
+    the schema (presence + types of ``sig``/``sig_meta``) is checked
+    EAGERLY at the call, and the tag value is guarded per row on the
+    scan itself (the raise_error-on-projection pattern — no extra job,
+    fires on the first mismatched row). Returns ``(id_col, sig)``
+    ready for :func:`merged_signature_pairs`."""
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(path)
+    missing = {id_col, "sig", "sig_meta"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"read_signature_table: {sorted(missing)} missing from "
+            f"{path} — not a write_signature_table output (pre-"
+            "versioned or foreign parquet; re-sign the shard)"
+        )
+    stype = df.schema["sig"].dataType
+    if not (
+        isinstance(stype, T.ArrayType)
+        and isinstance(stype.elementType, T.LongType)
+    ):
+        raise ValueError(
+            f"read_signature_table: 'sig' in {path} is "
+            f"{stype.simpleString()}, expected array<bigint>"
+        )
+    tag = _sig_meta_tag(num_hashes, shingle_k)
+    guarded = F.when(F.col("sig_meta") == tag, F.col("sig")).otherwise(
+        F.array(
+            F.raise_error(
+                F.format_string(
+                    "read_signature_table: stored tag %s != declared "
+                    f"{tag} — this table was signed under a different "
+                    "hash family; pass the num_hashes/shingle_k it "
+                    "was written with",
+                    F.coalesce(F.col("sig_meta"), F.lit("<null>")),
+                )
+            ).cast("long")
+        )
+    )
+    return df.select(F.col(id_col), guarded.alias("sig"))
+
+
 def merged_signature_pairs(
     parts: list[DataFrame],
     id_col: str,
