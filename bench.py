@@ -146,6 +146,19 @@ EXTENDED = [
     # re-times already-benched stages through one lineage)
     "dedup_signature_merge",
     "sim_kmeans_lloyd",
+    # round 15
+    "sim_pq_lloyd_serve",
+]
+
+#: The capstone compositions, deliberately OUT of the extended list
+#: (they re-time already-benched stages through one lineage) but timed
+#: once per round via ``python bench.py --capstone`` so a composition-
+#: level regression — say an accidental double-materialization inside
+#: the 11-stage pipeline — is visible even though every stage benches
+#: clean individually. The record commits as CAPSTONE_r{N}.json.
+CAPSTONES = [
+    "corpus_prepare_training",
+    "corpus_prepare_training_v2",
 ]
 
 
@@ -339,5 +352,69 @@ def main() -> None:
     print(line)
 
 
+def capstone_main() -> None:
+    """`python bench.py --capstone`: time the capstone compositions
+    only (1 untimed warm-up + 2 timed runs each, min + median), with
+    the same calibration/normalization contract as the main bench.
+    Writes CAPSTONE_out.json; the round commits it as
+    CAPSTONE_r{N}.json."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    loadavg_start = round(os.getloadavg()[0], 2)
+    spark = get_spark(app_name="hrtech-etl-spark-capstone-bench")
+    REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
+    cal_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
+        cal_runs.append(time.perf_counter() - t0)
+    cal_sorted = sorted(cal_runs)
+    cal_median = cal_sorted[len(cal_sorted) // 2]
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name in CAPSTONES:
+        REGISTRY[name].fn(spark, sf_dir).count()  # codegen warm-up
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+    total = round(sum(timings.values()), 3)
+    record = {
+        "metric": "capstone_wall_time",
+        "value": total,
+        "value_normalized": round(total / cal_median, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "calibration": {
+            "query": "sort_topk_global",
+            "runs": [round(t, 3) for t in cal_runs],
+            "median": round(cal_median, 3),
+            "spread": round(cal_sorted[-1] / cal_sorted[0], 2),
+        },
+        "loadavg_start": loadavg_start,
+        "contended": bool(
+            loadavg_start > 1.5
+            or cal_sorted[-1] / cal_sorted[0] > 2.5
+        ),
+        "sf": sf,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "CAPSTONE_out.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(record))
+
+
 if __name__ == "__main__":
-    main()
+    if "--capstone" in sys.argv[1:]:
+        capstone_main()
+    else:
+        main()
