@@ -1907,10 +1907,27 @@ def shingle_containment_pairs(
     internally consistent. One shingle exchange + one pair exchange,
     partial-aggregated; candidate fan-out is bounded by
     ``max_doc_freq²`` per shingle.
+
+    The empty-set drop is stated on the INPUT as ``size(tokens) >=
+    shingle_k`` (equivalent: a doc has a word k-shingle iff it has
+    >= k tokens; k=1 keeps the empty token either way), NOT as
+    ``size(sh) > 0`` on the projected column — Catalyst pushes a
+    projected-column filter below the spread's round-robin exchange
+    onto the (locally narrow) scan, re-evaluating the whole shingle
+    expression (6 splits + zip_with + md5 per row) a second time,
+    single-threaded, before the widening exchange the heavy
+    projection exists behind. With the cheap restatement the pushed
+    filter IS the optimization. Value-identical on the full pair
+    frame and timing-neutral at sf0.1 (the entry is job-launch-bound
+    at 5k docs — AB_containment_r15.json, which also measures and
+    REJECTS a collect_list-per-shingle backend); the win is the 2x
+    heavy-expression evaluation and the narrow-scan serialization at
+    real corpus sizes.
     """
     sh = hashed_shingles(word_shingles(F.col(text_col), k=shingle_k))
-    sets_ = spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
-    sets_ = keyed_barrier(sets_.where(F.size("sh") > 0), "id")
+    pre = df.where(F.size(tokens(F.col(text_col))) >= shingle_k)
+    sets_ = spread(pre).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    sets_ = keyed_barrier(sets_, "id")
     ex = sets_.select("id", F.explode("sh").alias("shv"))
     keep = (
         ex.groupBy("shv")

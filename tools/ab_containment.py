@@ -1,0 +1,212 @@
+"""A/B: shingle_containment_pairs formulations (round-15 perf task).
+
+The shipped plan (round-14 verdict's heaviest non-adjudicated
+incumbent, ~2.5s quiet-host at sf0.1) carries a trap the executed plan
+exposed: ``.where(F.size("sh") > 0)`` on the PROJECTED shingle column
+is pushed by Catalyst below the spread's round-robin exchange onto the
+narrow parquet scan — the full shingle expression (6 splits + zip_with
++ md5 per row) evaluates TWICE, once of those single-threaded before
+any exchange. Variants measured here, all in ONE session over the
+gate's real sf-dir input:
+
+  A. shipped  — functions.dedup.shingle_containment_pairs as-is.
+  B. prefilter — the size guard restated as the CHEAP equivalent
+     ``size(tokens) >= shingle_k`` on the INPUT (for k>=2 a doc has a
+     shingle iff it has >= k tokens; k=1 keeps the empty token, same
+     as size(sh)>0), so pushdown to the scan is now a feature;
+     backend (doc-freq valve join + shingle self-join) unchanged.
+  C. grouped  — B's frontend + the self-join replaced by ONE
+     collect_list-per-shingle aggregate: the valve becomes a size()
+     filter on the grouped row, pairs explode from in-row index
+     combinations (fan-out still bounded by max_doc_freq² per
+     shingle), sizes derive from the same grouped frame.
+
+All variants must agree on the FULL pair frame (exceptAll both ways
+empty), not just the gate's top-50. Writes AB_containment_r15.json.
+
+    python tools/ab_containment.py [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hrtech_etl_spark.core.partitioning import keyed_barrier, spread  # noqa: E402
+from hrtech_etl_spark.core.session import get_spark  # noqa: E402
+from hrtech_etl_spark.functions.dedup import (  # noqa: E402
+    hashed_shingles,
+    shingle_containment_pairs,
+    word_shingles,
+)
+from hrtech_etl_spark.functions.text import tokens  # noqa: E402
+from hrtech_etl_spark.sources.testdata import load_table  # noqa: E402
+
+K, THRESHOLD, MAX_DF = 3, 0.5, 16
+
+
+def _frontend_prefilter(df, text_col, id_col):
+    """B/C frontend: cheap token-count filter on the INPUT (pushes to
+    the scan), shingle projection evaluated exactly once behind the
+    barrier."""
+    pre = df.where(F.size(tokens(F.col(text_col))) >= K)
+    sh = hashed_shingles(word_shingles(F.col(text_col), k=K))
+    sets_ = spread(pre).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    sets_ = keyed_barrier(sets_, "id")
+    return sets_.select("id", F.explode("sh").alias("shv"))
+
+
+def _backend_join(ex):
+    """The shipped backend: doc-freq valve join + shingle self-join."""
+    keep = (
+        ex.groupBy("shv")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .where(F.col("dfreq") <= MAX_DF)
+        .select("shv")
+    )
+    ex2 = ex.join(keep, "shv")
+    sizes = ex2.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex2.alias("a"), ex2.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shv") == F.col("b.shv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter, sizes
+
+
+def _backend_grouped(ex):
+    """C backend: one collect_list aggregate per shingle; valve = a
+    size() filter on the grouped row; pairs from in-row index
+    combinations; sizes from the same grouped frame."""
+    g = (
+        ex.groupBy("shv")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") <= MAX_DF)
+    )
+    sizes = (
+        g.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs = (
+        g.where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    return inter, sizes
+
+
+def _finish(inter, sizes):
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                4,
+            ),
+        )
+        .where(F.col("containment") >= THRESHOLD)
+        .select("id_a", "id_b", "inter", "containment")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="ab-containment")
+    docs = load_table(spark, "documents", args.sf_dir)
+
+    def variant_a():
+        return shingle_containment_pairs(
+            docs, "text", "doc_id", shingle_k=K, threshold=THRESHOLD,
+            max_doc_freq=MAX_DF,
+        )
+
+    def variant_b():
+        return _finish(*_backend_join(_frontend_prefilter(docs, "text", "doc_id")))
+
+    def variant_c():
+        return _finish(*_backend_grouped(_frontend_prefilter(docs, "text", "doc_id")))
+
+    variants = {"A_shipped": variant_a, "B_prefilter": variant_b,
+                "C_grouped": variant_c}
+
+    # equivalence on the FULL pair frame, both directions
+    frames = {k: fn() for k, fn in variants.items()}
+    base = frames["A_shipped"]
+    for name, fr in frames.items():
+        if name == "A_shipped":
+            continue
+        extra = fr.exceptAll(base).count()
+        missing = base.exceptAll(fr).count()
+        assert extra == 0 and missing == 0, (
+            f"{name} disagrees with shipped: +{extra}/-{missing} pairs"
+        )
+
+    record = {"sf_dir": args.sf_dir, "reps": args.reps, "timings": {}}
+    for name, fn in variants.items():
+        fn().agg(F.count(F.lit(1)), F.sum("inter")).collect()  # warm
+        runs = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            fn().agg(F.count(F.lit(1)), F.sum("inter")).collect()
+            runs.append(round(time.time() - t0, 3))
+        record["timings"][name] = {
+            "runs": runs, "min": min(runs),
+            "median": sorted(runs)[len(runs) // 2],
+        }
+        print(name, record["timings"][name], flush=True)
+    a = record["timings"]["A_shipped"]["min"]
+    for name in ("B_prefilter", "C_grouped"):
+        record["timings"][name]["speedup_vs_shipped"] = round(
+            a / record["timings"][name]["min"], 2
+        )
+    record["pairs_identical"] = True
+    record["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "AB_containment_r15.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
