@@ -1062,6 +1062,7 @@ def read_signature_table(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 2,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Read a persisted signature table back for merging — the
     federated contract's read half. The declared (version, num_hashes,
@@ -1070,11 +1071,14 @@ def read_signature_table(
     EAGERLY at the call, and the tag value is guarded per row on the
     scan itself (the raise_error-on-projection pattern — no extra job,
     fires on the first mismatched row). Returns ``(id_col, sig)``
-    ready for :func:`merged_signature_pairs`."""
+    ready for :func:`merged_signature_pairs`. ``extra_cols`` carries
+    named additional columns through (e.g. a ``batch=`` partition
+    column a store laid out per-ingest-batch discovers — the streaming
+    sink filters on it to probe only strictly-earlier batches)."""
     from pyspark.sql import types as T
 
     df = spark.read.parquet(path)
-    missing = {id_col, "sig", "sig_meta"} - set(df.columns)
+    missing = {id_col, "sig", "sig_meta", *extra_cols} - set(df.columns)
     if missing:
         raise ValueError(
             f"read_signature_table: {sorted(missing)} missing from "
@@ -1104,7 +1108,65 @@ def read_signature_table(
             ).cast("long")
         )
     )
-    return df.select(F.col(id_col), guarded.alias("sig"))
+    return df.select(
+        F.col(id_col), guarded.alias("sig"), *[F.col(c) for c in extra_cols]
+    )
+
+
+def _guarded_band_explode(num_hashes: int, rows_per_band: int):
+    """The shared band projection for STORED/persisted signature
+    columns: posexplode of the band buckets with (a) the NULL-sig
+    defense (posexplode of NULL emits no rows — without it concat_ws
+    would collapse every NULL signature into one shared md5('')
+    bucket) and (b) the width guard (a table persisted under a
+    different num_hashes banding only a prefix while the estimator
+    sums all positions would mis-scale est_jaccard past 1.0 — raise
+    loudly instead). Both ride the projection, never a filter — a
+    filter would be pushed into a live signature projection and
+    re-run the minhash fold per row (the round-13 trap)."""
+    return F.posexplode(
+        F.when(
+            F.col("sig").isNotNull()
+            & (F.size("sig") != F.lit(num_hashes)),
+            F.array(
+                F.raise_error(
+                    F.format_string(
+                        "signature table: stored signature length %s "
+                        f"!= num_hashes={num_hashes} — this table was "
+                        "built under a different hash-family width; "
+                        "pass num_hashes= matching the stored "
+                        "signatures (minhash_signature_table default "
+                        "is 8)",
+                        F.size("sig").cast("string"),
+                    )
+                ).cast("string")
+            ),
+        )
+        .when(
+            F.col("sig").isNotNull(),
+            F.array(*lsh_bands("sig", num_hashes, rows_per_band)),
+        )
+    )
+
+
+def _sig_match_fraction(num_hashes: int) -> Column:
+    """est_jaccard from two signature columns ``__sa``/``__sb``: the
+    fraction of matching minhash positions, the textbook unbiased
+    Jaccard estimator, round-4 (the oracle states the same sum of
+    position-equality flags over ``num_hashes``)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                "__sa",
+                "__sb",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+        4,
+    )
 
 
 def merged_signature_pairs(
@@ -1155,45 +1217,13 @@ def merged_signature_pairs(
     # projection and re-run the minhash fold per row — the round-13
     # minhash_lsh_pairs trap; minhash_signature_table already emits no
     # NULLs, so for in-plan composition this branch never fires.
-    # length guard, same raise_error-on-projection pattern as the
-    # ranking boundaries check: a table persisted under a DIFFERENT
-    # hash-family width (say num_hashes=16) scored here under the
-    # default 8 would band only the first 8 positions while the
-    # zip_with estimator sums matches over all 16 — est_jaccard
-    # divided by the wrong denominator (values past 1.0), pairs
-    # silently mis-scored. The guard rides the band projection (one
-    # size() per row, no filter — a filter would be pushed into a
-    # live signature projection and re-run the minhash fold, the
-    # round-13 trap), so it costs nothing and fires loudly on the
-    # first wrong-width row.
     banded = merged.select(
         F.col(id_col),
         "__shard",
         "sig",
-        F.posexplode(
-            F.when(
-                F.col("sig").isNotNull()
-                & (F.size("sig") != F.lit(num_hashes)),
-                F.array(
-                    F.raise_error(
-                        F.format_string(
-                            "merged_signature_pairs: stored signature "
-                            "length %s != num_hashes=%s — this table "
-                            "was built under a different hash-family "
-                            "width; pass num_hashes= matching the "
-                            "stored signatures (minhash_signature_"
-                            "table default is 8)",
-                            F.size("sig").cast("string"),
-                            F.lit(str(num_hashes)),
-                        )
-                    ).cast("string")
-                ),
-            )
-            .when(
-                F.col("sig").isNotNull(),
-                F.array(*lsh_bands("sig", num_hashes, rows_per_band)),
-            )
-        ).alias("band_idx", "bucket"),
+        _guarded_band_explode(num_hashes, rows_per_band).alias(
+            "band_idx", "bucket"
+        ),
     )
     if max_bucket_size is not None:
         sizes = banded.groupBy("band_idx", "bucket").count()
@@ -1221,21 +1251,57 @@ def merged_signature_pairs(
     )
     if cross_shard_only:
         cand = cand.where(F.col("shard_a") != F.col("shard_b"))
-    est = F.round(
-        F.aggregate(
-            F.zip_with(
-                "__sa",
-                "__sb",
-                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / F.lit(float(num_hashes)),
-        4,
+    return (
+        cand.withColumn("est_jaccard", _sig_match_fraction(num_hashes))
+        .where(F.col("est_jaccard") >= threshold)
+        .drop("__sa", "__sb")
+    )
+
+
+def signature_probe_pairs(
+    store_sig: DataFrame,
+    batch_sig: DataFrame,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """ASYMMETRIC signature probe: near-dup pairs between a small
+    ingest batch and a large persisted signature store, shaped so the
+    STORE IS NEVER SHUFFLED — its banded projection stays a scan-side
+    map, and the batch's bands (a few buckets per doc) broadcast into
+    the join, the same zero-corpus-shuffle contract as
+    :func:`drop_near_duplicates_incremental`'s index probe.
+    :func:`merged_signature_pairs` is the symmetric peer-to-peer merge
+    (both sides band-shuffled); this is the 1000-batches-a-day path
+    where re-shuffling a 100 TB store per micro-batch would be the
+    bottleneck. Same hash-family guards, same estimator.
+
+    Returns ``(store_id, batch_id, est_jaccard)`` with ``est_jaccard
+    >= threshold``, distinct. Ids may overlap between store and batch
+    (a re-ingested doc pairs with its stored self at est 1.0)."""
+    sb = store_sig.select(
+        F.col(id_col).alias("store_id"),
+        F.col("sig").alias("__sa"),
+        _guarded_band_explode(num_hashes, rows_per_band).alias(
+            "band_idx", "bucket"
+        ),
+    )
+    bb = batch_sig.select(
+        F.col(id_col).alias("batch_id"),
+        F.col("sig").alias("__sb"),
+        _guarded_band_explode(num_hashes, rows_per_band).alias(
+            "band_idx", "bucket"
+        ),
+    )
+    cand = (
+        sb.join(F.broadcast(bb), ["band_idx", "bucket"])
+        .select("store_id", "batch_id", "__sa", "__sb")
+        .dropDuplicates(["store_id", "batch_id"])
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.withColumn("est_jaccard", _sig_match_fraction(num_hashes))
         .where(F.col("est_jaccard") >= threshold)
         .drop("__sa", "__sb")
     )

@@ -639,3 +639,115 @@ def foreach_batch_ewma(
         _swap_in(spark, staged, target)
 
     return sink
+
+
+def foreach_batch_signature_dedup(
+    sig_store_path: str,
+    clean_path: str,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 2,
+    metrics: StreamMetrics | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: STREAMING near-dup ingest over the mergeable
+    signature tables — the streaming sibling of
+    ``functions/dedup.py::drop_near_duplicates_incremental``, for the
+    federated regime where even hashed shingle sets are too heavy to
+    keep and only the 64-byte-per-doc signature store persists.
+
+    Per micro-batch: (1) sign the batch
+    (:func:`~hrtech_etl_spark.functions.dedup.minhash_signature_table`);
+    (2) probe the PERSISTED signature store through the asymmetric
+    :func:`~hrtech_etl_spark.functions.dedup.signature_probe_pairs` —
+    the store-side band projection stays a scan-side map and the
+    batch's bands broadcast, so the store is NEVER shuffled (the
+    zero-corpus-shuffle contract, per batch); any batch doc estimating
+    ``>= threshold`` against a stored doc drops; (3) within-batch
+    dedup among the survivors: a doc drops iff it estimates
+    ``>= threshold`` against a LOWER-ID survivor (banded candidates,
+    same estimator — deterministic, non-transitive by design: B
+    dropping for A does not resurrect C who only matched B); (4) the
+    kept docs append to ``clean_path`` and their signatures append to
+    the store via
+    :func:`~hrtech_etl_spark.functions.dedup.write_signature_table`,
+    so the NEXT batch probes against them — the growing-index
+    lifecycle. Docs with no shingles (hence no signature) can never
+    match and are always kept.
+
+    Batch order is the dedup order — earlier-ingested docs win keeps —
+    which is exactly the file-source oldest-first feed discipline
+    ``foreach_batch_ewma`` documents. Replay safety (appends are not
+    idempotent, so neither naive layout survives a crash between the
+    two writes): both outputs are laid out PER BATCH
+    (``.../batch=<id>/``, written with overwrite — a replay rewrites
+    its own subdirectories bit-identically) and the probe reads ONLY
+    strictly-earlier batches through the discovered partition column,
+    so a replayed batch re-sees exactly the pre-batch store no matter
+    where the crash landed. Exceptions re-raise so the checkpoint does
+    not commit and the batch replays.
+    """
+    from hrtech_etl_spark.functions.dedup import (
+        merged_signature_pairs,
+        minhash_signature_table,
+        read_signature_table,
+        signature_probe_pairs,
+        write_signature_table,
+    )
+    from hrtech_etl_spark.operators.upsert import _dataset_exists
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            bsig = minhash_signature_table(
+                batch_df, text_col, id_col,
+                num_hashes=num_hashes, shingle_k=shingle_k,
+            ).localCheckpoint(eager=True)  # probed + merged + written
+            dropped = None
+            if _dataset_exists(spark, sig_store_path):
+                stored = read_signature_table(
+                    spark, sig_store_path, id_col=id_col,
+                    num_hashes=num_hashes, shingle_k=shingle_k,
+                    extra_cols=("batch",),
+                ).where(F.col("batch") < batch_id).drop("batch")
+                hit = signature_probe_pairs(
+                    stored, bsig, id_col, threshold=threshold,
+                    num_hashes=num_hashes, rows_per_band=rows_per_band,
+                )
+                dropped = hit.select(
+                    F.col("batch_id").alias(id_col)
+                ).distinct()
+                surv = bsig.join(dropped, id_col, "left_anti")
+            else:
+                surv = bsig
+            within = merged_signature_pairs(
+                [surv], id_col, threshold=threshold,
+                num_hashes=num_hashes, rows_per_band=rows_per_band,
+                cross_shard_only=False,
+            )
+            drop2 = within.select(F.col("id_b").alias(id_col)).distinct()
+            all_drop = (
+                drop2 if dropped is None
+                else dropped.unionByName(drop2).distinct()
+            ).localCheckpoint(eager=True)  # bounded by batch size
+            kept_docs = batch_df.join(all_drop, id_col, "left_anti")
+            kept_sig = bsig.join(all_drop, id_col, "left_anti")
+            kept_docs.write.mode("overwrite").parquet(
+                f"{clean_path}/batch={batch_id}"
+            )
+            write_signature_table(
+                kept_sig, f"{sig_store_path}/batch={batch_id}",
+                id_col=id_col, num_hashes=num_hashes,
+                shingle_k=shingle_k, mode="overwrite",
+            )
+            if metrics is not None:
+                metrics.batches += 1
+                metrics.rows_written += kept_docs.count()
+        finally:
+            batch_df.unpersist()
+
+    return sink

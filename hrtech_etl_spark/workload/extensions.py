@@ -8052,3 +8052,147 @@ def sim_pq_lloyd_serve(spark, sf_dir):
     return sim.pq_rerank_topk(
         e, enc, cb, q, k=10, shortlist=100, m=_KM_M, dim=_KM_DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming signature-store ingest: micro-batches sign, probe, and grow
+# the persisted signature table (round 15 — the streaming sibling of
+# drop_near_duplicates_incremental for the federated signature regime)
+# ---------------------------------------------------------------------------
+
+def _stream_sigdedup_sql(threshold: float = 0.5, n_batches: int = 3) -> str:
+    """DuckDB replay of the greedy sequential signature-dedup fixed
+    point: batches (doc_id % n) arrive in index order; per round, a
+    doc drops iff it est-matches any KEPT doc of an earlier round
+    (the store probe) or any lower-id store-probe SURVIVOR of its own
+    round (the within-batch rule — non-transitive by design, matching
+    the sink). The rounds unroll as CTEs (the BPE/kmeans technique
+    applied to order-dependent streaming state); pair candidacy and
+    the matching-fraction estimator replay the dedup_signature_merge
+    fragments verbatim."""
+    ctes = [
+        f"w AS MATERIALIZED (SELECT doc_id, CAST(doc_id % {n_batches} AS "
+        f"INT) AS bt, {TOKENS_SQL.format(t='text')} AS w FROM documents)",
+        f"sh AS MATERIALIZED (SELECT doc_id, bt, "
+        f"{shingles_from_tokens_sql('w')} AS sh FROM w)",
+        f"sig AS MATERIALIZED (SELECT doc_id, bt, {SIG_COLS} FROM sh)",
+        f"banded AS MATERIALIZED ({bands_sql('sig')})",
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM banded a JOIN banded b ON a.band_idx = b.band_idx "
+        "AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
+        f"pe AS MATERIALIZED (SELECT c.id_a, c.id_b, x.bt AS bt_a, "
+        f"y.bt AS bt_b FROM cand c JOIN sig x ON c.id_a = x.doc_id "
+        f"JOIN sig y ON c.id_b = y.doc_id WHERE {_SIGM_EST} >= {threshold})",
+    ]
+    kept_names = []
+    for b in range(n_batches):
+        if kept_names:
+            store = " UNION ALL ".join(
+                f"SELECT doc_id FROM {k}" for k in kept_names
+            )
+            ctes.append(
+                f"st{b} AS MATERIALIZED ({store})"
+            )
+            surv = (
+                f"s{b} AS MATERIALIZED (SELECT doc_id FROM w WHERE bt = {b} "
+                f"AND NOT EXISTS (SELECT 1 FROM pe JOIN st{b} k "
+                f"ON pe.id_a = k.doc_id WHERE pe.id_b = w.doc_id) "
+                f"AND NOT EXISTS (SELECT 1 FROM pe JOIN st{b} k "
+                f"ON pe.id_b = k.doc_id WHERE pe.id_a = w.doc_id))"
+            )
+        else:
+            surv = (
+                f"s{b} AS MATERIALIZED "
+                f"(SELECT doc_id FROM w WHERE bt = {b})"
+            )
+        ctes.append(surv)
+        ctes.append(
+            f"k{b} AS MATERIALIZED (SELECT doc_id FROM s{b} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM pe JOIN s{b} a "
+            f"ON pe.id_a = a.doc_id WHERE pe.id_b = s{b}.doc_id))"
+        )
+        kept_names.append(f"k{b}")
+    union = " UNION ALL ".join(f"SELECT doc_id FROM {k}" for k in kept_names)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT w.doc_id, w.bt AS batch FROM w JOIN ({union}) kept "
+        f"USING (doc_id) ORDER BY w.doc_id"
+    )
+
+
+@query("stream_signature_dedup", sql=_stream_sigdedup_sql())
+def stream_signature_dedup(spark, sf_dir):
+    """The STREAMING signature-store ingest loop driven end to end
+    under the oracle gate (streaming/pipelines.py::
+    foreach_batch_signature_dedup): the documents table staged as
+    three slice files (doc_id % 3) with choreographed mtimes, read
+    back as a REAL readStream (maxFilesPerTrigger=1 → three genuine
+    micro-batches under availableNow). Each batch signs itself
+    (64 B/doc), probes the PERSISTED signature store through the
+    asymmetric signature_probe_pairs (store never shuffled — batch
+    bands broadcast), near-dedups the survivors among themselves,
+    then appends kept docs and kept signatures as its own
+    ``batch=<id>`` partition — the growing-index lifecycle in which
+    batch 2 is deduped against what batches 0 and 1 actually KEPT.
+    The declared output is the final clean corpus with each doc's
+    arrival batch (the discovered partition column — locking both
+    the dedup fixed point AND the arrival order); the oracle unrolls
+    the three greedy rounds as CTEs over the shared signature/band/
+    estimator fragments. A batches==3 assertion locks the
+    multi-micro-batch claim. Green at sf0.001/0.01/0.1."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from hrtech_etl_spark.streaming.pipelines import (
+        StreamMetrics,
+        foreach_batch_signature_dedup,
+        run_available_now,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_sigdedup_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    now = _time.time()
+    for i in range(3):
+        sdir = os.path.join(stage, f"slice_{i}.parquet")
+        d.where(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(sdir)
+        # batch ORDER is the dedup order here (unlike the upsert
+        # sink's order-independent merge): pin oldest-first explicitly
+        # instead of trusting write latency to order the mtimes
+        for fn in os.listdir(sdir):
+            os.utime(
+                os.path.join(sdir, fn), (now - 300 + i * 60,) * 2
+            )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    clean = os.path.join(root, "clean")
+    store = os.path.join(root, "sigs")
+    metrics = StreamMetrics()
+    run_available_now(
+        stream,
+        checkpoint=os.path.join(root, "ck"),
+        foreach_batch=foreach_batch_signature_dedup(
+            store, clean, "text", "doc_id",
+            threshold=0.5, metrics=metrics,
+        ),
+    )
+    if metrics.batches != 3:
+        raise AssertionError(
+            f"expected 3 micro-batches through the sink, got "
+            f"{metrics.batches}"
+        )
+    return (
+        spark.read.parquet(clean)
+        .select("doc_id", F.col("batch").cast("int").alias("batch"))
+        .orderBy("doc_id")
+    )

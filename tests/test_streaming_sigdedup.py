@@ -1,0 +1,118 @@
+"""Streaming signature-store ingest: the asymmetric probe's
+correctness, the sink's greedy multi-batch semantics, and the
+per-batch-partition replay safety (a re-run batch rewrites its own
+subdirectories bit-identically instead of double-appending)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hrtech_etl_spark.functions.dedup import (
+    minhash_signature_table,
+    signature_probe_pairs,
+)
+from hrtech_etl_spark.streaming.pipelines import (
+    StreamMetrics,
+    foreach_batch_signature_dedup,
+)
+
+TWIN = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _sig(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return minhash_signature_table(df, "text", "doc_id")
+
+
+def test_signature_probe_pairs(spark):
+    store = _sig(
+        spark,
+        [
+            (1, TWIN),
+            (2, "orchard irrigation schedules and pump maintenance plans"),
+        ],
+    )
+    batch = _sig(
+        spark,
+        [
+            (10, TWIN),                       # exact twin of stored 1
+            (11, "entirely novel content about parquet row groups"),
+            (1, TWIN),                        # re-ingest of stored id 1
+        ],
+    )
+    got = {
+        (r["store_id"], r["batch_id"]): r["est_jaccard"]
+        for r in signature_probe_pairs(
+            store, batch, "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got[(1, 10)] == 1.0
+    assert got[(1, 1)] == 1.0  # same-id re-ingest surfaces
+    assert all(b != 11 for _, b in got)
+
+
+def test_sink_greedy_semantics_and_replay(spark, tmp_path):
+    """Drive the sink directly with three batches: a batch-1 doc
+    duplicating a batch-0 KEPT doc drops; a batch-2 doc duplicating a
+    batch-1 DROPPED doc also drops (its keeper — the batch-0 original —
+    is in the store); within-batch, the higher id of a pair drops.
+    Then REPLAY batch 1: both outputs must be unchanged."""
+    store = str(tmp_path / "sigs")
+    clean = str(tmp_path / "clean")
+    sink = foreach_batch_signature_dedup(
+        store, clean, "text", "doc_id", threshold=0.5,
+        metrics=(metrics := StreamMetrics()),
+    )
+    b0 = spark.createDataFrame(
+        [
+            (1, TWIN),
+            (2, "completely different prose about watermark state bounds"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, TWIN),  # dup of KEPT 1 -> dropped at the store probe
+            (11, "fresh content on shuffle partition sizing heuristics"),
+            (12, "fresh content on shuffle partition sizing heuristics"),
+            # ^ within-batch pair (11, 12): 12 (higher id) drops
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (20, TWIN),  # dup of DROPPED 10 -> still dropped (1 is stored)
+            (21, "late-arriving unique document about codegen stages"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b2, 2)
+    kept = {
+        r["doc_id"]: r["batch"]
+        for r in spark.read.parquet(clean).collect()
+    }
+    assert kept == {1: 0, 2: 0, 11: 1, 21: 2}
+    assert metrics.batches == 3 and metrics.rows_written == 4
+    stored = spark.read.parquet(store)
+    assert sorted(
+        (r["doc_id"], r["batch"]) for r in stored.collect()
+    ) == [(1, 0), (2, 0), (11, 1), (21, 2)]
+
+    # replay batch 1 (checkpoint-uncommitted crash): the probe reads
+    # only batch < 1, the writes overwrite batch=1 -- byte-identical
+    before_clean = sorted(map(tuple, spark.read.parquet(clean).collect()))
+    sink(b1, 1)
+    after_clean = sorted(map(tuple, spark.read.parquet(clean).collect()))
+    assert before_clean == after_clean
+    assert sorted(
+        (r["doc_id"], r["batch"])
+        for r in spark.read.parquet(store).collect()
+    ) == [(1, 0), (2, 0), (11, 1), (21, 2)]
+    # the per-batch layout is literal on disk
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch=")
+    ) == ["batch=0", "batch=1", "batch=2"]
