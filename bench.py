@@ -184,35 +184,26 @@ def _load_floors() -> dict[str, float]:
         return {}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _sf_of(sf_dir: str) -> float | None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-    # External-load baseline BEFORE the Spark JVM starts: once the
-    # bench is running, loadavg mostly measures our own executors, so
-    # this is the only clean snapshot of what ELSE the host is doing.
-    loadavg_start = round(os.getloadavg()[0], 2)
-    floors = _load_floors() if sf == 0.1 else {}
+    return float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="hrtech-etl-spark-bench")
 
-    # Warm the JVM + parquet footers with one cheap action so the first
-    # timed query doesn't pay session startup.
+def _calibrate(spark, sf_dir: str) -> dict:
+    """Warm the JVM + parquet footers, then time the fixed reference
+    query 5x — host-noise calibration recorded IN every artifact (the
+    query's code never changes round to round, so dividing wall time
+    by its median cancels host-speed noise multiplicatively). Shared
+    by the main bench and the capstone mode so their contention
+    verdicts can never diverge on the same host sample."""
     REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
-
-    # Host-noise calibration, recorded IN the artifact: the same fixed
-    # reference query (its code never changes round to round) timed 5x
-    # after warm-up. On a quiet host the spread is tight; a wide spread
-    # here means the headline numbers in THIS run carry the same noise
-    # (shared-microVM samples have historically swung 2-10x) — judge
-    # against session-best minima, not any single sample.
     cal_runs = []
     for _ in range(5):
         t0 = time.perf_counter()
         REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
         cal_runs.append(time.perf_counter() - t0)
     cal_sorted = sorted(cal_runs)
-    calibration = {
+    return {
         "query": "sort_topk_global",
         "runs": [round(t, 3) for t in cal_runs],
         "min": round(cal_sorted[0], 3),
@@ -221,6 +212,35 @@ def main() -> None:
         "spread": round(cal_sorted[-1] / cal_sorted[0], 2),
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
+
+
+def _is_contended(
+    loadavg_start: float, calibration: dict, big_rerun_wins: int = 0
+) -> bool:
+    """THE contention rule (round-12 adjudication): external load at
+    start, a noisy calibration, or 3+ entries that collapsed >2x on
+    their backoff re-run — any of these means THIS SAMPLE ran against
+    a busy host and cross-round comparisons should prefer
+    value_normalized / session-best minima. One definition for every
+    artifact this file writes."""
+    return bool(
+        loadavg_start > 1.5
+        or calibration["spread"] > 2.5
+        or big_rerun_wins >= 3
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    # External-load baseline BEFORE the Spark JVM starts: once the
+    # bench is running, loadavg mostly measures our own executors, so
+    # this is the only clean snapshot of what ELSE the host is doing.
+    loadavg_start = round(os.getloadavg()[0], 2)
+    floors = _load_floors() if sf == 0.1 else {}
+
+    spark = get_spark(app_name="hrtech-etl-spark-bench")
+    calibration = _calibrate(spark, sf_dir)
 
     # One untimed warm-up run per query (janino codegen of the large
     # expression trees costs whole seconds the first time a plan
@@ -287,9 +307,7 @@ def main() -> None:
     big_rerun_wins = sum(
         1 for r in reruns.values() if r["rerun"] > 0 and r["first"] / max(r["rerun"], 1e-9) > 2
     )
-    contended = bool(
-        loadavg_start > 1.5 or calibration["spread"] > 2.5 or big_rerun_wins >= 3
-    )
+    contended = _is_contended(loadavg_start, calibration, big_rerun_wins)
 
     total = round(sum(timings.values()), 3)
     # Noise-robust cross-round number: the calibration query's code
@@ -354,29 +372,21 @@ def main() -> None:
 
 def capstone_main() -> None:
     """`python bench.py --capstone`: time the capstone compositions
-    only (1 untimed warm-up + 2 timed runs each, min + median), with
-    the same calibration/normalization contract as the main bench.
-    Writes CAPSTONE_out.json; the round commits it as
-    CAPSTONE_r{N}.json."""
+    only (1 untimed warm-up + 3 timed runs each, min + true median),
+    with the SAME calibration/normalization/contention contract as the
+    main bench (shared helpers — the rules cannot diverge). Writes
+    CAPSTONE_out.json; the round commits it as CAPSTONE_r{N}.json."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
+    sf = _sf_of(sf_dir)
     loadavg_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="hrtech-etl-spark-capstone-bench")
-    REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
-    cal_runs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        REGISTRY["sort_topk_global"].fn(spark, sf_dir).count()
-        cal_runs.append(time.perf_counter() - t0)
-    cal_sorted = sorted(cal_runs)
-    cal_median = cal_sorted[len(cal_sorted) // 2]
+    calibration = _calibrate(spark, sf_dir)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in CAPSTONES:
         REGISTRY[name].fn(spark, sf_dir).count()  # codegen warm-up
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
@@ -387,21 +397,13 @@ def capstone_main() -> None:
     record = {
         "metric": "capstone_wall_time",
         "value": total,
-        "value_normalized": round(total / cal_median, 3),
+        "value_normalized": round(total / calibration["median"], 3),
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
-        "calibration": {
-            "query": "sort_topk_global",
-            "runs": [round(t, 3) for t in cal_runs],
-            "median": round(cal_median, 3),
-            "spread": round(cal_sorted[-1] / cal_sorted[0], 2),
-        },
+        "calibration": calibration,
         "loadavg_start": loadavg_start,
-        "contended": bool(
-            loadavg_start > 1.5
-            or cal_sorted[-1] / cal_sorted[0] > 2.5
-        ),
+        "contended": _is_contended(loadavg_start, calibration),
         "sf": sf,
     }
     out_path = os.path.join(

@@ -671,12 +671,12 @@ def foreach_batch_signature_dedup(
     ``>= threshold`` against a LOWER-ID survivor (banded candidates,
     same estimator — deterministic, non-transitive by design: B
     dropping for A does not resurrect C who only matched B); (4) the
-    kept docs append to ``clean_path`` and their signatures append to
-    the store via
-    :func:`~hrtech_etl_spark.functions.dedup.write_signature_table`,
-    so the NEXT batch probes against them — the growing-index
-    lifecycle. Docs with no shingles (hence no signature) can never
-    match and are always kept.
+    kept docs and their signatures (via
+    :func:`~hrtech_etl_spark.functions.dedup.write_signature_table`)
+    land as the batch's own ``batch=<id>`` partition under
+    ``clean_path`` / ``sig_store_path``, so the NEXT batch probes
+    against them — the growing-index lifecycle. Docs with no shingles
+    (hence no signature) can never match and are always kept.
 
     Batch order is the dedup order — earlier-ingested docs win keeps —
     which is exactly the file-source oldest-first feed discipline
@@ -690,6 +690,8 @@ def foreach_batch_signature_dedup(
     where the crash landed. Exceptions re-raise so the checkpoint does
     not commit and the batch replays.
     """
+    from pyspark.errors import AnalysisException
+
     from hrtech_etl_spark.functions.dedup import (
         merged_signature_pairs,
         minhash_signature_table,
@@ -697,7 +699,6 @@ def foreach_batch_signature_dedup(
         signature_probe_pairs,
         write_signature_table,
     )
-    from hrtech_etl_spark.operators.upsert import _dataset_exists
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -708,12 +709,26 @@ def foreach_batch_signature_dedup(
                 num_hashes=num_hashes, shingle_k=shingle_k,
             ).localCheckpoint(eager=True)  # probed + merged + written
             dropped = None
-            if _dataset_exists(spark, sig_store_path):
+            try:
                 stored = read_signature_table(
                     spark, sig_store_path, id_col=id_col,
                     num_hashes=num_hashes, shingle_k=shingle_k,
                     extra_cols=("batch",),
                 ).where(F.col("batch") < batch_id).drop("batch")
+            except AnalysisException:
+                # bootstrap: the store path is absent, OR it holds only
+                # the _temporary debris of a crashed FIRST write (no
+                # committed parquet footer anywhere -> UNABLE_TO_INFER_
+                # SCHEMA). Both mean "no earlier batch committed" and
+                # the probe is skipped; once ANY batch has committed,
+                # later-crash debris is a _-prefixed dir the reader's
+                # file index hides, so this branch can never swallow a
+                # store that has real data. A directory-existence check
+                # here was the round-15 review's confirmed wedge: the
+                # debris dir counted as data and every replay failed on
+                # schema inference.
+                stored = None
+            if stored is not None:
                 hit = signature_probe_pairs(
                     stored, bsig, id_col, threshold=threshold,
                     num_hashes=num_hashes, rows_per_band=rows_per_band,
@@ -746,7 +761,12 @@ def foreach_batch_signature_dedup(
             )
             if metrics is not None:
                 metrics.batches += 1
-                metrics.rows_written += kept_docs.count()
+                # kept = batch - drops, from the two already-
+                # materialized frames (batch_df persisted, all_drop
+                # eagerly checkpointed; all_drop is a distinct subset
+                # of batch ids) — re-counting kept_docs would re-run
+                # the anti-join the write just executed
+                metrics.rows_written += batch_df.count() - all_drop.count()
         finally:
             batch_df.unpersist()
 

@@ -116,3 +116,27 @@ def test_sink_greedy_semantics_and_replay(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(store) if d.startswith("batch=")
     ) == ["batch=0", "batch=1", "batch=2"]
+
+
+def test_sink_bootstraps_over_first_write_crash_debris(spark, tmp_path):
+    """A crash DURING the first store write leaves batch=0/_temporary
+    with no committed parquet footer; the replayed batch 0 must
+    bootstrap (probe skipped), not wedge on schema inference — the
+    round-15 review's confirmed failure with a directory-existence
+    check."""
+    store = str(tmp_path / "sigs")
+    clean = str(tmp_path / "clean")
+    os.makedirs(os.path.join(store, "batch=0", "_temporary", "0"))
+    sink = foreach_batch_signature_dedup(
+        store, clean, "text", "doc_id", threshold=0.5,
+        metrics=(metrics := StreamMetrics()),
+    )
+    b0 = spark.createDataFrame(
+        [(1, TWIN), (2, TWIN)], "doc_id long, text string"
+    )
+    sink(b0, 0)  # must not raise; within-batch pair drops doc 2
+    assert metrics.batches == 1 and metrics.rows_written == 1
+    assert [
+        (r["doc_id"], r["batch"])
+        for r in spark.read.parquet(clean).collect()
+    ] == [(1, 0)]

@@ -9,7 +9,10 @@ narrow parquet scan — the full shingle expression (6 splits + zip_with
 any exchange. Variants measured here, all in ONE session over the
 gate's real sf-dir input:
 
-  A. shipped  — functions.dedup.shingle_containment_pairs as-is.
+  A. r14_shipped — the ROUND-14 formulation reconstructed inline
+     (post-projection ``size(sh) > 0`` filter before the barrier),
+     so the tool keeps measuring the superseded plan after the
+     shipped function adopted variant B.
   B. prefilter — the size guard restated as the CHEAP equivalent
      ``size(tokens) >= shingle_k`` on the INPUT (for k>=2 a doc has a
      shingle iff it has >= k tokens; k=1 keeps the empty token, same
@@ -50,6 +53,17 @@ from hrtech_etl_spark.functions.text import tokens  # noqa: E402
 from hrtech_etl_spark.sources.testdata import load_table  # noqa: E402
 
 K, THRESHOLD, MAX_DF = 3, 0.5, 16
+
+
+def _frontend_r14(df, text_col, id_col):
+    """A frontend: the round-14 shipped code, reconstructed — the
+    post-projection size filter Catalyst pushes below the round-robin
+    exchange (re-evaluating the shingle expression twice, once
+    single-threaded on the narrow scan)."""
+    sh = hashed_shingles(word_shingles(F.col(text_col), k=K))
+    sets_ = spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    sets_ = keyed_barrier(sets_.where(F.size("sh") > 0), "id")
+    return sets_.select("id", F.explode("sh").alias("shv"))
 
 
 def _frontend_prefilter(df, text_col, id_col):
@@ -152,13 +166,15 @@ def main() -> None:
     docs = load_table(spark, "documents", args.sf_dir)
 
     def variant_a():
+        return _finish(*_backend_join(_frontend_r14(docs, "text", "doc_id")))
+
+    def variant_b():
+        # B IS the shipped function since the round-15 adoption —
+        # call it so the tool always measures the live code
         return shingle_containment_pairs(
             docs, "text", "doc_id", shingle_k=K, threshold=THRESHOLD,
             max_doc_freq=MAX_DF,
         )
-
-    def variant_b():
-        return _finish(*_backend_join(_frontend_prefilter(docs, "text", "doc_id")))
 
     def variant_c():
         return _finish(*_backend_grouped(_frontend_prefilter(docs, "text", "doc_id")))
