@@ -214,6 +214,23 @@ def _calibrate(spark, sf_dir: str) -> dict:
     }
 
 
+def _timed_runs(spark, sf_dir: str, name: str, n: int) -> list[float]:
+    """THE timing discipline, stated once: 1 untimed codegen warm-up
+    (janino compilation of large expression trees costs whole seconds
+    the first time a plan compiles — irrelevant at production scale),
+    then ``n`` perf_counter-timed full materializations, sorted
+    ascending (``[0]`` = steady-state min, ``[len//2]`` = median).
+    Shared by the headline/extended loop and the capstone mode."""
+    REGISTRY[name].fn(spark, sf_dir).count()
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return runs
+
+
 def _is_contended(
     loadavg_start: float, calibration: dict, big_rerun_wins: int = 0
 ) -> bool:
@@ -264,13 +281,7 @@ def main() -> None:
     entry_loadavg: dict[str, float] = {}
 
     def timed(name: str, n: int) -> float:
-        REGISTRY[name].fn(spark, sf_dir).count()  # untimed codegen warm-up
-        runs = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
+        runs = _timed_runs(spark, sf_dir, name, n)
         best = runs[0]
         entry_loadavg[name] = round(os.getloadavg()[0], 2)
         floor = floors.get(name)
@@ -384,13 +395,7 @@ def capstone_main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in CAPSTONES:
-        REGISTRY[name].fn(spark, sf_dir).count()  # codegen warm-up
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
+        runs = _timed_runs(spark, sf_dir, name, 3)
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
     total = round(sum(timings.values()), 3)

@@ -1048,9 +1048,32 @@ def write_signature_table(
             "write_signature_table: 'sig' must be array<bigint> "
             f"(minhash_signature_table output), got {stype.simpleString()}"
         )
+    # width guard ON THE WRITE (same raise_error-on-projection
+    # pattern): stamping h8 over 16-long arrays — a writer that
+    # forgot num_hashes= — would create a permanently mis-pinned
+    # table where NO read declaration works (the tag guard and the
+    # band width guard each point at the other parameter, a
+    # catch-22). NULL sigs stay writable (hand-built tables carry
+    # them; the merge paths defend them), only a wrong width raises.
+    guarded_sig = F.when(
+        F.col("sig").isNull() | (F.size("sig") == num_hashes),
+        F.col("sig"),
+    ).otherwise(
+        F.array(
+            F.raise_error(
+                F.format_string(
+                    "write_signature_table: signature length %s != "
+                    f"declared num_hashes={num_hashes} — pass the "
+                    "num_hashes the signatures were built with, or "
+                    "the stored tag would mis-pin the table forever",
+                    F.size("sig").cast("string"),
+                )
+            ).cast("long")
+        )
+    )
     sig.select(
         F.col(id_col),
-        "sig",
+        guarded_sig.alias("sig"),
         F.lit(_sig_meta_tag(num_hashes, shingle_k)).alias("sig_meta"),
     ).write.mode(mode).parquet(path)
 
@@ -1279,8 +1302,16 @@ def signature_probe_pairs(
     bottleneck. Same hash-family guards, same estimator.
 
     Returns ``(store_id, batch_id, est_jaccard)`` with ``est_jaccard
-    >= threshold``, distinct. Ids may overlap between store and batch
-    (a re-ingested doc pairs with its stored self at est 1.0)."""
+    >= threshold``, one row per id pair. Ids may overlap between store
+    and batch (a re-ingested doc pairs with its stored self at est
+    1.0), and the store may legitimately hold SEVERAL rows under one
+    id (a re-ingest whose new text scored below threshold is kept
+    again under the same id by the streaming sink) — so every
+    candidate row is SCORED first and the pair takes the MAX estimate
+    across store rows. Deduplicating candidates by id pair before
+    scoring (the first cut of this function) let an arbitrary store
+    row's signature win and could nondeterministically miss a true
+    near-duplicate."""
     sb = store_sig.select(
         F.col(id_col).alias("store_id"),
         F.col("sig").alias("__sa"),
@@ -1295,15 +1326,15 @@ def signature_probe_pairs(
             "band_idx", "bucket"
         ),
     )
-    cand = (
-        sb.join(F.broadcast(bb), ["band_idx", "bucket"])
-        .select("store_id", "batch_id", "__sa", "__sb")
-        .dropDuplicates(["store_id", "batch_id"])
+    scored = sb.join(F.broadcast(bb), ["band_idx", "bucket"]).select(
+        "store_id",
+        "batch_id",
+        _sig_match_fraction(num_hashes).alias("__est"),
     )
     return (
-        cand.withColumn("est_jaccard", _sig_match_fraction(num_hashes))
+        scored.groupBy("store_id", "batch_id")
+        .agg(F.max("__est").alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
-        .drop("__sa", "__sb")
     )
 
 

@@ -436,7 +436,16 @@ def run_available_now(
         )
     else:
         raise ValueError("need foreach_batch or memory_table")
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # fail LOUDLY: returning the still-running query let callers
+        # race it (read a half-written sink, count too few batches and
+        # report a misleading logic failure) while the orphan kept
+        # writing into the shared session
+        q.stop()
+        raise TimeoutError(
+            f"run_available_now: stream did not drain within "
+            f"{timeout_sec}s (query stopped)"
+        )
     return q
 
 

@@ -8185,6 +8185,11 @@ def stream_signature_dedup(spark, sf_dir):
             store, clean, "text", "doc_id",
             threshold=0.5, metrics=metrics,
         ),
+        # the heaviest foreachBatch gate (3 sign+probe+merge+write
+        # cycles): the default 120s drain budget is too tight for a
+        # contended host and would surface as a bogus batch-count
+        # failure instead of a timeout
+        timeout_sec=600,
     )
     if metrics.batches != 3:
         raise AssertionError(

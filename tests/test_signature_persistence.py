@@ -134,3 +134,17 @@ def test_write_schema_asserts(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="array<bigint>"):
         write_signature_table(bad, str(tmp_path / "y"))
+    # declared width must match the ACTUAL signatures: stamping h8
+    # over 16-long arrays would mis-pin the table so that no read
+    # declaration works (tag guard and band guard each point at the
+    # other parameter) — the write itself must raise
+    wide = spark.createDataFrame(
+        [(1, list(range(16)))], "doc_id long, sig array<long>"
+    )
+    with pytest.raises(Exception, match="num_hashes"):
+        write_signature_table(wide, str(tmp_path / "z"))
+    write_signature_table(wide, str(tmp_path / "z16"), num_hashes=16)
+    got = read_signature_table(
+        spark, str(tmp_path / "z16"), num_hashes=16
+    ).collect()
+    assert got[0]["sig"] == list(range(16))

@@ -53,6 +53,32 @@ def test_signature_probe_pairs(spark):
     assert all(b != 11 for _, b in got)
 
 
+def test_probe_scores_every_store_row_under_one_id(spark):
+    """The store may hold SEVERAL rows under one id (a re-ingest whose
+    new text scored below threshold is kept again under the same id).
+    The pair estimate must be the MAX across store rows — deduping
+    candidates by id pair before scoring let an arbitrary row win and
+    could nondeterministically miss a true near-duplicate."""
+    store = spark.createDataFrame(
+        [
+            # two store rows, SAME id: one sig far from the batch doc
+            # (2/8 matches, est 0.25) but band-colliding via positions
+            # 0-1, one identical (est 1.0)
+            (5, [1, 2, 90, 91, 92, 93, 94, 95]),
+            (5, [1, 2, 3, 4, 5, 6, 7, 8]),
+        ],
+        "doc_id long, sig array<long>",
+    )
+    batch = spark.createDataFrame(
+        [(100, [1, 2, 3, 4, 5, 6, 7, 8])], "doc_id long, sig array<long>"
+    )
+    got = signature_probe_pairs(
+        store, batch, "doc_id", threshold=0.5
+    ).collect()
+    assert [(r["store_id"], r["batch_id"], r["est_jaccard"]) for r in got] \
+        == [(5, 100, 1.0)]
+
+
 def test_sink_greedy_semantics_and_replay(spark, tmp_path):
     """Drive the sink directly with three batches: a batch-1 doc
     duplicating a batch-0 KEPT doc drops; a batch-2 doc duplicating a
