@@ -2015,11 +2015,14 @@ def shingle_containment_pairs(
     single-threaded, before the widening exchange the heavy
     projection exists behind. With the cheap restatement the pushed
     filter IS the optimization. Value-identical on the full pair
-    frame and timing-neutral at sf0.1 (the entry is job-launch-bound
-    at 5k docs — AB_containment_r15.json, which also measures and
-    REJECTS a collect_list-per-shingle backend); the win is the 2x
+    frame; quiet-host A/B (AB_containment_r15.json): 1.08x vs the
+    round-14 formulation at sf0.1 (the entry is job-launch-bound at
+    5k docs, so the local delta is small — the real win is the 2x
     heavy-expression evaluation and the narrow-scan serialization at
-    real corpus sizes.
+    real corpus sizes). The same record measures a collect_list-per-
+    shingle backend at a wash with this one; the join backend stays
+    because it shares its banded-join shape with the verified
+    signature-merge paths.
     """
     sh = hashed_shingles(word_shingles(F.col(text_col), k=shingle_k))
     pre = df.where(F.size(tokens(F.col(text_col))) >= shingle_k)
