@@ -159,6 +159,7 @@ EXTENDED = [
 CAPSTONES = [
     "corpus_prepare_training",
     "corpus_prepare_training_v2",
+    "corpus_prepare_training_v3",
 ]
 
 

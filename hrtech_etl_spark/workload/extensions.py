@@ -8201,3 +8201,192 @@ def stream_signature_dedup(spark, sf_dir):
         .select("doc_id", F.col("batch").cast("int").alias("batch"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone v3: the federated cross-corpus signature stage inside the
+# full composition (round 15 — the last r14 optional)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_prepare_training_v3",
+    sql=f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    train0 AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0
+    ),
+    test0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    -- 1. exact dedup: min-id keep per canonical fingerprint
+    -- (AS MATERIALIZED throughout: every CTE the recursive closure or
+    -- a later stage references more than once is pinned, so recursion
+    -- rounds no longer re-evaluate the whole upstream pipeline; the
+    -- token lists are split ONCE per doc in t1w/t2w — inlining the
+    -- split into the k-gram lambda re-evaluates it per element.
+    -- Value-identical to the previous statement at sf0.01/0.1
+    -- (A/B'd round 12), 90.7s -> 4.4s at sf0.1.)
+    fp AS MATERIALIZED (SELECT doc_id, text, {FINGERPRINT_SQL.format(expr='text')} AS fp FROM train0),
+    keepx AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    t1 AS MATERIALIZED (SELECT f.doc_id, f.text FROM fp f JOIN keepx USING (doc_id)),
+    -- 2. near-dup: minhash(8)+LSH(4x2) -> jaccard verify -> CC -> min-id keep
+    t1w AS MATERIALIZED (SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM t1),
+    sh AS MATERIALIZED (SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM t1w),
+    hs AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(sh, s -> {_PH_S})) AS sh FROM sh),
+    sig AS MATERIALIZED (SELECT doc_id, {_CAP_SIG} FROM sh),
+    banded AS MATERIALIZED ({bands_sql('sig')}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN hs x ON c.id_a = x.doc_id JOIN hs y ON c.id_b = y.doc_id
+      WHERE round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
+                  THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh))
+                  ELSE 0.0 END, 4) >= {_CAP_NEAR_T}
+    ),
+    edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM t1
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    labels AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+    t2 AS MATERIALIZED (SELECT t.doc_id, t.text FROM t1 t
+           WHERE t.doc_id IN (SELECT DISTINCT cluster FROM labels)),
+    -- 2c. cross-corpus signature drop: the released slice's PERSISTED
+    -- signature table (doc_id % 10 = 5 -- docs that are ALSO in the
+    -- train universe, the "never re-train on released data" shape)
+    -- probed by the lexical survivors' own signatures; any t2 doc
+    -- estimating >= 0.5 (>= 4 of 8 matching minhash positions)
+    -- against a stored signature drops. t2's signatures are the
+    -- ALREADY-COMPUTED near-dup sig rows (t2 is a subset of t1).
+    relw AS (SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w
+             FROM documents WHERE doc_id % 10 = 5),
+    relsh AS (SELECT doc_id, {shingles_from_tokens_sql('w')} AS sh FROM relw),
+    relsig AS MATERIALIZED (SELECT doc_id, {_CAP_SIG} FROM relsh),
+    relband AS MATERIALIZED ({bands_sql('relsig')}),
+    t2sig AS MATERIALIZED (SELECT s.* FROM sig s JOIN t2 USING (doc_id)),
+    t2band AS MATERIALIZED ({bands_sql('t2sig')}),
+    extc AS (
+      SELECT DISTINCT a.doc_id AS rid, b.doc_id AS tid
+      FROM relband a JOIN t2band b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+    ),
+    exthit AS (
+      SELECT DISTINCT c.tid AS doc_id
+      FROM extc c JOIN relsig x ON c.rid = x.doc_id
+                  JOIN t2sig y ON c.tid = y.doc_id
+      WHERE {_SIGM_EST} >= 0.5
+    ),
+    t2x AS MATERIALIZED (
+      SELECT * FROM t2 WHERE doc_id NOT IN (SELECT doc_id FROM exthit)
+    ),
+    -- 3. decontaminate: hashed word-5-gram overlap >= 2 vs the test slice
+    tsh AS MATERIALIZED (
+      SELECT DISTINCT unnest(list_distinct(list_transform({shingles_from_tokens_sql('w', 5)}, s -> {_PH_S}))) AS h
+      FROM (SELECT {TOKENS_SQL.format(t='text')} AS w FROM test0)
+    ),
+    trsh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(list_transform({shingles_from_tokens_sql('w', 5)}, s -> {_PH_S}))) AS h
+      FROM (SELECT doc_id, {TOKENS_SQL.format(t='text')} AS w FROM t2x)
+    ),
+    contaminated AS (
+      SELECT doc_id FROM trsh JOIN tsh USING (h) GROUP BY doc_id HAVING count(*) >= 2
+    ),
+    t3 AS (SELECT * FROM t2x WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    -- 4. quality filter
+    t4 AS (SELECT * FROM t3 WHERE {quality_score_sql()} >= {_CAP_QMIN}),
+    -- 5. PII redaction (identity on this corpus; the chain is stated anyway
+    -- so a corpus WITH matches would still gate)
+    t5 AS (SELECT doc_id, {_pii_chain_sql('text')} AS text FROM t4),
+    -- 6. chunk into overlapping windows (offsets step {_CAP_STEP})
+    ch AS (
+      SELECT doc_id, CAST(off / {_CAP_STEP} AS INT) AS chunk_idx,
+             substring(text, CAST(off AS INT) + 1, {_CAP_CHUNK}) AS chunk_text
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - {_CAP_OVERLAP} - 1, 0), {_CAP_STEP})) AS off
+        FROM t5
+      )
+    ),
+    -- 7. whitespace token count + chunk identity
+    tok AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             CAST(len({_CAP_TOKENS}) AS INT) AS n_tokens,
+             CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) AS chunk_id
+      FROM ch
+    ),
+    -- 8. concat-split packing: exclusive cumsum over (shard, shuffle_key, id)
+    keyed AS (
+      SELECT *, {_CAP_PH_CHUNK} AS shuffle_key,
+             CAST({_CAP_PH_CHUNK} % {_CAP_NSH} AS INT) AS shard
+      FROM tok
+    ),
+    packed AS (
+      SELECT *,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY shard, shuffle_key, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_offset
+      FROM keyed
+    )
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens, tok_offset,
+           CAST(floor(tok_offset / {_CAP_SEQ}) AS BIGINT) AS block_first,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE floor((tok_offset + n_tokens - 1) / {_CAP_SEQ}) - floor(tok_offset / {_CAP_SEQ}) + 1
+                END AS BIGINT) AS n_blocks,
+           shard, shuffle_key
+    FROM packed
+    """,
+)
+def corpus_prepare_training_v3(spark, sf_dir):
+    """The capstone with the FEDERATED stage switched on:
+    `prepare_training_corpus(external_signatures=...)` drops lexical-
+    dedup survivors whose signatures estimate >= 0.5 against a
+    PERSISTED minhash_signature_table of a corpus whose text is not
+    held (here: the doc_id % 10 == 5 slice, standing in for a
+    previously-RELEASED training set whose members also circulate in
+    the crawl — the stage must remove them from the new corpus). The
+    probe is the asymmetric signature_probe_pairs (store never
+    shuffled, batch bands broadcast), run between near-dup dedup and
+    decontamination; every other stage and knob matches the v1 gate,
+    so the oracle is the v1 statement plus one CTE block (sign the
+    released slice, reuse t2's ALREADY-COMPUTED near-dup signature
+    rows, band-join, estimate, drop) with downstream stages reading
+    the filtered survivors. Locks the composition order, the reuse of
+    the lexical signature family by the federated stage, and the
+    column plumbing. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.operators.corpus import prepare_training_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    train = base.unionByName(
+        base.where(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    test = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    released = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+    ext = dd.minhash_signature_table(released, "text", "doc_id")
+    return prepare_training_corpus(
+        train,
+        "text",
+        "doc_id",
+        test_set=test,
+        quality_min=_CAP_QMIN,
+        near_dup_threshold=_CAP_NEAR_T,
+        chunk_chars=_CAP_CHUNK,
+        chunk_overlap=_CAP_OVERLAP,
+        pack_max_len=_CAP_SEQ,
+        redact=True,
+        decon_knobs=dict(shingle_k=5, min_overlap=2),
+        packing="concat_split",
+        shuffle_seed=_CAP_SEED,
+        n_shards=_CAP_NSH,
+        external_signatures=ext,
+        external_sig_knobs=dict(threshold=0.5),
+    )

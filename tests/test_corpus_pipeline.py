@@ -299,3 +299,59 @@ def test_dsir_and_semantic_stage_ablations(spark):
     ids = {r["doc_id"] for r in no_sem.select("doc_id").distinct().collect()}
     assert 10 not in ids and 13 not in ids
     assert 11 in ids and 12 in ids and 14 in ids
+
+
+def test_external_signature_stage(spark):
+    """The federated stage: a train doc whose signature matches a
+    PERSISTED external table drops; with the stage off it survives
+    (attribution); unknown knobs raise."""
+    import pytest
+
+    from hrtech_etl_spark.functions.dedup import minhash_signature_table
+
+    released_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, released_text),  # circulates in the crawl AND was released
+            (1, "entirely novel prose about watermark state bounds and "
+                "late data semantics in streaming aggregations"),
+            (2, "another unique document describing parquet row group "
+                "statistics and footer pruning decisions in detail"),
+        ],
+        "doc_id long, text string",
+    )
+    released = spark.createDataFrame(
+        [(100, released_text)], "doc_id long, text string"
+    )
+    ext = minhash_signature_table(released, "text", "doc_id")
+    knobs = dict(
+        quality_min=0.0,
+        near_dup_threshold=0.9,
+        chunk_chars=400,
+        chunk_overlap=50,
+        pack_max_len=128,
+        redact=False,
+    )
+    with_stage = prepare_training_corpus(
+        docs, "text", "doc_id",
+        external_signatures=ext,
+        external_sig_knobs=dict(threshold=0.5),
+        **knobs,
+    )
+    ids = {r["doc_id"] for r in with_stage.select("doc_id").collect()}
+    assert ids == {1, 2}, f"released twin must drop: {ids}"
+
+    without = prepare_training_corpus(docs, "text", "doc_id", **knobs)
+    ids = {r["doc_id"] for r in without.select("doc_id").collect()}
+    assert ids == {0, 1, 2}
+
+    with pytest.raises(TypeError, match="external_sig_knobs"):
+        prepare_training_corpus(
+            docs, "text", "doc_id",
+            external_signatures=ext,
+            external_sig_knobs=dict(thresold=0.5),  # typo'd knob
+            **knobs,
+        )
