@@ -1048,13 +1048,32 @@ def write_signature_table(
             "write_signature_table: 'sig' must be array<bigint> "
             f"(minhash_signature_table output), got {stype.simpleString()}"
         )
-    # width guard ON THE WRITE (same raise_error-on-projection
-    # pattern): stamping h8 over 16-long arrays — a writer that
-    # forgot num_hashes= — would create a permanently mis-pinned
-    # table where NO read declaration works (the tag guard and the
-    # band width guard each point at the other parameter, a
-    # catch-22). NULL sigs stay writable (hand-built tables carry
-    # them; the merge paths defend them), only a wrong width raises.
+    # width guard ON THE WRITE: stamping h8 over 16-long arrays — a
+    # writer that forgot num_hashes= — would create a permanently
+    # mis-pinned table where NO read declaration works (the tag guard
+    # and the band width guard each point at the other parameter, a
+    # catch-22). TWO layers, because mode="overwrite" DELETES the
+    # existing target before the job runs: an EAGER driver-side probe
+    # of the first non-NULL signature catches the forgot-the-param
+    # case BEFORE the old table is destroyed (one bounded first()),
+    # and the per-row raise_error below rides the write as the full
+    # net for mixed-width rows (by then a failed overwrite has
+    # already cleared the target — the probe is what protects it).
+    # NULL sigs stay writable (hand-built tables carry them; the
+    # merge paths defend them), only a wrong width raises.
+    probe = (
+        sig.where(F.col("sig").isNotNull())
+        .select(F.size("sig").alias("__n"))
+        .first()
+    )
+    if probe is not None and probe["__n"] != num_hashes:
+        raise ValueError(
+            f"write_signature_table: signatures are {probe['__n']} "
+            f"long but num_hashes={num_hashes} was declared — pass "
+            "the num_hashes the signatures were built with (checked "
+            "BEFORE the write so an overwrite cannot destroy the "
+            "existing table)"
+        )
     guarded_sig = F.when(
         F.col("sig").isNull() | (F.size("sig") == num_hashes),
         F.col("sig"),

@@ -557,6 +557,24 @@ def prepare_training_corpus(
     from hrtech_etl_spark.functions import dedup as dd
     from hrtech_etl_spark.functions import text as tx
 
+    # knobs without their enabling argument are a silent no-op — the
+    # stage the caller configured simply never runs (released data
+    # stays in the corpus, the semantic prune never fires). Fail
+    # loudly instead.
+    for kname, kval, enabler, earg in (
+        ("dsir_knobs", dsir_knobs, dsir_target, "dsir_target"),
+        ("semantic_knobs", semantic_knobs, embeddings, "embeddings"),
+        ("external_sig_knobs", external_sig_knobs, external_signatures,
+         "external_signatures"),
+        ("decon_knobs", decon_knobs, test_set, "test_set"),
+    ):
+        if kval and enabler is None:
+            raise ValueError(
+                f"prepare_training_corpus: {kname} given but {earg} is "
+                f"None — the stage those knobs configure would silently "
+                "not run"
+            )
+
     if dsir_target is not None:
         sel = dsir_select(
             docs,

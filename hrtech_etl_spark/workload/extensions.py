@@ -8357,9 +8357,17 @@ def corpus_prepare_training_v3(spark, sf_dir):
     so the oracle is the v1 statement plus one CTE block (sign the
     released slice, reuse t2's ALREADY-COMPUTED near-dup signature
     rows, band-join, estimate, drop) with downstream stages reading
-    the filtered survivors. Locks the composition order, the reuse of
-    the lexical signature family by the federated stage, and the
-    column plumbing. Green at sf0.001/0.01/0.1."""
+    the filtered survivors. The external table goes through the REAL
+    persistence round trip (write_signature_table to parquet,
+    read_signature_table back — tag guard riding the scan), so the
+    gate locks the composition order, the stored-table contract, the
+    reuse of the lexical signature family by the federated stage, and
+    the column plumbing. Green at sf0.001/0.01/0.1."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
     from hrtech_etl_spark.operators.corpus import prepare_training_corpus
 
     docs = load_table(spark, "documents", sf_dir)
@@ -8371,7 +8379,13 @@ def corpus_prepare_training_v3(spark, sf_dir):
     )
     test = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
     released = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
-    ext = dd.minhash_signature_table(released, "text", "doc_id")
+    root = tempfile.mkdtemp(prefix="capstone_v3_sigs_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = os.path.join(root, "released_sigs")
+    dd.write_signature_table(
+        dd.minhash_signature_table(released, "text", "doc_id"), store
+    )
+    ext = dd.read_signature_table(spark, store)
     return prepare_training_corpus(
         train,
         "text",

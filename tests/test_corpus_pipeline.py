@@ -301,13 +301,18 @@ def test_dsir_and_semantic_stage_ablations(spark):
     assert 11 in ids and 12 in ids and 14 in ids
 
 
-def test_external_signature_stage(spark):
+def test_external_signature_stage(spark, tmp_path):
     """The federated stage: a train doc whose signature matches a
-    PERSISTED external table drops; with the stage off it survives
-    (attribution); unknown knobs raise."""
+    PERSISTED external table (real write/read round trip) drops; with
+    the stage off it survives (attribution); unknown or dangling
+    knobs raise."""
     import pytest
 
-    from hrtech_etl_spark.functions.dedup import minhash_signature_table
+    from hrtech_etl_spark.functions.dedup import (
+        minhash_signature_table,
+        read_signature_table,
+        write_signature_table,
+    )
 
     released_text = (
         "alpha beta gamma delta epsilon zeta eta theta iota kappa "
@@ -326,7 +331,11 @@ def test_external_signature_stage(spark):
     released = spark.createDataFrame(
         [(100, released_text)], "doc_id long, text string"
     )
-    ext = minhash_signature_table(released, "text", "doc_id")
+    store = str(tmp_path / "released_sigs")
+    write_signature_table(
+        minhash_signature_table(released, "text", "doc_id"), store
+    )
+    ext = read_signature_table(spark, store)
     knobs = dict(
         quality_min=0.0,
         near_dup_threshold=0.9,
@@ -353,5 +362,12 @@ def test_external_signature_stage(spark):
             docs, "text", "doc_id",
             external_signatures=ext,
             external_sig_knobs=dict(thresold=0.5),  # typo'd knob
+            **knobs,
+        )
+    # knobs WITHOUT the enabling frame would silently skip the stage
+    with pytest.raises(ValueError, match="external_signatures is None"):
+        prepare_training_corpus(
+            docs, "text", "doc_id",
+            external_sig_knobs=dict(threshold=0.5),
             **knobs,
         )
