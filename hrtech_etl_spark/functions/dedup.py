@@ -1052,28 +1052,32 @@ def write_signature_table(
     # writer that forgot num_hashes= — would create a permanently
     # mis-pinned table where NO read declaration works (the tag guard
     # and the band width guard each point at the other parameter, a
-    # catch-22). TWO layers, because mode="overwrite" DELETES the
-    # existing target before the job runs: an EAGER driver-side probe
-    # of the first non-NULL signature catches the forgot-the-param
-    # case BEFORE the old table is destroyed (one bounded first()),
-    # and the per-row raise_error below rides the write as the full
-    # net for mixed-width rows (by then a failed overwrite has
-    # already cleared the target — the probe is what protects it).
-    # NULL sigs stay writable (hand-built tables carry them; the
-    # merge paths defend them), only a wrong width raises.
-    probe = (
-        sig.where(F.col("sig").isNotNull())
-        .select(F.size("sig").alias("__n"))
-        .first()
-    )
-    if probe is not None and probe["__n"] != num_hashes:
-        raise ValueError(
-            f"write_signature_table: signatures are {probe['__n']} "
-            f"long but num_hashes={num_hashes} was declared — pass "
-            "the num_hashes the signatures were built with (checked "
-            "BEFORE the write so an overwrite cannot destroy the "
-            "existing table)"
+    # catch-22). TWO layers: the per-row raise_error below rides the
+    # write itself as the full net for mixed-width rows, and — ONLY
+    # under mode="overwrite", which DELETES the existing target before
+    # the job runs — an EAGER driver-side probe of the first non-NULL
+    # signature catches the forgot-the-param case BEFORE the old table
+    # is destroyed (one bounded first(), but it replays the full
+    # upstream signature lineage as an extra job — under the default
+    # mode="error"/"append" a failed write destroys nothing, the
+    # per-row net alone suffices, and skipping the probe saves a
+    # whole signature computation per write, e.g. once per streaming
+    # micro-batch). NULL sigs stay writable (hand-built tables carry
+    # them; the merge paths defend them), only a wrong width raises.
+    if mode == "overwrite":
+        probe = (
+            sig.where(F.col("sig").isNotNull())
+            .select(F.size("sig").alias("__n"))
+            .first()
         )
+        if probe is not None and probe["__n"] != num_hashes:
+            raise ValueError(
+                f"write_signature_table: signatures are {probe['__n']} "
+                f"long but num_hashes={num_hashes} was declared — pass "
+                "the num_hashes the signatures were built with (checked "
+                "BEFORE the write so an overwrite cannot destroy the "
+                "existing table)"
+            )
     guarded_sig = F.when(
         F.col("sig").isNull() | (F.size("sig") == num_hashes),
         F.col("sig"),
@@ -1308,17 +1312,34 @@ def signature_probe_pairs(
     threshold: float = 0.5,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    broadcast: str = "batch",
 ) -> DataFrame:
-    """ASYMMETRIC signature probe: near-dup pairs between a small
-    ingest batch and a large persisted signature store, shaped so the
-    STORE IS NEVER SHUFFLED — its banded projection stays a scan-side
-    map, and the batch's bands (a few buckets per doc) broadcast into
-    the join, the same zero-corpus-shuffle contract as
+    """ASYMMETRIC signature probe: near-dup pairs between an ingest
+    batch and a persisted signature store. Under the default
+    ``broadcast="batch"`` the STORE IS NEVER SHUFFLED — its banded
+    projection stays a scan-side map, and the batch's bands (a few
+    buckets per doc) broadcast into the join, the same
+    zero-corpus-shuffle contract as
     :func:`drop_near_duplicates_incremental`'s index probe.
     :func:`merged_signature_pairs` is the symmetric peer-to-peer merge
     (both sides band-shuffled); this is the 1000-batches-a-day path
     where re-shuffling a 100 TB store per micro-batch would be the
     bottleneck. Same hash-family guards, same estimator.
+
+    ``broadcast`` picks the join strategy by which side is actually
+    small — the default assumes a micro-batch, and a caller probing a
+    LARGE batch side (e.g. an entire corpus against a released-set
+    store) must not force its bands through the driver:
+
+    - ``"batch"`` (default): batch bands broadcast, store stays a
+      scan-side map — the streaming micro-batch shape.
+    - ``"store"``: store bands broadcast, the batch stays a scan-side
+      map — a huge corpus probed against a small external table.
+    - ``"none"``: plain shuffled band join (both sides hash-exchange
+      on ``(band_idx, bucket)``) — neither side fits the broadcast
+      limit; always safe, never driver-bound.
+
+    All three produce identical pairs; only the physical plan moves.
 
     Returns ``(store_id, batch_id, est_jaccard)`` with ``est_jaccard
     >= threshold``, one row per id pair. Ids may overlap between store
@@ -1331,6 +1352,11 @@ def signature_probe_pairs(
     scoring (the first cut of this function) let an arbitrary store
     row's signature win and could nondeterministically miss a true
     near-duplicate."""
+    if broadcast not in ("batch", "store", "none"):
+        raise ValueError(
+            f"broadcast must be 'batch', 'store' or 'none', got "
+            f"{broadcast!r}"
+        )
     sb = store_sig.select(
         F.col(id_col).alias("store_id"),
         F.col("sig").alias("__sa"),
@@ -1345,7 +1371,11 @@ def signature_probe_pairs(
             "band_idx", "bucket"
         ),
     )
-    scored = sb.join(F.broadcast(bb), ["band_idx", "bucket"]).select(
+    if broadcast == "batch":
+        bb = F.broadcast(bb)
+    elif broadcast == "store":
+        sb = F.broadcast(sb)
+    scored = sb.join(bb, ["band_idx", "bucket"]).select(
         "store_id",
         "batch_id",
         _sig_match_fraction(num_hashes).alias("__est"),

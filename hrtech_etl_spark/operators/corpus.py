@@ -506,16 +506,22 @@ def prepare_training_corpus(
        minhash_signature_table` of a corpus you do NOT hold the text
        of (a previously-released training set, another org's shard —
        64 bytes/doc is all that moves). The survivors of the lexical
-       stages sign themselves and probe the store through the
-       asymmetric :func:`~hrtech_etl_spark.functions.dedup.
-       signature_probe_pairs` (store bands stay a scan-side map,
-       batch bands broadcast — the external table is never
-       shuffled); any doc estimating ``>= threshold`` against a
-       stored signature drops. ``external_sig_knobs`` forwards
-       ``threshold`` / ``num_hashes`` / ``rows_per_band`` /
+       stages sign themselves and probe the store through
+       :func:`~hrtech_etl_spark.functions.dedup.
+       signature_probe_pairs`; any doc estimating ``>= threshold``
+       against a stored signature drops. The probe's join strategy
+       defaults to the always-safe shuffled band join here — the
+       "batch" side is the whole surviving corpus, unbounded at
+       production scale, so the function's micro-batch
+       broadcast-the-batch default would be driver-fatal; pass
+       ``broadcast="store"`` in ``external_sig_knobs`` when the
+       external table is known-small to keep the corpus entirely
+       scan-side (zero corpus shuffle). ``external_sig_knobs``
+       forwards ``threshold`` / ``num_hashes`` / ``rows_per_band`` /
        ``shingle_k`` (which must match what the store was signed
        with — persisted tables pin them, see
        :func:`~hrtech_etl_spark.functions.dedup.read_signature_table`)
+       / ``broadcast``
     3. benchmark decontamination vs ``test_set`` (13-gram overlap by
        default; ``decon_knobs`` forwards ``shingle_k`` /
        ``min_overlap`` / ``test_text_col`` for corpora where the
@@ -652,10 +658,22 @@ def prepare_training_corpus(
         ext_num_hashes = ek.pop("num_hashes", 8)
         ext_rows_per_band = ek.pop("rows_per_band", 2)
         ext_shingle_k = ek.pop("shingle_k", 2)
+        # join strategy for the probe: HERE the "batch" side is the
+        # ENTIRE lexical-survivor corpus — unbounded at production
+        # scale — so signature_probe_pairs' micro-batch default
+        # (broadcast the batch bands) would push billions of banded
+        # rows through the driver and fail on the broadcast limit.
+        # Default to the always-safe shuffled band join; a deployment
+        # that KNOWS its external store is small passes
+        # broadcast="store" to keep the corpus scan-side (zero corpus
+        # shuffle), exactly the asymmetric shape with the roles
+        # swapped. Pair values are identical under all strategies.
+        ext_broadcast = ek.pop("broadcast", "none")
         if ek:
             raise TypeError(
                 f"unknown external_sig_knobs: {sorted(ek)} — supported: "
-                "threshold, num_hashes, rows_per_band, shingle_k"
+                "threshold, num_hashes, rows_per_band, shingle_k, "
+                "broadcast"
             )
         # the survivors both sign themselves and anti-join the hits —
         # pin the lineage or the whole dedup subtree re-executes per
@@ -668,7 +686,7 @@ def prepare_training_corpus(
         hit = dd.signature_probe_pairs(
             external_signatures, bsig, id_col,
             threshold=ext_threshold, num_hashes=ext_num_hashes,
-            rows_per_band=ext_rows_per_band,
+            rows_per_band=ext_rows_per_band, broadcast=ext_broadcast,
         )
         cleaned = cleaned.join(
             hit.select(F.col("batch_id").alias(id_col)).distinct(),

@@ -698,6 +698,18 @@ def foreach_batch_signature_dedup(
     so a replayed batch re-sees exactly the pre-batch store no matter
     where the crash landed. Exceptions re-raise so the checkpoint does
     not commit and the batch replays.
+
+    ``id_col`` is IDENTITY, and each micro-batch is expected to carry
+    ONE row per id. Same-id rows within a batch are deliberately never
+    deduped against each other (the ordered pair rule needs ``id_a <
+    id_b``, so same-id rows cannot form a pair) — they are kept or
+    dropped together by the store-probe/within-batch verdict on that
+    id, and ``metrics.rows_written`` (physical batch rows minus
+    DISTINCT dropped ids) is exact only under the one-row-per-id
+    contract. A source whose ids can repeat within a batch must
+    pre-aggregate to one row per id upstream — two texts under one id
+    is an upstream identity bug this sink must not paper over by
+    silently keeping one.
     """
     from pyspark.errors import AnalysisException
 
@@ -724,18 +736,39 @@ def foreach_batch_signature_dedup(
                     num_hashes=num_hashes, shingle_k=shingle_k,
                     extra_cols=("batch",),
                 ).where(F.col("batch") < batch_id).drop("batch")
-            except AnalysisException:
-                # bootstrap: the store path is absent, OR it holds only
-                # the _temporary debris of a crashed FIRST write (no
-                # committed parquet footer anywhere -> UNABLE_TO_INFER_
-                # SCHEMA). Both mean "no earlier batch committed" and
-                # the probe is skipped; once ANY batch has committed,
-                # later-crash debris is a _-prefixed dir the reader's
-                # file index hides, so this branch can never swallow a
-                # store that has real data. A directory-existence check
-                # here was the round-15 review's confirmed wedge: the
-                # debris dir counted as data and every replay failed on
-                # schema inference.
+            except AnalysisException as e:
+                # bootstrap: the store path is absent (PATH_NOT_FOUND),
+                # OR it holds only the _temporary debris of a crashed
+                # FIRST write (no committed parquet footer anywhere ->
+                # UNABLE_TO_INFER_SCHEMA). Both mean "no earlier batch
+                # committed" and the probe is skipped; once ANY batch
+                # has committed, later-crash debris is a _-prefixed dir
+                # the reader's file index hides, so this branch can
+                # never swallow a store that has real data. A
+                # directory-existence check here was the round-15
+                # review's confirmed wedge: the debris dir counted as
+                # data and every replay failed on schema inference.
+                # ONLY those two conditions bootstrap — any other
+                # analysis failure (permissions, a corrupted or foreign
+                # schema, a mis-set extra_cols) re-raises so the batch
+                # fails loudly instead of silently ingesting
+                # near-duplicates with the probe skipped.
+                cond = (
+                    getattr(e, "getCondition", None)
+                    or getattr(e, "getErrorClass", None)
+                )
+                cond = cond() if cond is not None else None
+                if cond not in (
+                    "PATH_NOT_FOUND",
+                    "UNABLE_TO_INFER_SCHEMA",
+                ) and not (
+                    cond is None
+                    and (
+                        "PATH_NOT_FOUND" in str(e)
+                        or "UNABLE_TO_INFER_SCHEMA" in str(e)
+                    )
+                ):
+                    raise
                 stored = None
             if stored is not None:
                 hit = signature_probe_pairs(

@@ -8351,8 +8351,10 @@ def corpus_prepare_training_v3(spark, sf_dir):
     held (here: the doc_id % 10 == 5 slice, standing in for a
     previously-RELEASED training set whose members also circulate in
     the crawl — the stage must remove them from the new corpus). The
-    probe is the asymmetric signature_probe_pairs (store never
-    shuffled, batch bands broadcast), run between near-dup dedup and
+    probe is signature_probe_pairs under the corpus stage's
+    always-safe shuffled band join (the "batch" side here is the
+    whole surviving corpus — see prepare_training_corpus' broadcast
+    knob), run between near-dup dedup and
     decontamination; every other stage and knob matches the v1 gate,
     so the oracle is the v1 statement plus one CTE block (sign the
     released slice, reuse t2's ALREADY-COMPUTED near-dup signature

@@ -161,6 +161,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+    # loadavg BEFORE the tool self-loads the host (it drives loadavg
+    # to ~8 by its own end) — the START value is the contention signal
+    # adjudication should read (r15 verdict hygiene nit)
+    loadavg_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark(app_name="ab-containment")
     docs = load_table(spark, "documents", args.sf_dir)
@@ -194,7 +198,12 @@ def main() -> None:
             f"{name} disagrees with shipped: +{extra}/-{missing} pairs"
         )
 
-    record = {"sf_dir": args.sf_dir, "reps": args.reps, "timings": {}}
+    record = {
+        "sf_dir": args.sf_dir,
+        "reps": args.reps,
+        "loadavg_start": loadavg_start,
+        "timings": {},
+    }
     for name, fn in variants.items():
         fn().agg(F.count(F.lit(1)), F.sum("inter")).collect()  # warm
         runs = []

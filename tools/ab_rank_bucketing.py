@@ -52,13 +52,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=5_000_000)
     args = ap.parse_args()
+    # captured BEFORE the JVM even starts — see the record comment
+    loadavg_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark(app_name="ab-rank-bucketing")
     df = spark.range(args.rows).select(
         F.col("id"), (F.col("id") % 997_001).cast("double").alias("value")
     )
     vd = F.col("value")
-    record: dict = {"rows": args.rows, "points": []}
+    # START loadavg: the tool self-loads the host by its end, so only
+    # the pre-run value signals whether the record is clean
+    record: dict = {
+        "rows": args.rows,
+        "loadavg_start": loadavg_start,
+        "points": [],
+    }
     for n_buckets in (32, 512, 2048):
         qs = [i / n_buckets for i in range(1, n_buckets)]
         bnd = df.agg(
