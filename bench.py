@@ -148,6 +148,10 @@ EXTENDED = [
     "sim_kmeans_lloyd",
     # round 15
     "sim_pq_lloyd_serve",
+    # round 16 (train-once/serve-many: the first timed run trains and
+    # persists the codebook, warm runs serve from the store — the
+    # median reported here IS the production serve cost)
+    "sim_pq_serve_from_store",
 ]
 
 #: The capstone compositions, deliberately OUT of the extended list

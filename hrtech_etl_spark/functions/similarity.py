@@ -1277,3 +1277,163 @@ def pq_codebook_from_kmeans(
             [(cb,)], "`__cb` ARRAY<ARRAY<ARRAY<DOUBLE>>>"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Codebook persistence: train once, persist, serve many
+# ---------------------------------------------------------------------------
+
+#: geometry/schema version stamped into persisted PQ codebook tables —
+#: bump if the ``__cb`` indexing convention (1-based subspace/centroid
+#: element_at math in pq_encode/pq_adc_topk) or the table layout ever
+#: changes incompatibly, so stored codebooks fail loudly instead of
+#: silently decoding vectors under different geometry
+CODEBOOK_TABLE_VERSION = 1
+
+
+def _cb_meta_tag(m: int, ksub: int, dim: int) -> str:
+    """The self-describing per-row tag a persisted codebook table
+    carries: version + full geometry. Constant per table, so parquet
+    dictionary/RLE encodes it to ~nothing — the same pinned-contract
+    pattern as ``functions/dedup.py``'s signature tables."""
+    return f"cbv{CODEBOOK_TABLE_VERSION}:m{m}:k{ksub}:d{dim}"
+
+
+def write_codebook_table(
+    codebook: DataFrame,
+    path: str,
+    *,
+    mode: str = "error",
+) -> None:
+    """Persist a trained ``__cb`` codebook artifact
+    (:func:`pq_codebook` / :func:`pq_codebook_trained` /
+    :func:`pq_codebook_from_kmeans` output) as a parquet table of
+    ``(s, cid, centroid, cb_meta)`` rows — the production
+    train-once/serve-many shape: a training job runs the expensive
+    fit ONCE and ships this few-KiB artifact; every serving job
+    :func:`read_codebook_table`'s it back without touching training
+    data. Geometry ``(m, ksub, dsub)`` is DERIVED from the artifact
+    itself (the one-row nested array is driver-sized by contract, so
+    the write inspects it outright — no declared-vs-actual catch-22
+    to defend against) and pinned into every row as a ``cb_meta``
+    tag; a ragged codebook (mixed centroid widths, short subspaces)
+    raises before anything lands. The row layout is the
+    :func:`kmeans_lloyd` centroid grid, so a persisted table is also
+    human-auditable with plain SQL."""
+    rows = codebook.collect()
+    if len(rows) != 1 or rows[0].asDict().keys() != {"__cb"}:
+        raise ValueError(
+            "write_codebook_table: expected the one-row `__cb` "
+            f"codebook artifact, got {len(rows)} rows with columns "
+            f"{codebook.columns}"
+        )
+    cb = rows[0]["__cb"]
+    if cb is None or len(cb) == 0 or any(not sub for sub in cb):
+        raise ValueError(
+            "write_codebook_table: empty codebook (no subspaces or an "
+            "empty subspace)"
+        )
+    m = len(cb)
+    ksub = len(cb[0])
+    dsub = len(cb[0][0])
+    if dsub == 0:
+        raise ValueError("write_codebook_table: zero-width centroids")
+    for s, sub in enumerate(cb):
+        if len(sub) != ksub or any(len(c) != dsub for c in sub):
+            raise ValueError(
+                f"write_codebook_table: ragged codebook — subspace {s} "
+                f"is {len(sub)}x[{sorted({len(c) for c in sub})}], "
+                f"expected {ksub}x[{dsub}] like subspace 0"
+            )
+    dim = m * dsub
+    tag = _cb_meta_tag(m, ksub, dim)
+    spark = codebook.sparkSession
+    grid = spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in cb[s][j]], tag)
+            for s in range(m)
+            for j in range(ksub)
+        ],
+        "s INT, cid INT, centroid ARRAY<DOUBLE>, cb_meta STRING",
+    )
+    grid.write.mode(mode).parquet(path)
+
+
+def read_codebook_table(
+    spark,
+    path: str,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Read a persisted codebook back into the one-row broadcast
+    ``__cb`` artifact every PQ plan consumes — the serve half of the
+    train-once contract. The caller DECLARES the geometry its encode/
+    ADC plans were built for, and the stored ``cb_meta`` tag must
+    match exactly: serving a query under ``m=8`` against a codebook
+    trained at ``m=4`` would silently mis-slice every vector, so the
+    tag guard rides the scan projection (the raise_error-on-projection
+    pattern — fires on the first mismatched row during the ONE bounded
+    collect, no extra job, and never a filter that could push into a
+    stored-column fold). Schema presence/types are checked eagerly at
+    the call; the grid must be the exact full ``m x ksub`` (s, cid)
+    set with ``dim/m``-wide centroids (the
+    :func:`pq_codebook_from_kmeans` validation, re-applied to storage
+    because a partially-written or hand-edited table is exactly what
+    a serving fleet must refuse)."""
+    from pyspark.sql import types as T
+
+    if dim % m:
+        raise ValueError(f"read_codebook_table: dim {dim} % m {m} != 0")
+    dsub = dim // m
+    df = spark.read.parquet(path)
+    missing = {"s", "cid", "centroid", "cb_meta"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"read_codebook_table: {sorted(missing)} missing from "
+            f"{path} — not a write_codebook_table output"
+        )
+    ctype = df.schema["centroid"].dataType
+    if not (
+        isinstance(ctype, T.ArrayType)
+        and isinstance(ctype.elementType, T.DoubleType)
+    ):
+        raise ValueError(
+            f"read_codebook_table: 'centroid' in {path} is "
+            f"{ctype.simpleString()}, expected array<double>"
+        )
+    tag = _cb_meta_tag(m, ksub, dim)
+    guarded = F.when(F.col("cb_meta") == tag, F.col("centroid")).otherwise(
+        F.array(
+            F.raise_error(
+                F.format_string(
+                    "read_codebook_table: stored tag %s != declared "
+                    f"{tag} — this codebook was trained under a "
+                    "different geometry; pass the (m, ksub, dim) it "
+                    "was written with",
+                    F.coalesce(F.col("cb_meta"), F.lit("<null>")),
+                )
+            ).cast("double")
+        )
+    )
+    rows = df.select("s", "cid", guarded.alias("centroid")).collect()
+    by = {(r["s"], r["cid"]): list(r["centroid"]) for r in rows}
+    want = {(s, j) for s in range(m) for j in range(ksub)}
+    if len(rows) != m * ksub or set(by) != want:
+        raise ValueError(
+            f"read_codebook_table: expected the full {m}x{ksub} "
+            f"(s, cid) grid exactly once in {path}, got {len(rows)} "
+            f"rows over {len(by)} distinct keys"
+        )
+    bad = [k for k, v in by.items() if len(v) != dsub]
+    if bad:
+        raise ValueError(
+            f"read_codebook_table: {len(bad)} centroids in {path} are "
+            f"not {dsub}-wide (e.g. {bad[0]}) — table does not match "
+            f"the declared dim={dim}/m={m}"
+        )
+    cb = [[by[(s, j)] for j in range(ksub)] for s in range(m)]
+    return F.broadcast(
+        spark.createDataFrame([(cb,)], "`__cb` ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+    )
