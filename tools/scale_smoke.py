@@ -63,7 +63,12 @@ synthetic signatures split across 4 shards: each shard PERSISTS its
 signature table (write_signature_table), the merge reads the stored
 parquet back (read_signature_table) and runs merged_signature_pairs
 over signatures alone — planted cross-shard twins recalled 100% at
-est 1.0, flat job counts, and a no-hot-bucket fixture assert)
+est 1.0, flat job counts, and a no-hot-bucket fixture assert,
+``probe`` = the ASYMMETRIC store probe (signature_probe_pairs): a
+``--sig-rows`` persisted store probed by a ``--batch-docs`` batch
+with planted store hits — 100% recall at est 1.0, jobs flat in STORE
+size, and zero band-key exchange + batch-side broadcast asserted on
+the executed plan)
 so each path can be scaled independently of the 1M-doc dedup stages.
 """
 
@@ -143,6 +148,7 @@ def main() -> None:
     ap.add_argument("--sem-copies", type=int, default=50)
     ap.add_argument("--sem-dim", type=int, default=16)
     ap.add_argument("--sig-rows", type=int, default=10_000_000)
+    ap.add_argument("--batch-docs", type=int, default=10_000)
     args = ap.parse_args()
     groups = {g.strip() for g in args.only.split(",") if g.strip()}
 
@@ -168,6 +174,8 @@ def main() -> None:
             run_semantic_stage(spark, meter, args, root)
         if "signature" in groups:
             run_signature_stage(spark, meter, args, root)
+        if "probe" in groups:
+            run_probe_stage(spark, meter, args, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1124,6 +1132,117 @@ def run_signature_stage(spark, meter, args, root) -> None:
         f"all est 1.0); peak band bucket {peak_bucket} (twins only); "
         f"jobs {jobs_small} -> {jobs_big} "
         f"({big * n_shards / dt:,.0f} sig/s end to end incl. persist)",
+        flush=True,
+    )
+
+
+def run_probe_stage(spark, meter, args, root) -> None:
+    # --- asymmetric store probe: the 1000-batches-a-day path ----------
+    # The round-16 stage locking signature_probe_pairs' scale shape
+    # (the symmetric merge smoke above covers dedup_signature_merge;
+    # THIS is the streaming sink's per-micro-batch probe): a --sig-rows
+    # persisted store is probed by a --batch-docs batch whose every
+    # 100th doc reuses a stored hash key — planted hits spread across
+    # the WHOLE store id range. Signatures are xxhash64 streams keyed
+    # by (namespace, key): store rows are namespace 0 keyed by their
+    # own id, planted batch rows reuse namespace 0 with a stored key,
+    # filler batch rows live in namespace 1 and can never collide
+    # (random 64-bit band values, ~2^-128 accidental bucket match).
+    # Assertions:
+    #   1. recall: the pair set is EXACTLY the planted hits (count
+    #      match + anti-join empty), every pair est 1.0;
+    #   2. jobs FLAT in STORE size (rows/10 vs rows) — the probe's
+    #      plan must not grow stages with the store, or 1000
+    #      batches/day against a 100 TB store compounds the growth;
+    #   3. the executed plan carries ZERO hash exchange on the band
+    #      keys and a BroadcastHashJoin building the batch side — the
+    #      store-never-shuffled claim read off the REAL plan, not job
+    #      counts (tests/test_probe_plan_contract.py pins the same
+    #      shape at unit scale; this repeats it at 10M).
+    from hrtech_etl_spark.functions.dedup import (
+        read_signature_table,
+        signature_probe_pairs,
+        write_signature_table,
+    )
+
+    n_batch = args.batch_docs
+
+    def store_df(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.array(
+                *[F.xxhash64(F.lit(0), F.col("id"), F.lit(p)) for p in range(8)]
+            ).alias("sig"),
+        )
+
+    def batch_df(n_store):
+        step = max(1, n_store // n_batch)
+        planted = F.col("id") % 100 == 7
+        ns = F.when(planted, F.lit(0)).otherwise(F.lit(1))
+        key = F.when(planted, F.col("id") * step).otherwise(F.col("id"))
+        return spark.range(n_batch).select(
+            (F.col("id") + 100 * STRIDE).alias("doc_id"),
+            F.array(
+                *[F.xxhash64(ns, key, F.lit(p)) for p in range(8)]
+            ).alias("sig"),
+        )
+
+    def run_once(n_store: int, check_plan: bool):
+        path = os.path.join(root, f"probe_store_{n_store}")
+        write_signature_table(store_df(n_store), path)
+        stored = read_signature_table(spark, path)
+        batch = batch_df(n_store).localCheckpoint(eager=True)
+        pairs_df = signature_probe_pairs(
+            stored, batch, "doc_id", threshold=0.5
+        )
+        pairs = pairs_df.localCheckpoint(eager=True)  # ~n_batch/100 rows
+        step = max(1, n_store // n_batch)
+        expected = (
+            spark.range(n_batch)
+            .where("id % 100 = 7")
+            .select(
+                (F.col("id") * step).alias("store_id"),
+                (F.col("id") + 100 * STRIDE).alias("batch_id"),
+            )
+        )
+        n_exp = expected.count()
+        total = pairs.count()
+        assert total == n_exp, f"{total:,} pairs != {n_exp:,} planted"
+        missing = expected.join(
+            pairs, ["store_id", "batch_id"], "left_anti"
+        ).count()
+        assert missing == 0, f"{missing} planted store hits NOT recalled"
+        bad = pairs.where(F.col("est_jaccard") != 1.0).count()
+        assert bad == 0, f"{bad} pairs mis-scored"
+        if check_plan:
+            plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning(band_idx" not in plan, (
+                "store bands were shuffled:\n" + plan
+            )
+            assert "BroadcastHashJoin [band_idx" in plan, plan
+        return total
+
+    small = max(10_000, args.sig_rows // 10)
+    big = args.sig_rows
+    n_small, _ = meter.run(
+        f"store probe {small:,} store x {n_batch:,} batch",
+        lambda: run_once(small, check_plan=False),
+    )
+    jobs_small = meter.last_jobs
+    n_big, dt = meter.run(
+        f"store probe {big:,} store x {n_batch:,} batch",
+        lambda: run_once(big, check_plan=True),
+    )
+    jobs_big = meter.last_jobs
+    assert jobs_big <= jobs_small, (
+        f"probe job count grows with store size: {jobs_small} -> {jobs_big}"
+    )
+    print(
+        f"  planted store-hit recall 100% at {small:,} and {big:,} stored "
+        f"signatures ({n_small:,}/{n_big:,} pairs, all est 1.0); zero "
+        f"band-key exchange + batch-side BroadcastHashJoin in the "
+        f"executed plan; jobs {jobs_small} -> {jobs_big} "
+        f"({big / dt:,.0f} stored sig/s probed incl. store persist)",
         flush=True,
     )
 
