@@ -1175,8 +1175,7 @@ def run_probe_stage(spark, meter, args, root) -> None:
             ).alias("sig"),
         )
 
-    def batch_df(n_store):
-        step = max(1, n_store // n_batch)
+    def batch_df(step):
         planted = F.col("id") % 100 == 7
         ns = F.when(planted, F.lit(0)).otherwise(F.lit(1))
         key = F.when(planted, F.col("id") * step).otherwise(F.col("id"))
@@ -1188,15 +1187,18 @@ def run_probe_stage(spark, meter, args, root) -> None:
         )
 
     def run_once(n_store: int, check_plan: bool):
+        # ONE step value drives both the planted keys and the expected
+        # set — computing it twice let the fixture and its expectation
+        # silently diverge under a future edit
+        step = n_store // n_batch
         path = os.path.join(root, f"probe_store_{n_store}")
-        write_signature_table(store_df(n_store), path)
+        write_signature_table(store_df(n_store), path, mode="overwrite")
         stored = read_signature_table(spark, path)
-        batch = batch_df(n_store).localCheckpoint(eager=True)
+        batch = batch_df(step).localCheckpoint(eager=True)
         pairs_df = signature_probe_pairs(
             stored, batch, "doc_id", threshold=0.5
         )
         pairs = pairs_df.localCheckpoint(eager=True)  # ~n_batch/100 rows
-        step = max(1, n_store // n_batch)
         expected = (
             spark.range(n_batch)
             .where("id % 100 = 7")
@@ -1215,15 +1217,30 @@ def run_probe_stage(spark, meter, args, root) -> None:
         bad = pairs.where(F.col("est_jaccard") != 1.0).count()
         assert bad == 0, f"{bad} pairs mis-scored"
         if check_plan:
+            import re
+
             plan = pairs_df._jdf.queryExecution().executedPlan().toString()
             assert "Exchange hashpartitioning(band_idx" not in plan, (
                 "store bands were shuffled:\n" + plan
             )
-            assert "BroadcastHashJoin [band_idx" in plan, plan
+            joins = re.findall(r"BroadcastHashJoin \[band_idx[^\n]*", plan)
+            # BuildRight = the BATCH side is the build/broadcast side;
+            # a BuildLeft here would be collecting the banded STORE to
+            # the driver — exactly the regression this smoke guards
+            assert joins and all("BuildRight" in j for j in joins), (
+                joins or plan
+            )
         return total
 
     small = max(10_000, args.sig_rows // 10)
     big = args.sig_rows
+    if big <= small or small < n_batch:
+        raise SystemExit(
+            "probe stage needs --sig-rows >= 10x --batch-docs and > "
+            f"{small:,} (got --sig-rows {big:,}, --batch-docs "
+            f"{n_batch:,}): the planted keys id*step must land inside "
+            "the store and the flat-jobs compare needs small < big"
+        )
     n_small, _ = meter.run(
         f"store probe {small:,} store x {n_batch:,} batch",
         lambda: run_once(small, check_plan=False),
