@@ -8060,16 +8060,22 @@ def sim_pq_lloyd_serve(spark, sf_dir):
 # drop_near_duplicates_incremental for the federated signature regime)
 # ---------------------------------------------------------------------------
 
-def _stream_sigdedup_sql(threshold: float = 0.5, n_batches: int = 3) -> str:
-    """DuckDB replay of the greedy sequential signature-dedup fixed
-    point: batches (doc_id % n) arrive in index order; per round, a
-    doc drops iff it est-matches any KEPT doc of an earlier round
-    (the store probe) or any lower-id store-probe SURVIVOR of its own
-    round (the within-batch rule — non-transitive by design, matching
-    the sink). The rounds unroll as CTEs (the BPE/kmeans technique
-    applied to order-dependent streaming state); pair candidacy and
-    the matching-fraction estimator replay the dedup_signature_merge
-    fragments verbatim."""
+def _stream_sigdedup_ctes(
+    threshold: float = 0.5, n_batches: int = 3
+) -> tuple[list[str], list[str]]:
+    """Shared CTE chain replaying the greedy sequential signature-
+    dedup fixed point: batches (doc_id % n) arrive in index order; per
+    round, a doc drops iff it est-matches any KEPT doc of an earlier
+    round (the store probe) or any lower-id store-probe SURVIVOR of
+    its own round (the within-batch rule — non-transitive by design,
+    matching the sink). The rounds unroll as CTEs (the BPE/kmeans
+    technique applied to order-dependent streaming state); pair
+    candidacy and the matching-fraction estimator replay the
+    dedup_signature_merge fragments verbatim. Returns ``(ctes,
+    kept_names)`` ending at the per-round kept sets ``k0..k{n-1}`` so
+    both the signature-store ingest gate (`stream_signature_dedup`)
+    and the streaming corpus-ingest gate (`stream_corpus_ingest`)
+    build on ONE statement of the dedup fixed point."""
     ctes = [
         f"w AS MATERIALIZED (SELECT doc_id, CAST(doc_id % {n_batches} AS "
         f"INT) AS bt, {TOKENS_SQL.format(t='text')} AS w FROM documents)",
@@ -8112,6 +8118,14 @@ def _stream_sigdedup_sql(threshold: float = 0.5, n_batches: int = 3) -> str:
             f"ON pe.id_a = a.doc_id WHERE pe.id_b = s{b}.doc_id))"
         )
         kept_names.append(f"k{b}")
+    return ctes, kept_names
+
+
+def _stream_sigdedup_sql(threshold: float = 0.5, n_batches: int = 3) -> str:
+    """The signature-store ingest gate's full statement: the shared
+    greedy-rounds chain, declared output = kept docs with their
+    arrival batch."""
+    ctes, kept_names = _stream_sigdedup_ctes(threshold, n_batches)
     union = " UNION ALL ".join(f"SELECT doc_id FROM {k}" for k in kept_names)
     return (
         "WITH " + ",\n".join(ctes)
@@ -8487,4 +8501,137 @@ def sim_pq_serve_from_store(spark, sf_dir):
     q = e.where(F.col("vec_id") == 0)
     return sim.pq_rerank_topk(
         e, enc, cb, q, k=10, shortlist=100, m=_KM_M, dim=_KM_DIM
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming capstone slice: micro-batch corpus ingest over the growing
+# signature store (round 16 — the capstone family's streaming story)
+# ---------------------------------------------------------------------------
+
+def _stream_corpus_ingest_sql(
+    threshold: float = 0.5, n_batches: int = 3
+) -> str:
+    """DuckDB replay of the streaming corpus-ingest slice: the shared
+    `_stream_sigdedup_ctes` greedy rounds pin WHICH docs each batch
+    keeps (the only order-dependent state), then the kept docs flow
+    through the v1 capstone's per-row stage fragments VERBATIM —
+    quality floor, PII chain, overlapping chunk windows, whitespace
+    token count — since those commute with the batch split. One
+    statement: the dedup fixed point AND the per-batch stage plumbing
+    are both value-locked."""
+    ctes, kept_names = _stream_sigdedup_ctes(threshold, n_batches)
+    union = " UNION ALL ".join(f"SELECT doc_id FROM {k}" for k in kept_names)
+    ctes = ctes + [
+        f"keptd AS MATERIALIZED (SELECT w.doc_id, w.bt AS batch, d.text "
+        f"FROM w JOIN ({union}) u USING (doc_id) "
+        f"JOIN documents d USING (doc_id))",
+        f"qd AS (SELECT doc_id, batch, text FROM keptd "
+        f"WHERE {quality_score_sql()} >= {_CAP_QMIN})",
+        f"rd AS (SELECT doc_id, batch, {_pii_chain_sql('text')} AS text "
+        f"FROM qd)",
+        f"chk AS (SELECT doc_id, batch, CAST(off / {_CAP_STEP} AS INT) AS "
+        f"chunk_idx, substring(text, CAST(off AS INT) + 1, {_CAP_CHUNK}) "
+        f"AS chunk_text FROM (SELECT doc_id, batch, text, "
+        f"unnest(generate_series(0, greatest(length(text) - "
+        f"{_CAP_OVERLAP} - 1, 0), {_CAP_STEP})) AS off FROM rd))",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, batch, chunk_idx, chunk_text, "
+        f"CAST(len({_CAP_TOKENS}) AS INT) AS n_tokens "
+        f"FROM chk ORDER BY doc_id, chunk_idx"
+    )
+
+
+@query("stream_corpus_ingest", sql=_stream_corpus_ingest_sql())
+def stream_corpus_ingest(spark, sf_dir):
+    """The capstone family's STREAMING slice driven end to end
+    (streaming/pipelines.py::foreach_batch_corpus_ingest): the
+    documents table staged as three slice files (doc_id % 3, mtimes
+    choreographed oldest-first), read back as a REAL readStream
+    (maxFilesPerTrigger=1 → three genuine micro-batches under
+    availableNow). Each batch runs the capstone's ingest composition:
+    sign → probe the PERSISTED signature store of strictly-earlier
+    batches (asymmetric signature_probe_pairs, store never shuffled)
+    → within-batch dedup → grow the store as a ``batch=<id>``
+    partition (BEFORE the quality gate, the batch capstone's stage
+    order) → quality floor → PII redaction → overlapping chunk
+    windows + whitespace token counts, landing as the batch's own
+    chunk partition. Declared output is every chunk with its doc's
+    arrival batch — locking the dedup fixed point, the stage order,
+    AND the per-batch chunk plumbing in one gate; the oracle unrolls
+    the three greedy rounds as CTEs and feeds the kept docs through
+    the v1 capstone's stage fragments (see _stream_corpus_ingest_sql).
+    A batches==3 assertion locks the multi-micro-batch claim. The
+    per-row stages commute with the batch split, so THIS gate's rows
+    are exactly what the batch capstone's quality/redact/chunk stages
+    would produce over the union of kept docs — proving the streaming
+    and batch paths converge, which is the capstone slice's whole
+    claim. Green at sf0.001/0.01/0.1."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from hrtech_etl_spark.streaming.pipelines import (
+        StreamMetrics,
+        foreach_batch_corpus_ingest,
+        run_available_now,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_corpusingest_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    now = _time.time()
+    for i in range(3):
+        sdir = os.path.join(stage, f"slice_{i}.parquet")
+        d.where(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(sdir)
+        # batch ORDER is the dedup order: pin oldest-first explicitly
+        # (the stream_signature_dedup staging discipline)
+        for fn in os.listdir(sdir):
+            os.utime(
+                os.path.join(sdir, fn), (now - 300 + i * 60,) * 2
+            )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    clean = os.path.join(root, "chunks")
+    store = os.path.join(root, "sigs")
+    metrics = StreamMetrics()
+    run_available_now(
+        stream,
+        checkpoint=os.path.join(root, "ck"),
+        foreach_batch=foreach_batch_corpus_ingest(
+            store, clean, "text", "doc_id",
+            threshold=0.5, quality_min=_CAP_QMIN, redact=True,
+            chunk_chars=_CAP_CHUNK, chunk_overlap=_CAP_OVERLAP,
+            metrics=metrics,
+        ),
+        # the heaviest foreachBatch family (3 sign+probe+merge+chunk+
+        # write cycles) — same drain budget as stream_signature_dedup
+        timeout_sec=600,
+    )
+    if metrics.batches != 3:
+        raise AssertionError(
+            f"expected 3 micro-batches through the sink, got "
+            f"{metrics.batches}"
+        )
+    return (
+        spark.read.parquet(clean)
+        .select(
+            "doc_id",
+            F.col("batch").cast("int").alias("batch"),
+            "chunk_idx",
+            "chunk_text",
+            "n_tokens",
+        )
+        .orderBy("doc_id", "chunk_idx")
     )

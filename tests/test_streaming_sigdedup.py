@@ -166,3 +166,85 @@ def test_sink_bootstraps_over_first_write_crash_debris(spark, tmp_path):
         (r["doc_id"], r["batch"])
         for r in spark.read.parquet(clean).collect()
     ] == [(1, 0)]
+
+
+def test_corpus_ingest_sink_stages_and_replay(spark, tmp_path):
+    """The streaming capstone slice (foreach_batch_corpus_ingest):
+    store-probe dedup drops a batch-1 dup of a kept batch-0 doc; the
+    quality floor drops junk AFTER its signature entered the store
+    (the batch capstone's stage order — a junk doc's near-copies must
+    not re-enter later); PII is redacted in the chunk text; a long doc
+    splits into overlapping chunks; metrics count CHUNKS; replaying a
+    batch leaves both outputs byte-identical."""
+    from hrtech_etl_spark.streaming.pipelines import (
+        foreach_batch_corpus_ingest,
+    )
+
+    store = str(tmp_path / "sigs")
+    clean = str(tmp_path / "chunks")
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "afternoon sun warms the meadow and the river runs slow"
+    )
+    long_doc = " ".join(
+        f"the segment {i} carries some plain prose and words"
+        for i in range(8)
+    )  # ~390 chars -> 2 chunks at max_chars=300/overlap=50
+    sink = foreach_batch_corpus_ingest(
+        store, clean, "text", "doc_id", threshold=0.5,
+        quality_min=0.5, redact=True,
+        chunk_chars=300, chunk_overlap=50,
+        metrics=(metrics := StreamMetrics()),
+    )
+    b0 = spark.createDataFrame(
+        [
+            (1, prose),
+            (2, "!!!! ???? ...."),  # junk: fails the 0.5 quality floor
+            (3, "you can reach the author at jane@corp.example.com for "
+                "more details on the dataset and the license terms"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, prose),      # dup of KEPT 1 -> dropped at the probe
+            (11, long_doc),   # fresh, multi-chunk
+        ],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    chunks = spark.read.parquet(clean)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r for r in chunks.collect()
+    }
+    # doc 2 (junk) has NO chunks, but its signature IS in the store
+    assert {d for d, _ in rows} == {1, 3, 11}
+    stored_ids = {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    }
+    assert stored_ids == {1, 2, 3, 11}
+    # doc 10 (probe dup) is in neither
+    # PII redacted in the landed chunk text
+    assert "@" not in rows[(3, 0)]["chunk_text"]
+    assert "[EMAIL]" in rows[(3, 0)]["chunk_text"]
+    # the long doc split with the declared overlap
+    assert (11, 1) in rows and rows[(11, 0)]["chunk_text"][250:300] \
+        == rows[(11, 1)]["chunk_text"][:50]
+    # n_tokens is the whitespace count of the chunk itself
+    assert all(
+        r["n_tokens"] == len(r["chunk_text"].split())
+        for r in rows.values()
+    )
+    # batch column rides the partition layout; metrics count chunks
+    assert {r["batch"] for r in rows.values()} == {0, 1}
+    assert metrics.batches == 2 and metrics.rows_written == len(rows)
+
+    # replay batch 1: byte-identical outputs (per-batch overwrite)
+    before = sorted(map(tuple, chunks.collect()))
+    sink(b1, 1)
+    assert sorted(map(tuple, spark.read.parquet(clean).collect())) \
+        == before
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    } == {1, 2, 3, 11}
