@@ -672,10 +672,12 @@ def _sign_probe_dedup_batch(
     the survivors among themselves (a doc drops iff it estimates
     ``>= threshold`` against a LOWER-ID store-probe survivor —
     deterministic, non-transitive by design). Returns ``(kept_docs,
-    kept_sig, all_drop, bsig)``; ``all_drop`` is eagerly
-    checkpointed (bounded by batch size), ``bsig`` eagerly
-    checkpointed (probed + merged + written by the callers).
-    ``batch_df`` must already be persisted by the caller."""
+    kept_sig, all_drop)``; ``all_drop`` (the dropped ids, eagerly
+    checkpointed, bounded by batch size) feeds both anti-joins and
+    the callers' metrics; ``kept_sig`` is the batch's SURVIVING
+    signatures — what the callers append to the store, so dropped
+    dups never land. ``batch_df`` must already be persisted by the
+    caller."""
     from pyspark.errors import AnalysisException
 
     from hrtech_etl_spark.functions.dedup import (
@@ -753,7 +755,7 @@ def _sign_probe_dedup_batch(
     ).localCheckpoint(eager=True)  # bounded by batch size
     kept_docs = batch_df.join(all_drop, id_col, "left_anti")
     kept_sig = bsig.join(all_drop, id_col, "left_anti")
-    return kept_docs, kept_sig, all_drop, bsig
+    return kept_docs, kept_sig, all_drop
 
 
 def foreach_batch_signature_dedup(
@@ -823,7 +825,7 @@ def foreach_batch_signature_dedup(
         spark = batch_df.sparkSession
         batch_df.persist()
         try:
-            kept_docs, kept_sig, all_drop, _bsig = _sign_probe_dedup_batch(
+            kept_docs, kept_sig, all_drop = _sign_probe_dedup_batch(
                 spark, batch_df, batch_id, sig_store_path,
                 text_col=text_col, id_col=id_col, threshold=threshold,
                 num_hashes=num_hashes, rows_per_band=rows_per_band,
@@ -913,7 +915,7 @@ def foreach_batch_corpus_ingest(
         spark = batch_df.sparkSession
         batch_df.persist()
         try:
-            kept_docs, kept_sig, _drop, _bsig = _sign_probe_dedup_batch(
+            kept_docs, kept_sig, _drop = _sign_probe_dedup_batch(
                 spark, batch_df, batch_id, sig_store_path,
                 text_col=text_col, id_col=id_col, threshold=threshold,
                 num_hashes=num_hashes, rows_per_band=rows_per_band,
@@ -935,10 +937,13 @@ def foreach_batch_corpus_ingest(
                 docs, text_col, id_col,
                 max_chars=chunk_chars, overlap=chunk_overlap,
             ).withColumn("n_tokens", tx.token_count(F.col("chunk_text")))
-            # materialize ONCE (bounded by batch size x chunks/doc):
-            # the write and the metrics count below would otherwise
-            # each re-run the probe/dedup/quality/chunk lineage
-            chunks = chunks.localCheckpoint(eager=True)
+            if metrics is not None:
+                # materialize ONCE (bounded by batch size x chunks/
+                # doc): the write AND the rows_written count below
+                # would otherwise each re-run the probe/dedup/quality/
+                # chunk lineage. Without metrics the write is the only
+                # consumer — skip the extra materialization.
+                chunks = chunks.localCheckpoint(eager=True)
             chunks.write.mode("overwrite").parquet(
                 f"{clean_path}/batch={batch_id}"
             )

@@ -8072,10 +8072,12 @@ def _stream_sigdedup_ctes(
     technique applied to order-dependent streaming state); pair
     candidacy and the matching-fraction estimator replay the
     dedup_signature_merge fragments verbatim. Returns ``(ctes,
-    kept_names)`` ending at the per-round kept sets ``k0..k{n-1}`` so
-    both the signature-store ingest gate (`stream_signature_dedup`)
-    and the streaming corpus-ingest gate (`stream_corpus_ingest`)
-    build on ONE statement of the dedup fixed point."""
+    kept_union)`` — the chain plus the union-over-kept-rounds
+    subquery that IS the fixed point's output — so both the
+    signature-store ingest gate (`stream_signature_dedup`) and the
+    streaming corpus-ingest gate (`stream_corpus_ingest`) build on
+    ONE statement of the dedup fixed point, output contract
+    included."""
     ctes = [
         f"w AS MATERIALIZED (SELECT doc_id, CAST(doc_id % {n_batches} AS "
         f"INT) AS bt, {TOKENS_SQL.format(t='text')} AS w FROM documents)",
@@ -8118,20 +8120,83 @@ def _stream_sigdedup_ctes(
             f"ON pe.id_a = a.doc_id WHERE pe.id_b = s{b}.doc_id))"
         )
         kept_names.append(f"k{b}")
-    return ctes, kept_names
+    union = " UNION ALL ".join(f"SELECT doc_id FROM {k}" for k in kept_names)
+    return ctes, union
 
 
 def _stream_sigdedup_sql(threshold: float = 0.5, n_batches: int = 3) -> str:
     """The signature-store ingest gate's full statement: the shared
     greedy-rounds chain, declared output = kept docs with their
     arrival batch."""
-    ctes, kept_names = _stream_sigdedup_ctes(threshold, n_batches)
-    union = " UNION ALL ".join(f"SELECT doc_id FROM {k}" for k in kept_names)
+    ctes, union = _stream_sigdedup_ctes(threshold, n_batches)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT w.doc_id, w.bt AS batch FROM w JOIN ({union}) kept "
         f"USING (doc_id) ORDER BY w.doc_id"
     )
+
+
+def _drive_sliced_ingest(spark, sf_dir: str, prefix: str, make_sink) -> str:
+    """Shared end-to-end driver for the streaming-ingest gates
+    (`stream_signature_dedup`, `stream_corpus_ingest`): stage the
+    documents table as three slice files (doc_id % 3) with
+    choreographed mtimes — batch ORDER is the dedup order here
+    (unlike the upsert sink's order-independent merge), so
+    oldest-first is pinned explicitly instead of trusting write
+    latency to order the mtimes — then drain a REAL readStream
+    (maxFilesPerTrigger=1 → three genuine micro-batches under
+    availableNow) through ``make_sink(sig_store_path, out_path,
+    metrics)`` and assert exactly three batches ran (the generous
+    600s drain budget: these are the heaviest foreachBatch gates, 3
+    sign+probe+merge+write cycles, and the default 120s would
+    surface on a contended host as a bogus batch-count failure).
+    Returns the sink's output path for the gate to read back."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from hrtech_etl_spark.streaming.pipelines import (
+        StreamMetrics,
+        run_available_now,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stage = os.path.join(root, "stage")
+    now = _time.time()
+    for i in range(3):
+        sdir = os.path.join(stage, f"slice_{i}.parquet")
+        d.where(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(sdir)
+        for fn in os.listdir(sdir):
+            os.utime(
+                os.path.join(sdir, fn), (now - 300 + i * 60,) * 2
+            )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    out = os.path.join(root, "out")
+    store = os.path.join(root, "sigs")
+    metrics = StreamMetrics()
+    run_available_now(
+        stream,
+        checkpoint=os.path.join(root, "ck"),
+        foreach_batch=make_sink(store, out, metrics),
+        timeout_sec=600,
+    )
+    if metrics.batches != 3:
+        raise AssertionError(
+            f"expected 3 micro-batches through the sink, got "
+            f"{metrics.batches}"
+        )
+    return out
 
 
 @query("stream_signature_dedup", sql=_stream_sigdedup_sql())
@@ -8154,62 +8219,16 @@ def stream_signature_dedup(spark, sf_dir):
     the three greedy rounds as CTEs over the shared signature/band/
     estimator fragments. A batches==3 assertion locks the
     multi-micro-batch claim. Green at sf0.001/0.01/0.1."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import time as _time
-
     from hrtech_etl_spark.streaming.pipelines import (
-        StreamMetrics,
         foreach_batch_signature_dedup,
-        run_available_now,
     )
 
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="stream_sigdedup_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    stage = os.path.join(root, "stage")
-    now = _time.time()
-    for i in range(3):
-        sdir = os.path.join(stage, f"slice_{i}.parquet")
-        d.where(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
-            1
-        ).write.parquet(sdir)
-        # batch ORDER is the dedup order here (unlike the upsert
-        # sink's order-independent merge): pin oldest-first explicitly
-        # instead of trusting write latency to order the mtimes
-        for fn in os.listdir(sdir):
-            os.utime(
-                os.path.join(sdir, fn), (now - 300 + i * 60,) * 2
-            )
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-    )
-    clean = os.path.join(root, "clean")
-    store = os.path.join(root, "sigs")
-    metrics = StreamMetrics()
-    run_available_now(
-        stream,
-        checkpoint=os.path.join(root, "ck"),
-        foreach_batch=foreach_batch_signature_dedup(
-            store, clean, "text", "doc_id",
-            threshold=0.5, metrics=metrics,
+    clean = _drive_sliced_ingest(
+        spark, sf_dir, "stream_sigdedup_",
+        lambda store, out, metrics: foreach_batch_signature_dedup(
+            store, out, "text", "doc_id", threshold=0.5, metrics=metrics,
         ),
-        # the heaviest foreachBatch gate (3 sign+probe+merge+write
-        # cycles): the default 120s drain budget is too tight for a
-        # contended host and would surface as a bogus batch-count
-        # failure instead of a timeout
-        timeout_sec=600,
     )
-    if metrics.batches != 3:
-        raise AssertionError(
-            f"expected 3 micro-batches through the sink, got "
-            f"{metrics.batches}"
-        )
     return (
         spark.read.parquet(clean)
         .select("doc_id", F.col("batch").cast("int").alias("batch"))
@@ -8520,8 +8539,7 @@ def _stream_corpus_ingest_sql(
     token count — since those commute with the batch split. One
     statement: the dedup fixed point AND the per-batch stage plumbing
     are both value-locked."""
-    ctes, kept_names = _stream_sigdedup_ctes(threshold, n_batches)
-    union = " UNION ALL ".join(f"SELECT doc_id FROM {k}" for k in kept_names)
+    ctes, union = _stream_sigdedup_ctes(threshold, n_batches)
     ctes = ctes + [
         f"keptd AS MATERIALIZED (SELECT w.doc_id, w.bt AS batch, d.text "
         f"FROM w JOIN ({union}) u USING (doc_id) "
@@ -8569,61 +8587,19 @@ def stream_corpus_ingest(spark, sf_dir):
     would produce over the union of kept docs — proving the streaming
     and batch paths converge, which is the capstone slice's whole
     claim. Green at sf0.001/0.01/0.1."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import time as _time
-
     from hrtech_etl_spark.streaming.pipelines import (
-        StreamMetrics,
         foreach_batch_corpus_ingest,
-        run_available_now,
     )
 
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="stream_corpusingest_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    stage = os.path.join(root, "stage")
-    now = _time.time()
-    for i in range(3):
-        sdir = os.path.join(stage, f"slice_{i}.parquet")
-        d.where(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
-            1
-        ).write.parquet(sdir)
-        # batch ORDER is the dedup order: pin oldest-first explicitly
-        # (the stream_signature_dedup staging discipline)
-        for fn in os.listdir(sdir):
-            os.utime(
-                os.path.join(sdir, fn), (now - 300 + i * 60,) * 2
-            )
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
-    )
-    clean = os.path.join(root, "chunks")
-    store = os.path.join(root, "sigs")
-    metrics = StreamMetrics()
-    run_available_now(
-        stream,
-        checkpoint=os.path.join(root, "ck"),
-        foreach_batch=foreach_batch_corpus_ingest(
-            store, clean, "text", "doc_id",
+    clean = _drive_sliced_ingest(
+        spark, sf_dir, "stream_corpusingest_",
+        lambda store, out, metrics: foreach_batch_corpus_ingest(
+            store, out, "text", "doc_id",
             threshold=0.5, quality_min=_CAP_QMIN, redact=True,
             chunk_chars=_CAP_CHUNK, chunk_overlap=_CAP_OVERLAP,
             metrics=metrics,
         ),
-        # the heaviest foreachBatch family (3 sign+probe+merge+chunk+
-        # write cycles) — same drain budget as stream_signature_dedup
-        timeout_sec=600,
     )
-    if metrics.batches != 3:
-        raise AssertionError(
-            f"expected 3 micro-batches through the sink, got "
-            f"{metrics.batches}"
-        )
     return (
         spark.read.parquet(clean)
         .select(
