@@ -152,6 +152,7 @@ EXTENDED = [
     # persists the codebook, warm runs serve from the store — the
     # median reported here IS the production serve cost)
     "sim_pq_serve_from_store",
+    "sim_ivf_serve_from_store",
 ]
 
 #: The capstone compositions, deliberately OUT of the extended list

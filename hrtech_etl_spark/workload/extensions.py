@@ -8446,27 +8446,33 @@ def corpus_prepare_training_v3(spark, sf_dir):
 # production train-once/serve-many shape behind sim_pq_lloyd_serve)
 # ---------------------------------------------------------------------------
 
-#: (applicationId, sf_dir) → persisted codebook table path. Same
-#: per-app artifact-cache contract as _LSH_INDEX_DIRS (own lock, built
-#: once, removed at interpreter exit, inputs immutable per app): the
-#: 5-iteration Lloyd training is the expensive step this gate exists
-#: to NOT repeat, so warm invocations must go straight to the store.
-_PQ_CB_DIRS: dict[tuple[str, str], str] = {}
-_PQ_CB_LOCK = _threading.Lock()
+#: (applicationId, sf_dir, m, ksub, dim, iters) → persisted codebook
+#: table path. Same per-app artifact-cache contract as _LSH_INDEX_DIRS
+#: (own lock, built once, removed at interpreter exit, inputs
+#: immutable per app): the 5-iteration Lloyd training is the expensive
+#: step the serving gates exist to NOT repeat, so warm invocations
+#: must go straight to the store. Geometry is part of the key — the
+#: PQ serve (m=8 subspace quantizer) and the IVF serve (m=1
+#: full-vector coarse quantizer) each train and persist their own
+#: artifact.
+_CB_DIRS: dict[tuple, str] = {}
+_CB_LOCK = _threading.Lock()
 
 
-def _trained_codebook_path(spark, sf_dir: str) -> str:
-    """Train-once half of the serving gate: the first call per
-    (applicationId, sf_dir) runs the deterministic Lloyd trainer,
-    adapts the centroid grid into the ``__cb`` artifact, and persists
-    it through :func:`~hrtech_etl_spark.functions.similarity.
+def _trained_codebook_path(
+    spark, sf_dir: str, *, m: int, ksub: int, dim: int, iters: int
+) -> str:
+    """Train-once half of the serving gates: the first call per
+    (applicationId, sf_dir, geometry) runs the deterministic Lloyd
+    trainer, adapts the centroid grid into the ``__cb`` artifact, and
+    persists it through :func:`~hrtech_etl_spark.functions.similarity.
     write_codebook_table` (geometry tag pinned per row); every later
     call returns the stored path untouched — exactly the lifecycle a
     production fleet runs, where training is a scheduled job and
     serving only ever reads the artifact."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    with _PQ_CB_LOCK:
-        path = _PQ_CB_DIRS.get(key)
+    key = (spark.sparkContext.applicationId, sf_dir, m, ksub, dim, iters)
+    with _CB_LOCK:
+        path = _CB_DIRS.get(key)
         if path is None:
             import atexit
             import os
@@ -8475,18 +8481,18 @@ def _trained_codebook_path(spark, sf_dir: str) -> str:
 
             from hrtech_etl_spark.functions import similarity as sim
 
-            root = tempfile.mkdtemp(prefix="pq_codebook_")
+            root = tempfile.mkdtemp(prefix="trained_codebook_")
             # register cleanup BEFORE building: a failed write must
             # not leak the directory past process exit
             atexit.register(shutil.rmtree, root, ignore_errors=True)
             path = os.path.join(root, "cb")
             e = load_table(spark, "embeddings", sf_dir)
             cents = sim.kmeans_lloyd(
-                e, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, iters=_KM_ITERS
+                e, m=m, ksub=ksub, dim=dim, iters=iters
             )
-            cb = sim.pq_codebook_from_kmeans(cents, m=_KM_M, ksub=_KM_KSUB)
+            cb = sim.pq_codebook_from_kmeans(cents, m=m, ksub=ksub)
             sim.write_codebook_table(cb, path)
-            _PQ_CB_DIRS[key] = path
+            _CB_DIRS[key] = path
     return path
 
 
@@ -8511,7 +8517,9 @@ def sim_pq_serve_from_store(spark, sf_dir):
     #1). Green at sf0.001/0.01/0.1."""
     from hrtech_etl_spark.functions import similarity as sim
 
-    path = _trained_codebook_path(spark, sf_dir)
+    path = _trained_codebook_path(
+        spark, sf_dir, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, iters=_KM_ITERS
+    )
     cb = sim.read_codebook_table(
         spark, path, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM
     )
@@ -8610,4 +8618,94 @@ def stream_corpus_ingest(spark, sf_dir):
             "n_tokens",
         )
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained-IVF serving from the PERSISTED codebook store (round 16 —
+# the train-once/serve-many shape for the coarse quantizer, closing
+# the r15 optional: IVF train -> persist -> serve, value-gated)
+# ---------------------------------------------------------------------------
+
+#: IVF coarse quantizer = kmeans_lloyd with ONE subspace (m=1): the
+#: "subspace" is the full 64-dim vector, so the trained grid IS the
+#: centroid table train_ivf_centroids produces with Spark-ML — but
+#: deterministic and engine-portable, hence value-gateable end to end.
+_IVF_KSUB, _IVF_NPROBE = 16, 2
+
+
+def _ivf_lloyd_serve_sql(
+    ksub: int = _IVF_KSUB,
+    dim: int = _KM_DIM,
+    iters: int = _KM_ITERS,
+    nprobe: int = _IVF_NPROBE,
+    k: int = 10,
+) -> str:
+    """DuckDB replay of the trained-IVF serving cascade: the shared
+    `_kmeans_lloyd_ctes` rounds at m=1 train the full-vector coarse
+    centroids (it{iters} — 16 x 64-dim round-6 arrays), which then
+    drive the sim_ivf_topk serving fragments VERBATIM with the seed
+    table swapped for the trained one: rounded-cosine argmax
+    assignment (row_number tie-break on cid), the query's nprobe
+    nearest lists, exact cosine + top-k inside them."""
+    ctes, _ = _kmeans_lloyd_ctes(1, ksub, dim, iters)
+    cos_c = cosine_sql("e.v", "cq.cvec")
+    ctes = ctes + [
+        f"cq AS MATERIALIZED (SELECT cid, c AS cvec FROM it{iters})",
+        f"asg AS (SELECT vec_id, v, cid FROM ("
+        f"SELECT e.vec_id, e.v, cq.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {cos_c} DESC, cq.cid) AS rn "
+        f"FROM e CROSS JOIN cq) WHERE rn = 1)",
+        f"qlists AS (SELECT cid, v AS qv FROM ("
+        f"SELECT cq.cid, e.v, row_number() OVER ("
+        f"ORDER BY {cos_c} DESC, cq.cid) AS rn "
+        f"FROM e CROSS JOIN cq WHERE e.vec_id = 0) WHERE rn <= {nprobe})",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.vec_id AS vec_id, {cosine_sql('a.v', 'q.qv')} AS "
+        f"score FROM asg a JOIN qlists q ON a.cid = q.cid "
+        f"ORDER BY score DESC, a.vec_id LIMIT {k}"
+    )
+
+
+@query("sim_ivf_serve_from_store", sql=_ivf_lloyd_serve_sql())
+def sim_ivf_serve_from_store(spark, sf_dir):
+    """Trained-IVF ANN served from the PERSISTED codebook store —
+    the r15 optional closed with the round's two new contracts
+    composed: kmeans_lloyd at m=1 trains the full-vector coarse
+    quantizer ONCE per session (deterministic Lloyd — the
+    engine-portable sibling of train_ivf_centroids' Spark-ML fit),
+    the 16 x 64-dim grid persists through write_codebook_table
+    (tag ``cbv1:m1:k16:d64`` — the same artifact contract as the PQ
+    serve, different geometry), and every invocation reads it back
+    (tag guard riding the scan) into ivf_cosine_topk's ``centroids=``
+    table: rounded-cosine argmax assignment as a pure projection
+    (zero corpus shuffle), the query's 2 nearest lists probed, exact
+    cosine top-10 inside them. The oracle replays training at m=1
+    through the SHARED Lloyd CTE chain and the sim_ivf_topk serving
+    fragments with the seed table swapped for the trained grid — the
+    whole train→persist→serve path reproduced bit-for-bit by an
+    independent engine (sim_ivf_topk keeps gating the seed-quantizer
+    plan shape). Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.functions import similarity as sim
+
+    path = _trained_codebook_path(
+        spark, sf_dir, m=1, ksub=_IVF_KSUB, dim=_KM_DIM, iters=_KM_ITERS
+    )
+    cb = sim.read_codebook_table(
+        spark, path, m=1, ksub=_IVF_KSUB, dim=_KM_DIM
+    )
+    # the stored m=1 grid IS the (__cid, __cvec) quantizer table —
+    # a driver-side adapt of the few-KiB artifact, like the __cb build
+    grid = cb.collect()[0]["__cb"][0]
+    cents = spark.createDataFrame(
+        [(j, grid[j]) for j in range(_IVF_KSUB)],
+        "`__cid` INT, `__cvec` ARRAY<DOUBLE>",
+    )
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") == 0)
+    return sim.ivf_cosine_topk(
+        e, q, k=10, n_centroids=_IVF_KSUB, nprobe=_IVF_NPROBE,
+        centroids=cents,
     )
