@@ -8061,7 +8061,10 @@ def sim_pq_lloyd_serve(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _stream_sigdedup_ctes(
-    threshold: float = 0.5, n_batches: int = 3
+    threshold: float = 0.5,
+    n_batches: int = 3,
+    suffix: str = "",
+    population: str = "TRUE",
 ) -> tuple[list[str], list[str]]:
     """Shared CTE chain replaying the greedy sequential signature-
     dedup fixed point: batches (doc_id % n) arrive in index order; per
@@ -8073,53 +8076,59 @@ def _stream_sigdedup_ctes(
     candidacy and the matching-fraction estimator replay the
     dedup_signature_merge fragments verbatim. Returns ``(ctes,
     kept_union)`` — the chain plus the union-over-kept-rounds
-    subquery that IS the fixed point's output — so both the
-    signature-store ingest gate (`stream_signature_dedup`) and the
-    streaming corpus-ingest gate (`stream_corpus_ingest`) build on
-    ONE statement of the dedup fixed point, output contract
-    included."""
+    subquery that IS the fixed point's output — so the signature-
+    store ingest gate (`stream_signature_dedup`), the streaming
+    corpus-ingest gate (`stream_corpus_ingest`), and the cross-stream
+    merge gate (`stream_federated_merge`, which instantiates the
+    chain TWICE via ``suffix``/``population`` over disjoint slices)
+    all build on ONE statement of the dedup fixed point, output
+    contract included."""
+    w, sh, sig = f"w{suffix}", f"sh{suffix}", f"sig{suffix}"
+    banded, cand, pe = f"banded{suffix}", f"cand{suffix}", f"pe{suffix}"
     ctes = [
-        f"w AS MATERIALIZED (SELECT doc_id, CAST(doc_id % {n_batches} AS "
-        f"INT) AS bt, {TOKENS_SQL.format(t='text')} AS w FROM documents)",
-        f"sh AS MATERIALIZED (SELECT doc_id, bt, "
-        f"{shingles_from_tokens_sql('w')} AS sh FROM w)",
-        f"sig AS MATERIALIZED (SELECT doc_id, bt, {SIG_COLS} FROM sh)",
-        f"banded AS MATERIALIZED ({bands_sql('sig')})",
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "FROM banded a JOIN banded b ON a.band_idx = b.band_idx "
-        "AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
-        f"pe AS MATERIALIZED (SELECT c.id_a, c.id_b, x.bt AS bt_a, "
-        f"y.bt AS bt_b FROM cand c JOIN sig x ON c.id_a = x.doc_id "
-        f"JOIN sig y ON c.id_b = y.doc_id WHERE {_SIGM_EST} >= {threshold})",
+        f"{w} AS MATERIALIZED (SELECT doc_id, CAST(doc_id % {n_batches} AS "
+        f"INT) AS bt, {TOKENS_SQL.format(t='text')} AS w FROM documents "
+        f"WHERE {population})",
+        f"{sh} AS MATERIALIZED (SELECT doc_id, bt, "
+        f"{shingles_from_tokens_sql('w')} AS sh FROM {w})",
+        f"{sig} AS MATERIALIZED (SELECT doc_id, bt, {SIG_COLS} FROM {sh})",
+        f"{banded} AS MATERIALIZED ({bands_sql(sig)})",
+        f"{cand} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM {banded} a JOIN {banded} b ON a.band_idx = b.band_idx "
+        f"AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
+        f"{pe} AS MATERIALIZED (SELECT c.id_a, c.id_b, x.bt AS bt_a, "
+        f"y.bt AS bt_b FROM {cand} c JOIN {sig} x ON c.id_a = x.doc_id "
+        f"JOIN {sig} y ON c.id_b = y.doc_id "
+        f"WHERE {_SIGM_EST} >= {threshold})",
     ]
     kept_names = []
     for b in range(n_batches):
+        sb, kb, stb = f"s{b}{suffix}", f"k{b}{suffix}", f"st{b}{suffix}"
         if kept_names:
             store = " UNION ALL ".join(
                 f"SELECT doc_id FROM {k}" for k in kept_names
             )
-            ctes.append(
-                f"st{b} AS MATERIALIZED ({store})"
-            )
+            ctes.append(f"{stb} AS MATERIALIZED ({store})")
             surv = (
-                f"s{b} AS MATERIALIZED (SELECT doc_id FROM w WHERE bt = {b} "
-                f"AND NOT EXISTS (SELECT 1 FROM pe JOIN st{b} k "
-                f"ON pe.id_a = k.doc_id WHERE pe.id_b = w.doc_id) "
-                f"AND NOT EXISTS (SELECT 1 FROM pe JOIN st{b} k "
-                f"ON pe.id_b = k.doc_id WHERE pe.id_a = w.doc_id))"
+                f"{sb} AS MATERIALIZED (SELECT doc_id FROM {w} "
+                f"WHERE bt = {b} "
+                f"AND NOT EXISTS (SELECT 1 FROM {pe} JOIN {stb} k "
+                f"ON {pe}.id_a = k.doc_id WHERE {pe}.id_b = {w}.doc_id) "
+                f"AND NOT EXISTS (SELECT 1 FROM {pe} JOIN {stb} k "
+                f"ON {pe}.id_b = k.doc_id WHERE {pe}.id_a = {w}.doc_id))"
             )
         else:
             surv = (
-                f"s{b} AS MATERIALIZED "
-                f"(SELECT doc_id FROM w WHERE bt = {b})"
+                f"{sb} AS MATERIALIZED "
+                f"(SELECT doc_id FROM {w} WHERE bt = {b})"
             )
         ctes.append(surv)
         ctes.append(
-            f"k{b} AS MATERIALIZED (SELECT doc_id FROM s{b} "
-            f"WHERE NOT EXISTS (SELECT 1 FROM pe JOIN s{b} a "
-            f"ON pe.id_a = a.doc_id WHERE pe.id_b = s{b}.doc_id))"
+            f"{kb} AS MATERIALIZED (SELECT doc_id FROM {sb} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {pe} JOIN {sb} a "
+            f"ON {pe}.id_a = a.doc_id WHERE {pe}.id_b = {sb}.doc_id))"
         )
-        kept_names.append(f"k{b}")
+        kept_names.append(kb)
     union = " UNION ALL ".join(f"SELECT doc_id FROM {k}" for k in kept_names)
     return ctes, union
 
@@ -8136,10 +8145,14 @@ def _stream_sigdedup_sql(threshold: float = 0.5, n_batches: int = 3) -> str:
     )
 
 
-def _drive_sliced_ingest(spark, sf_dir: str, prefix: str, make_sink) -> str:
+def _drive_sliced_ingest(
+    spark, sf_dir: str, prefix: str, make_sink, population=None
+) -> tuple[str, str]:
     """Shared end-to-end driver for the streaming-ingest gates
-    (`stream_signature_dedup`, `stream_corpus_ingest`): stage the
-    documents table as three slice files (doc_id % 3) with
+    (`stream_signature_dedup`, `stream_corpus_ingest`,
+    `stream_federated_merge`): stage the documents table (optionally
+    filtered to a ``population`` predicate — the federated gate runs
+    one stream per parity slice) as three slice files (doc_id % 3) with
     choreographed mtimes — batch ORDER is the dedup order here
     (unlike the upsert sink's order-independent merge), so
     oldest-first is pinned explicitly instead of trusting write
@@ -8150,7 +8163,8 @@ def _drive_sliced_ingest(spark, sf_dir: str, prefix: str, make_sink) -> str:
     600s drain budget: these are the heaviest foreachBatch gates, 3
     sign+probe+merge+write cycles, and the default 120s would
     surface on a contended host as a bogus batch-count failure).
-    Returns the sink's output path for the gate to read back."""
+    Returns ``(out_path, sig_store_path)`` — the merge gate reads the
+    grown STORE back, the ingest gates read their output."""
     import atexit
     import os
     import shutil
@@ -8163,6 +8177,8 @@ def _drive_sliced_ingest(spark, sf_dir: str, prefix: str, make_sink) -> str:
     )
 
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    if population is not None:
+        d = d.where(population)
     root = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     stage = os.path.join(root, "stage")
@@ -8196,7 +8212,7 @@ def _drive_sliced_ingest(spark, sf_dir: str, prefix: str, make_sink) -> str:
             f"expected 3 micro-batches through the sink, got "
             f"{metrics.batches}"
         )
-    return out
+    return out, store
 
 
 @query("stream_signature_dedup", sql=_stream_sigdedup_sql())
@@ -8223,7 +8239,7 @@ def stream_signature_dedup(spark, sf_dir):
         foreach_batch_signature_dedup,
     )
 
-    clean = _drive_sliced_ingest(
+    clean, _store = _drive_sliced_ingest(
         spark, sf_dir, "stream_sigdedup_",
         lambda store, out, metrics: foreach_batch_signature_dedup(
             store, out, "text", "doc_id", threshold=0.5, metrics=metrics,
@@ -8599,7 +8615,7 @@ def stream_corpus_ingest(spark, sf_dir):
         foreach_batch_corpus_ingest,
     )
 
-    clean = _drive_sliced_ingest(
+    clean, _store = _drive_sliced_ingest(
         spark, sf_dir, "stream_corpusingest_",
         lambda store, out, metrics: foreach_batch_corpus_ingest(
             store, out, "text", "doc_id",
@@ -8709,3 +8725,91 @@ def sim_ivf_serve_from_store(spark, sf_dir):
         e, q, k=10, n_centroids=_IVF_KSUB, nprobe=_IVF_NPROBE,
         centroids=cents,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-stream federated merge: two independently-grown streaming
+# signature stores merged peer-to-peer (round 16 — the second r15
+# optional: the streaming ingest loop composed INTO the federated
+# merge, closing the "streams grow stores, stores merge" lifecycle)
+# ---------------------------------------------------------------------------
+
+def _stream_fedmerge_sql(threshold: float = 0.5) -> str:
+    """DuckDB replay of the cross-stream merge: TWO instantiations of
+    the shared greedy-rounds chain (suffix a/b over the disjoint
+    parity slices — each stream's kept set is its own sequential
+    fixed point), then the dedup_signature_merge fragments VERBATIM
+    over the kept signatures: union with shard tags, band, bucket-
+    join with the ordered-id rule, matching-fraction estimate,
+    cross-shard filter."""
+    ctes_a, union_a = _stream_sigdedup_ctes(
+        threshold, 3, suffix="a", population="doc_id % 2 = 0"
+    )
+    ctes_b, union_b = _stream_sigdedup_ctes(
+        threshold, 3, suffix="b", population="doc_id % 2 = 1"
+    )
+    mh = ", ".join(f"s.mh{j}" for j in range(8))
+    ctes = ctes_a + ctes_b + [
+        f"fs AS MATERIALIZED ("
+        f"SELECT s.doc_id, {mh}, 0 AS shard FROM siga s "
+        f"WHERE s.doc_id IN ({union_a}) "
+        f"UNION ALL "
+        f"SELECT s.doc_id, {mh}, 1 AS shard FROM sigb s "
+        f"WHERE s.doc_id IN ({union_b}))",
+        f"fb AS MATERIALIZED ({bands_sql('fs')})",
+        "fc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM fb a JOIN fb b ON a.band_idx = b.band_idx "
+        "AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
+        f"fe AS (SELECT c.id_a, c.id_b, x.shard AS shard_a, "
+        f"y.shard AS shard_b, {_SIGM_EST} AS est_jaccard "
+        f"FROM fc c JOIN fs x ON c.id_a = x.doc_id "
+        f"JOIN fs y ON c.id_b = y.doc_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id_a, id_b, shard_a, shard_b, est_jaccard FROM fe "
+        f"WHERE shard_a <> shard_b AND est_jaccard >= {threshold} "
+        f"ORDER BY id_a, id_b"
+    )
+
+
+@query("stream_federated_merge", sql=_stream_fedmerge_sql())
+def stream_federated_merge(spark, sf_dir):
+    """The full federated lifecycle under ONE gate: TWO streaming
+    ingest loops (the `stream_signature_dedup` sink, one per parity
+    slice of the documents table — standing in for two independently-
+    operated ingest clusters) each drain three real micro-batches,
+    each growing its OWN persisted signature store with its own
+    greedy dedup fixed point; then the two stores are read back
+    (read_signature_table — tag guard riding both scans) and merged
+    peer-to-peer with merged_signature_pairs over the 64-byte
+    signatures alone — no text ever crosses the "cluster" boundary.
+    dedup_signature_merge gates the merge over freshly-signed tables;
+    THIS entry proves the merge is correct over STORES THAT GREW
+    batch by batch through the streaming sink, i.e. that the ingest
+    loop's persisted state is exactly what the federated merge
+    contract expects (columns, hash family, kept-set semantics). The
+    oracle instantiates the shared greedy-rounds chain twice over the
+    disjoint slices and feeds both kept sets through the
+    dedup_signature_merge fragments. Green at sf0.001/0.01/0.1."""
+    from hrtech_etl_spark.streaming.pipelines import (
+        foreach_batch_signature_dedup,
+    )
+
+    stores = []
+    for tag, parity in (("a", 0), ("b", 1)):
+        _clean, store = _drive_sliced_ingest(
+            spark, sf_dir, f"stream_fedmerge_{tag}_",
+            lambda store, out, metrics: foreach_batch_signature_dedup(
+                store, out, "text", "doc_id",
+                threshold=0.5, metrics=metrics,
+            ),
+            population=F.pmod(F.col("doc_id"), F.lit(2)) == parity,
+        )
+        stores.append(store)
+    parts = [
+        dd.read_signature_table(spark, s) for s in stores
+    ]
+    return dd.merged_signature_pairs(
+        parts, "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
