@@ -7773,32 +7773,52 @@ def corpus_prepare_training_v2(spark, sf_dir):
 # Mergeable signature tables: cross-corpus dedup without rescanning
 # ---------------------------------------------------------------------------
 
+from hrtech_etl_spark.workload.text_llm import _NUM_HASHES as _SIG_NH
+
 _SIGM_EST = "round((" + " + ".join(
-    f"CAST(x.mh{j} = y.mh{j} AS INT)" for j in range(8)
-) + ") / 8.0, 4)"
+    f"CAST(x.mh{j} = y.mh{j} AS INT)" for j in range(_SIG_NH)
+) + f") / {_SIG_NH}.0, 4)"
+
+
+def _sig_merge_frag_ctes(sig: str, names: tuple[str, str, str]) -> list[str]:
+    """The signature-merge oracle fragments stated ONCE — banded
+    bucket join with the ordered-id rule plus the matching-fraction
+    estimate — shared by the fresh-table merge gate
+    (`dedup_signature_merge`) and the cross-stream store merge gate
+    (`stream_federated_merge`), so the two oracles can never assert
+    different merge semantics. ``sig`` names a CTE carrying
+    ``(doc_id, shard, mh0..mh{N-1})``; ``names`` are the (banded,
+    cand, est) CTE names to emit (the callers' chains coexist in one
+    statement)."""
+    banded, cand, est = names
+    return [
+        f"{banded} AS MATERIALIZED ({bands_sql(sig)})",
+        f"{cand} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM {banded} a JOIN {banded} b ON a.band_idx = b.band_idx "
+        f"AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
+        f"{est} AS (SELECT c.id_a, c.id_b, x.shard AS shard_a, "
+        f"y.shard AS shard_b, {_SIGM_EST} AS est_jaccard "
+        f"FROM {cand} c JOIN {sig} x ON c.id_a = x.doc_id "
+        f"JOIN {sig} y ON c.id_b = y.doc_id)",
+    ]
+
+
+_SIGM_MERGE_CTES = ",\n    ".join(
+    [
+        "w AS MATERIALIZED (SELECT doc_id, CAST(doc_id % 2 AS INT) AS "
+        f"shard, {TOKENS_SQL.format(t='text')} AS w FROM documents)",
+        f"sh AS MATERIALIZED (SELECT doc_id, shard, "
+        f"{shingles_from_tokens_sql('w')} AS sh FROM w)",
+        f"sig AS MATERIALIZED (SELECT doc_id, shard, {_CAP_SIG} FROM sh)",
+        *_sig_merge_frag_ctes("sig", ("banded", "cand", "est")),
+    ]
+)
 
 
 @query(
     "dedup_signature_merge",
     sql=f"""
-    WITH w AS MATERIALIZED (
-      SELECT doc_id, CAST(doc_id % 2 AS INT) AS shard,
-             {TOKENS_SQL.format(t='text')} AS w
-      FROM documents
-    ),
-    sh AS MATERIALIZED (SELECT doc_id, shard, {shingles_from_tokens_sql('w')} AS sh FROM w),
-    sig AS MATERIALIZED (SELECT doc_id, shard, {_CAP_SIG} FROM sh),
-    banded AS MATERIALIZED ({bands_sql('sig')}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
-    est AS (
-      SELECT c.id_a, c.id_b, x.shard AS shard_a, y.shard AS shard_b,
-             {_SIGM_EST} AS est_jaccard
-      FROM cand c JOIN sig x ON c.id_a = x.doc_id JOIN sig y ON c.id_b = y.doc_id
-    )
+    WITH {_SIGM_MERGE_CTES}
     SELECT id_a, id_b, shard_a, shard_b, est_jaccard
     FROM est
     WHERE shard_a <> shard_b AND est_jaccard >= 0.5
@@ -8748,7 +8768,7 @@ def _stream_fedmerge_sql(threshold: float = 0.5) -> str:
     ctes_b, union_b = _stream_sigdedup_ctes(
         threshold, 3, suffix="b", population="doc_id % 2 = 1"
     )
-    mh = ", ".join(f"s.mh{j}" for j in range(8))
+    mh = ", ".join(f"s.mh{j}" for j in range(_SIG_NH))
     ctes = ctes_a + ctes_b + [
         f"fs AS MATERIALIZED ("
         f"SELECT s.doc_id, {mh}, 0 AS shard FROM siga s "
@@ -8756,14 +8776,7 @@ def _stream_fedmerge_sql(threshold: float = 0.5) -> str:
         f"UNION ALL "
         f"SELECT s.doc_id, {mh}, 1 AS shard FROM sigb s "
         f"WHERE s.doc_id IN ({union_b}))",
-        f"fb AS MATERIALIZED ({bands_sql('fs')})",
-        "fc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "FROM fb a JOIN fb b ON a.band_idx = b.band_idx "
-        "AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
-        f"fe AS (SELECT c.id_a, c.id_b, x.shard AS shard_a, "
-        f"y.shard AS shard_b, {_SIGM_EST} AS est_jaccard "
-        f"FROM fc c JOIN fs x ON c.id_a = x.doc_id "
-        f"JOIN fs y ON c.id_b = y.doc_id)",
+        *_sig_merge_frag_ctes("fs", ("fb", "fc", "fe")),
     ]
     return (
         "WITH " + ",\n".join(ctes)
@@ -8804,7 +8817,9 @@ def stream_federated_merge(spark, sf_dir):
                 store, out, "text", "doc_id",
                 threshold=0.5, metrics=metrics,
             ),
-            population=F.pmod(F.col("doc_id"), F.lit(2)) == parity,
+            # % (sign-following rem), not pmod: matches the oracle's
+            # DuckDB `doc_id % 2` exactly, even for negative ids
+            population=(F.col("doc_id") % 2) == parity,
         )
         stores.append(store)
     parts = [
