@@ -153,6 +153,7 @@ EXTENDED = [
     # median reported here IS the production serve cost)
     "sim_pq_serve_from_store",
     "sim_ivf_serve_from_store",
+    "sim_pq_serve_codes_from_store",
 ]
 
 #: The capstone compositions, deliberately OUT of the extended list

@@ -1437,3 +1437,214 @@ def read_codebook_table(
     return F.broadcast(
         spark.createDataFrame([(cb,)], "`__cb` ARRAY<ARRAY<ARRAY<DOUBLE>>>")
     )
+
+
+def write_code_table(
+    encoded: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    mode: str = "error",
+) -> None:
+    """Persist a :func:`pq_encode` output as the serving-side CODE
+    table ``(id, __codes, cb_meta)`` — the second half of the
+    train-once/serve-many shape: the corpus is encoded ONCE next to
+    the codebook and every ADC query scans m bytes/row of stored
+    codes instead of re-encoding raw vectors (at billions of vectors
+    the re-encode IS the query cost). The declared geometry must be
+    the codebook's, and the SAME ``cb_meta`` tag
+    (:func:`_cb_meta_tag`) is pinned per row so a serving job can
+    assert codes and codebook belong to one family — ADC against
+    codes encoded under a different codebook is silently-wrong
+    distances, nothing else would catch it. Guards ride the write
+    projection (the signature-table pattern): a row whose ``__codes``
+    is not exactly ``m`` long or holds a code outside ``[0, ksub)``
+    — or that is NULL or holds a NULL element — raises (unlike
+    signature tables, NULL has no legitimate story here:
+    ``pq_encode`` never emits one, and a NULL reaching ADC becomes a
+    NULL distance that sorts FIRST, silently topping every query's
+    result); under ``mode="overwrite"`` an EAGER bounded first-row
+    probe runs first so a mis-declared geometry cannot destroy the
+    existing table before failing."""
+    from pyspark.sql import types as T
+
+    if dim % m:
+        raise ValueError(f"write_code_table: dim {dim} % m {m} != 0")
+    cols = set(encoded.columns)
+    if id_col not in cols or "__codes" not in cols:
+        raise ValueError(
+            f"write_code_table: expected columns ({id_col!r}, "
+            f"'__codes') present, got {encoded.columns}"
+        )
+    ctype = encoded.schema["__codes"].dataType
+    if not (
+        isinstance(ctype, T.ArrayType)
+        and isinstance(ctype.elementType, T.IntegerType)
+    ):
+        raise ValueError(
+            "write_code_table: '__codes' must be array<int> "
+            f"(pq_encode output), got {ctype.simpleString()}"
+        )
+    # a row is valid iff EXACTLY m elements and every one a non-NULL
+    # code in [0, ksub): counting the valid elements (filter drops
+    # NULL-predicate elements) and comparing to size catches NULL
+    # elements too — a plain range filter would let them through,
+    # because the comparison predicate is NULL for a NULL element
+    # and filter() drops it on both formulations
+    valid_n = F.size(
+        F.filter(
+            "__codes",
+            lambda c: c.isNotNull() & (c >= 0) & (c < ksub),
+        )
+    )
+    ok = (
+        F.col("__codes").isNotNull()
+        & (F.size("__codes") == m)
+        & (valid_n == m)
+    )
+    if mode == "overwrite":
+        # BOUNDED first-row probe (the signature-table discipline,
+        # dedup.py write_signature_table): catch the forgot-the-
+        # geometry case BEFORE overwrite destroys the target at the
+        # cost of ONE row, not a full validation pass — the per-row
+        # guard below rides the write as the full net
+        row = encoded.select("__codes").first()
+        codes0 = None if row is None else row["__codes"]
+        if row is not None and (
+            codes0 is None
+            or len(codes0) != m
+            or any(c is None or c < 0 or c >= ksub for c in codes0)
+        ):
+            raise ValueError(
+                f"write_code_table: first row's codes {codes0!r} do "
+                f"not fit the declared geometry m={m}, ksub={ksub} — "
+                "pass the codebook's geometry (checked BEFORE the "
+                "write so an overwrite cannot destroy the existing "
+                "table)"
+            )
+    guarded = F.when(ok, F.col("__codes")).otherwise(
+        F.array(
+            F.raise_error(
+                F.format_string(
+                    "write_code_table: codes %s do not fit declared "
+                    f"m={m}/ksub={ksub} (length must be exactly m, "
+                    "every code a non-NULL int in [0, ksub)) — pass "
+                    "the geometry the codes were encoded under",
+                    F.coalesce(
+                        F.col("__codes").cast("string"), F.lit("<null>")
+                    ),
+                )
+            ).cast("int")
+        )
+    )
+    encoded.select(
+        F.col(id_col),
+        guarded.alias("__codes"),
+        F.lit(_cb_meta_tag(m, ksub, dim)).alias("cb_meta"),
+    ).write.mode(mode).parquet(path)
+
+
+def read_code_table(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Read a persisted code table back for ADC serving — returns
+    ``(id, __codes)`` shaped exactly like :func:`pq_encode` output,
+    so :func:`pq_adc_topk` / :func:`pq_rerank_topk` consume it
+    unchanged. The declared geometry must match the stored
+    ``cb_meta`` tag AND every stored row must still fit it — exactly
+    ``m`` non-NULL codes in ``[0, ksub)`` (the raise_error-on-
+    projection guards riding the scan — never a filter, so nothing
+    can push into a stored-column expression). Storage is
+    re-validated on the same principle as
+    :func:`read_codebook_table`: a tag-valid but hand-edited or
+    partially-written table is exactly what a serving fleet must
+    refuse, because a bad code decodes to a NULL centroid, a NULL
+    ADC distance, and a NULLS-FIRST silent top-1. Callers serving
+    against a codebook should read both with the SAME (m, ksub, dim)
+    so the tags prove the pair belongs to one trained family. The
+    scan stays column-pruned: a query that only runs ADC reads
+    ``(id, __codes)`` — m bytes of codes per row, the whole point of
+    the compressed serving scan."""
+    from pyspark.sql import types as T
+
+    if dim % m:
+        raise ValueError(f"read_code_table: dim {dim} % m {m} != 0")
+    df = spark.read.parquet(path)
+    missing = {id_col, "__codes", "cb_meta"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"read_code_table: {sorted(missing)} missing from {path} "
+            "— not a write_code_table output"
+        )
+    ctype = df.schema["__codes"].dataType
+    if not (
+        isinstance(ctype, T.ArrayType)
+        and isinstance(ctype.elementType, T.IntegerType)
+    ):
+        raise ValueError(
+            f"read_code_table: '__codes' in {path} is "
+            f"{ctype.simpleString()}, expected array<int>"
+        )
+    tag = _cb_meta_tag(m, ksub, dim)
+    # same valid-element counting trick as the writer: NULL elements
+    # make the range predicate NULL and drop out of filter(), so
+    # comparing the valid count to m catches them too
+    shape_ok = (
+        F.col("__codes").isNotNull()
+        & (F.size("__codes") == m)
+        & (
+            F.size(
+                F.filter(
+                    "__codes",
+                    lambda c: c.isNotNull() & (c >= 0) & (c < ksub),
+                )
+            )
+            == m
+        )
+    )
+    guarded = (
+        # null-safe inequality: a NULL stored tag is a tag failure,
+        # not a shape failure
+        F.when(
+            ~(F.col("cb_meta").eqNullSafe(F.lit(tag))),
+            F.array(
+                F.raise_error(
+                    F.format_string(
+                        "read_code_table: stored tag %s != declared "
+                        f"{tag} — these codes were encoded under a "
+                        "different codebook family; pass the (m, "
+                        "ksub, dim) they were written with",
+                        F.coalesce(F.col("cb_meta"), F.lit("<null>")),
+                    )
+                ).cast("int")
+            ),
+        )
+        .when(shape_ok, F.col("__codes"))
+        .otherwise(
+            F.array(
+                F.raise_error(
+                    F.format_string(
+                        "read_code_table: stored codes %s in a "
+                        f"{tag}-tagged table do not fit the geometry "
+                        "(length must be exactly m, every code a "
+                        "non-NULL int in [0, ksub)) — the table is "
+                        "corrupt or hand-edited; re-encode it",
+                        F.coalesce(
+                            F.col("__codes").cast("string"),
+                            F.lit("<null>"),
+                        ),
+                    )
+                ).cast("int")
+            )
+        )
+    )
+    return df.select(F.col(id_col), guarded.alias("__codes"))

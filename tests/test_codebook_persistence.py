@@ -152,3 +152,117 @@ def test_stored_grid_corruption_refused(spark, tmp_path):
     ).write.parquet(narrow)
     with pytest.raises(ValueError, match="wide"):
         read_codebook_table(spark, narrow, **_GEOM)
+
+
+def test_code_table_roundtrip_and_guards(spark, tmp_path):
+    """The encoded-corpus half of the serving store: pq_encode output
+    persists with the codebook's family tag and reads back shaped for
+    pq_adc_topk; every geometry mismatch fails loudly."""
+    from hrtech_etl_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        read_code_table,
+        write_code_table,
+    )
+
+    emb = _emb(spark)
+    cb = pq_codebook(emb, **_GEOM)
+    enc = pq_encode(emb, cb, **_GEOM).select("vec_id", "__codes")
+    out = str(tmp_path / "codes")
+    write_code_table(enc, out, **_GEOM)
+    back = read_code_table(spark, out, **_GEOM)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, enc.collect())
+    )
+    # served ADC over STORED codes == ADC over live encode
+    q = emb.where("vec_id = 0")
+    served = pq_adc_topk(
+        back, cb, q, k=5, m=_GEOM["m"], dim=_GEOM["dim"]
+    ).collect()
+    live = pq_adc_topk(
+        enc, cb, q, k=5, m=_GEOM["m"], dim=_GEOM["dim"]
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in live]
+    # geometry mismatch raises on the scan (tag guard)
+    with pytest.raises(Exception, match="different codebook family"):
+        read_code_table(spark, out, m=8, ksub=8, dim=16).collect()
+    # foreign parquet: no cb_meta -> eager ValueError
+    plain = str(tmp_path / "plain")
+    enc.write.parquet(plain)
+    with pytest.raises(ValueError, match="cb_meta"):
+        read_code_table(spark, plain, **_GEOM)
+    # write-side: wrong declared m raises BEFORE an overwrite lands
+    with pytest.raises(Exception, match="geometry|declared m"):
+        write_code_table(enc, out, m=2, ksub=8, dim=16, mode="overwrite")
+    assert read_code_table(spark, out, **_GEOM).count() == 32
+    # write-side: code value outside [0, ksub) refused
+    bad = spark.createDataFrame(
+        [(1, [0, 1, 99, 2])], "vec_id long, `__codes` array<int>"
+    )
+    with pytest.raises(Exception, match="geometry|ksub"):
+        write_code_table(
+            bad, str(tmp_path / "bad"), m=4, ksub=8, dim=16,
+            mode="overwrite",
+        )
+    # write-side: a NULL element is NOT a valid code (it would decode
+    # to a NULL ADC distance that sorts FIRST — silent top-1)
+    nullelem = spark.createDataFrame(
+        [(1, [0, None, 1, 2])], "vec_id long, `__codes` array<int>"
+    )
+    with pytest.raises(Exception, match="geometry|non-NULL"):
+        write_code_table(
+            nullelem, str(tmp_path / "nullelem"), m=4, ksub=8, dim=16,
+            mode="overwrite",
+        )
+    with pytest.raises(Exception, match="geometry|non-NULL"):
+        write_code_table(
+            nullelem, str(tmp_path / "nullelem2"), m=4, ksub=8, dim=16,
+        )
+    # read-side: a tag-valid but hand-edited table (truncated codes)
+    # is refused on the scan — same principle as the codebook reader
+    corrupt = str(tmp_path / "corrupt")
+    spark.read.parquet(out).withColumn(
+        "__codes", F.slice("__codes", 1, 2)
+    ).write.parquet(corrupt)
+    with pytest.raises(Exception, match="corrupt|geometry"):
+        read_code_table(spark, corrupt, **_GEOM).collect()
+
+
+def test_stored_codes_scan_is_column_pruned(spark, tmp_path):
+    """The compressed serving scan's whole point: an ADC query over
+    the stored code table must read ONLY (vec_id, __codes, cb_meta)
+    from parquet — never a raw vector column. Locked on the executed
+    plan's ReadSchema."""
+    from hrtech_etl_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        read_code_table,
+        write_code_table,
+    )
+
+    from hrtech_etl_spark.functions.similarity import _cb_meta_tag
+
+    emb = _emb(spark)
+    cb = pq_codebook(emb, **_GEOM)
+    enc = pq_encode(emb, cb, **_GEOM).select("vec_id", "__codes")
+    # hand-write a FAT table: valid (vec_id, __codes, cb_meta) rows
+    # PLUS the raw embedding column riding along — write_code_table
+    # itself always projects the payload away, so only a hand-built
+    # table can catch a reader that resurrects extra stored columns
+    out = str(tmp_path / "codes_fat")
+    enc.join(emb, "vec_id").withColumn(
+        "cb_meta", F.lit(_cb_meta_tag(**_GEOM))
+    ).write.parquet(out)
+    served = pq_adc_topk(
+        read_code_table(spark, out, **_GEOM), cb,
+        emb.where("vec_id = 0"), k=5, m=_GEOM["m"], dim=_GEOM["dim"],
+    )
+    served.collect()
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    code_scans = [s for s in schemas if "__codes" in s]
+    assert code_scans, plan
+    for s in code_scans:
+        assert "embedding" not in s, s
