@@ -45,22 +45,32 @@ def _cb_value(cb_df):
 
 
 def test_cross_session_roundtrip(spark, tmp_path):
-    """A SEPARATE JVM trains (seed-vector codebook — deterministic)
-    and persists; this session reads the table back and must hold the
-    bit-identical ``__cb`` artifact the in-memory path builds."""
+    """A SEPARATE JVM trains (seed-vector codebook — deterministic),
+    encodes, and persists BOTH serving artifacts; this session reads
+    them back and must (a) hold the bit-identical ``__cb`` artifact
+    the in-memory path builds and (b) serve the exact ADC answer from
+    the stored codes — the full train-once/encode-once/serve-many
+    claim across a real process boundary, where the serving session
+    runs neither the trainer nor the encoder."""
     out = str(tmp_path / "cb")
+    codes_out = str(tmp_path / "codes")
     script = textwrap.dedent(
         f"""
         import sys
         sys.path.insert(0, {REPO!r})
         from hrtech_etl_spark.core.session import get_spark
         from hrtech_etl_spark.functions.similarity import (
-            pq_codebook, write_codebook_table,
+            pq_codebook, pq_encode, write_code_table,
+            write_codebook_table,
         )
         spark = get_spark(app_name="cb-writer", shuffle_partitions=4)
         emb = spark.sql({_EMB_SQL!r})
         cb = pq_codebook(emb, m=4, ksub=8, dim=16)
         write_codebook_table(cb, {out!r})
+        enc = pq_encode(emb, cb, m=4, ksub=8, dim=16).select(
+            "vec_id", "__codes"
+        )
+        write_code_table(enc, {codes_out!r}, m=4, ksub=8, dim=16)
         spark.stop()
         """
     )
@@ -78,6 +88,25 @@ def test_cross_session_roundtrip(spark, tmp_path):
     stored = read_codebook_table(spark, out, **_GEOM)
     local = pq_codebook(_emb(spark), **_GEOM)
     assert _cb_value(stored) == _cb_value(local)
+    # serve from the OTHER session's stored codes: identical top-k to
+    # the fully in-memory encode+ADC path
+    from hrtech_etl_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        read_code_table,
+    )
+
+    emb = _emb(spark)
+    q = emb.where("vec_id = 0")
+    served = pq_adc_topk(
+        read_code_table(spark, codes_out, **_GEOM), stored, q,
+        k=5, m=_GEOM["m"], dim=_GEOM["dim"],
+    ).collect()
+    live = pq_adc_topk(
+        pq_encode(emb, local, **_GEOM).select("vec_id", "__codes"),
+        local, q, k=5, m=_GEOM["m"], dim=_GEOM["dim"],
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in live]
 
 
 def test_same_session_roundtrip_and_meta_guards(spark, tmp_path):
