@@ -295,3 +295,41 @@ def test_stored_codes_scan_is_column_pruned(spark, tmp_path):
     assert code_scans, plan
     for s in code_scans:
         assert "embedding" not in s, s
+
+
+def test_serving_path_is_shuffle_free(spark, tmp_path):
+    """The stored-artifact serve path's scale contract: codebook read
+    (bounded collect) + ADC over stored codes + shortlist re-rank
+    runs with ZERO hash exchanges and zero sort-merge joins — every
+    join side is a broadcast (1-row query/codebook, k-row shortlist)
+    and top-k is TakeOrderedAndProject, so a serving query never
+    shuffles the corpus at any scale."""
+    from hrtech_etl_spark.functions.similarity import (
+        pq_encode,
+        pq_rerank_topk,
+        read_code_table,
+        read_codebook_table,
+        write_code_table,
+        write_codebook_table,
+    )
+
+    emb = _emb(spark)
+    cb = pq_codebook(emb, **_GEOM)
+    write_codebook_table(cb, str(tmp_path / "cb"))
+    write_code_table(
+        pq_encode(emb, cb, **_GEOM).select("vec_id", "__codes"),
+        str(tmp_path / "codes"),
+        **_GEOM,
+    )
+    cb2 = read_codebook_table(spark, str(tmp_path / "cb"), **_GEOM)
+    codes = read_code_table(spark, str(tmp_path / "codes"), **_GEOM)
+    q = emb.where("vec_id = 0")
+    topk = pq_rerank_topk(
+        emb, codes, cb2, q, k=5, shortlist=10,
+        m=_GEOM["m"], dim=_GEOM["dim"],
+    )
+    topk.collect()
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
