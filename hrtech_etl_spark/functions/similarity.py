@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hrtech_etl_spark.core.partitioning import spread as _spread
 from hrtech_etl_spark.functions.hashing import portable_hash
@@ -1119,14 +1120,26 @@ def kmeans_lloyd(
     - EMPTY clusters keep their previous centroid (stated rule, both
       engines).
 
-    Each iteration's ≤ ``m * ksub``-row centroid state is eagerly
-    localCheckpoint-ed — the iteration reads a 128-row materialized
-    frame, never a growing lineage (the same discipline as
-    near_dup_clusters' label iteration). The corpus-side cost per
-    iteration is one broadcast join + one groupBy over the exploded
-    subspace points: linear in corpus size, independent of iteration
-    count. At 100 TB train on a sample — PQ codebooks saturate at
-    ~100k points (pq_codebook_trained's documented guidance).
+    Execution shape (round-17 optimization): the ≤ ``m * ksub``-row
+    centroid state lives on the DRIVER between iterations — the same
+    bounded model-state contract as :func:`pq_codebook_from_kmeans`'s
+    adjudicated collect — and each iteration embeds it as a LITERAL
+    array-of-structs in a single map-side projection: per (id, s) row,
+    ``array_min(transform(candidates, c -> struct(d2, cid)))`` picks
+    the argmin with the identical ``min(struct(d2, cid))`` ordering
+    the old groupBy-aggregate used. One pass per iteration: project →
+    partial-aggregated groupBy(s, cid) → 128-row collect. The round-16
+    shape (broadcast join on s → SortAggregate min(struct) over an
+    exchange keyed (id, s) → shuffle join back to pts → mean agg →
+    eager localCheckpoint) ran ~7 jobs and 3 full-data exchanges PER
+    ITERATION — struct-min is not hash-aggregable, so every assignment
+    paid a full sort of the 8N-row candidate set twice; profiled at
+    sf0.1 as 47 jobs / 5.1-6.4s for the 5-iteration gate. The corpus-
+    side cost per iteration is now one projection + one map-side
+    partial aggregation: linear in corpus size, zero full-data
+    shuffles, independent of iteration count. At 100 TB train on a
+    sample — PQ codebooks saturate at ~100k points
+    (pq_codebook_trained's documented guidance).
 
     Returns ``(s, cid, centroid array<double>, n_assigned)`` —
     ``n_assigned`` counted under the FINAL centroids.
@@ -1139,111 +1152,156 @@ def kmeans_lloyd(
     if dim % m != 0:
         raise ValueError(f"kmeans_lloyd: dim {dim} not divisible by m {m}")
     dsub = dim // m
-    pts = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.transform(
-                        F.slice(
-                            F.col(vec_col).cast("array<double>"),
-                            s * dsub + 1,
-                            dsub,
-                        ),
-                        lambda x: F.round(x, 6),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("s", "x"),
+    # spread(): the single-file scan otherwise pins every training
+    # pass to ONE task (round-17 profiling — the CPU-heavy assignment
+    # projection ran single-threaded); round-robin widening is value-
+    # safe here because every downstream reduction is the exact
+    # commutative DECIMAL sum / per-row argmin.
+    pts = _spread(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.transform(
+                            F.slice(
+                                F.col(vec_col).cast("array<double>"),
+                                s * dsub + 1,
+                                dsub,
+                            ),
+                            lambda x: F.round(x, 6),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("s", "x"),
+        )
     ).localCheckpoint(eager=False)
 
-    cents = pts.where(F.col("id") < ksub).select(
-        "s", F.col("id").cast("int").alias("cid"), F.col("x").alias("c")
-    )
-    # BOTH counts, not just the total: duplicate seed ids offsetting a
-    # missing one would pass a row-count check yet leave `cents` with
-    # a doubled cid and a hole — every later iteration preserves the
-    # duplicate and the output is silently wrong
-    chk = cents.agg(
-        F.count(F.lit(1)).alias("__rows"),
-        F.countDistinct("s", "cid").alias("__ids"),
-    ).collect()[0]
-    if chk["__rows"] != m * ksub or chk["__ids"] != m * ksub:
+    # Seed init + validation in ONE bounded collect (m * ksub rows of
+    # model state — the pq_codebook_from_kmeans contract). BOTH counts,
+    # not just the total: duplicate seed ids offsetting a missing one
+    # would pass a row-count check yet leave the grid with a doubled
+    # cid and a hole — every later iteration preserves the duplicate
+    # and the output is silently wrong.
+    seed_rows = pts.where(F.col("id") < ksub).collect()
+    cents: dict[tuple[int, int], list[float]] = {}
+    for r in seed_rows:
+        cents[(int(r["s"]), int(r["id"]))] = [float(v) for v in r["x"]]
+    if len(seed_rows) != m * ksub or len(cents) != m * ksub:
         raise ValueError(
             f"kmeans_lloyd: init needs the {ksub} lowest ids present "
-            f"exactly once (< ksub): {chk['__rows']} seed rows, "
-            f"{chk['__ids']} distinct — pass a frame with contiguous "
+            f"exactly once (< ksub): {len(seed_rows)} seed rows, "
+            f"{len(cents)} distinct — pass a frame with contiguous "
             "unique low ids or lower ksub"
         )
 
-    def assign_to(cents_df: DataFrame) -> DataFrame:
-        d2 = F.round(
-            F.aggregate(
-                F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    def assigned() -> DataFrame:
+        """One map-side pass: per (id, s) row, argmin over the literal
+        candidate array with the EXACT ordering of the former
+        ``min(struct(d2, cid))`` aggregate — ``array_min`` over
+        ``struct<d2, cid>`` uses the same struct ordering and null
+        handling, and the d2 expression (fixed-order IEEE left-fold of
+        squared diffs, rounded to 6) is unchanged. The candidate table
+        constant-folds into ONE array literal, so analysis/codegen stay
+        cheap regardless of m * ksub * dsub (an expanded per-component
+        arithmetic tree was tried round 17 and spent minutes in
+        planning/janino at 1k+ nodes per iteration)."""
+        # The literal table is emitted as ONE SQL expression string:
+        # building it from per-component F.lit calls costs thousands
+        # of py4j round-trips per iteration (round-17 profiling: the
+        # driver-side Python dominated the whole gate). repr() is the
+        # shortest round-trip form of a double, so the parsed literal
+        # is bit-identical to the collected value.
+        def _d(v: float) -> str:
+            return f"CAST('{v!r}' AS DOUBLE)"
+
+        cands_sql = "array(%s)" % ",".join(
+            "array(%s)"
+            % ",".join(
+                "named_struct('cid',%d,'c',array(%s))"
+                % (cid, ",".join(_d(c) for c in cents[(s, cid)]))
+                for cid in range(ksub)
+            )
+            for s in range(m)
+        )
+        cands = F.element_at(F.expr(cands_sql), F.col("s") + 1)
+        scored = F.transform(
+            cands,
+            lambda cand: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("x"),
+                            cand["c"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    6,
+                ).alias("d2"),
+                cand["cid"].alias("cid"),
             ),
-            6,
         )
-        cands = pts.join(F.broadcast(cents_df), "s").select(
-            "id", "s", "cid", d2.alias("d2")
-        )
-        return (
-            cands.groupBy("id", "s")
-            .agg(F.min(F.struct("d2", "cid")).alias("__m"))
-            .select("id", "s", F.col("__m.cid").alias("cid"))
+        return pts.select(
+            "id", "s", "x", F.array_min(scored)["cid"].alias("cid")
         )
 
+    sums = [
+        F.sum(F.element_at("x", i + 1).cast("decimal(18,6)")).alias(f"__s{i}")
+        for i in range(dsub)
+    ]
     for _ in range(iters):
-        assign = assign_to(cents)
-        joined = assign.join(pts, ["id", "s"])
-        sums = [
-            F.sum(F.element_at("x", i + 1).cast("decimal(18,6)")).alias(
-                f"__s{i}"
-            )
-            for i in range(dsub)
-        ]
-        mm = joined.groupBy("s", "cid").agg(
-            F.count(F.lit(1)).alias("__n"), *sums
-        )
-        newc = mm.select(
-            "s",
-            "cid",
-            F.array(
-                *[
-                    F.round(
-                        F.col(f"__s{i}").cast("double") / F.col("__n"), 6
-                    )
-                    for i in range(dsub)
-                ]
-            ).alias("__cnew"),
-        )
-        cents = (
-            cents.join(newc, ["s", "cid"], "left")
+        mm = (
+            assigned()
+            .groupBy("s", "cid")
+            .agg(F.count(F.lit(1)).alias("__n"), *sums)
             .select(
                 "s",
                 "cid",
-                F.coalesce("__cnew", "c").alias("c"),
+                F.array(
+                    *[
+                        F.round(
+                            F.col(f"__s{i}").cast("double") / F.col("__n"), 6
+                        )
+                        for i in range(dsub)
+                    ]
+                ).alias("__cnew"),
             )
-            .localCheckpoint(eager=True)
+            .collect()
         )
+        # EMPTY clusters keep their previous centroid: keys absent from
+        # mm stay untouched in the driver-side dict (stated rule).
+        for r in mm:
+            cents[(int(r["s"]), int(r["cid"]))] = [
+                float(v) for v in r["__cnew"]
+            ]
 
-    final_counts = (
-        assign_to(cents)
+    counts = {
+        (int(r["s"]), int(r["cid"])): int(r["__n"])
+        for r in assigned()
         .groupBy("s", "cid")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .collect()
+    }
+    spark = embeddings.sparkSession
+    out_schema = T.StructType(
+        [
+            T.StructField("s", T.IntegerType(), True),
+            T.StructField("cid", T.IntegerType(), True),
+            T.StructField("centroid", T.ArrayType(T.DoubleType(), True), True),
+            T.StructField("n_assigned", T.LongType(), True),
+        ]
     )
-    return (
-        cents.join(final_counts, ["s", "cid"], "left")
-        .select(
-            F.col("s").cast("int").alias("s"),
-            "cid",
-            F.col("c").alias("centroid"),
-            F.coalesce("__n", F.lit(0)).cast("long").alias("n_assigned"),
-        )
-        .orderBy("s", "cid")
-    )
+    return spark.createDataFrame(
+        [
+            (s, cid, cents[(s, cid)], counts.get((s, cid), 0))
+            for s in range(m)
+            for cid in range(ksub)
+        ],
+        out_schema,
+    ).orderBy("s", "cid")
 
 
 def pq_codebook_from_kmeans(
