@@ -19,6 +19,15 @@ from hrtech_etl_spark.core.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Inferred-schema cache keyed (path, mtime) — the role a catalog/
+#: metastore plays for managed tables. Schema inference re-reads
+#: parquet footers on EVERY ``spark.read.parquet`` call (measured
+#: ~100 ms per call at sf0.1, and a listing+footer pass over every
+#: file at cluster scale); the data path is untouched — only the
+#: footer-driven schema discovery is skipped on repeat loads, and the
+#: mtime key drops the cache if a file is ever rewritten.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one testdata table as a DataFrame (columnar parquet scan;
@@ -32,7 +41,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or DEFAULT_SF_DIR
     # Runtime-settable SQL conf; harmless for non-nanos files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_CACHE:
+        df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
