@@ -1059,10 +1059,12 @@ def write_signature_table(
     # signature catches the forgot-the-param case BEFORE the old table
     # is destroyed (one bounded first(), but it replays the full
     # upstream signature lineage as an extra job — under the default
-    # mode="error"/"append" a failed write destroys nothing, the
-    # per-row net alone suffices, and skipping the probe saves a
-    # whole signature computation per write, e.g. once per streaming
-    # micro-batch). NULL sigs stay writable (hand-built tables carry
+    # mode="error"/"append" a failed write destroys nothing and the
+    # per-row net alone suffices, so skipping the probe saves a whole
+    # signature-lineage job on those writes; the streaming sinks write
+    # mode="overwrite", so their per-micro-batch probe still runs —
+    # cheap there only because the batch signature frame is
+    # localCheckpointed). NULL sigs stay writable (hand-built tables carry
     # them; the merge paths defend them), only a wrong width raises.
     if mode == "overwrite":
         probe = (

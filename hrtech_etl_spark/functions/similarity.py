@@ -1476,6 +1476,14 @@ def read_codebook_table(
         )
     )
     rows = df.select("s", "cid", guarded.alias("centroid")).collect()
+    # a NULL centroid passes the tag guard (F.when propagates NULL) —
+    # surface it as the same corrupt-table ValueError as a wrong width,
+    # not a TypeError on list(None)
+    if any(r["centroid"] is None for r in rows):
+        raise ValueError(
+            f"read_codebook_table: NULL centroid row(s) in {path} — "
+            "table is corrupt"
+        )
     by = {(r["s"], r["cid"]): list(r["centroid"]) for r in rows}
     want = {(s, j) for s in range(m) for j in range(ksub)}
     if len(rows) != m * ksub or set(by) != want:

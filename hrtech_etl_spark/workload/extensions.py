@@ -8205,7 +8205,9 @@ def _drive_sliced_ingest(
     now = _time.time()
     for i in range(3):
         sdir = os.path.join(stage, f"slice_{i}.parquet")
-        d.where(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+        # sign-following % (matches the DuckDB oracle's doc_id % 3);
+        # pmod would assign negative doc_ids to a different slice
+        d.where((F.col("doc_id") % 3) == i).coalesce(
             1
         ).write.parquet(sdir)
         for fn in os.listdir(sdir):
@@ -8881,10 +8883,20 @@ def _trained_codes_path(spark, sf_dir: str) -> str:
     with _CB_LOCK:
         path = _CB_DIRS.get(key)
         if path is None:
-            sim.write_code_table(
-                enc, candidate, id_col="vec_id",
-                m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM,
-            )
+            try:
+                sim.write_code_table(
+                    enc, candidate, id_col="vec_id",
+                    m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM,
+                )
+            except Exception:
+                # a failed write can leave partial output at the
+                # candidate path; under the default mode="error" every
+                # later retry in the session would then wedge on "path
+                # already exists" — clean the debris so retries work
+                import shutil
+
+                shutil.rmtree(candidate, ignore_errors=True)
+                raise
             _CB_DIRS[key] = path = candidate
     return path
 
