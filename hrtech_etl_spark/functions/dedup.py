@@ -582,11 +582,27 @@ def near_dup_clusters(
         return df.checkpoint(eager=eager)
 
     def _run() -> DataFrame:
+        # symmetrize with ONE explode, not a self-union: a union embeds
+        # the pairs subtree twice, and the heavy verified-pair lineage
+        # (the LSH verify join / the quadratic cosine block) re-executes
+        # per branch — ReusedExchange only covers subtrees that END in
+        # an exchange, which a join+filter pair plan does not
         edges = _truncate(
-            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-            .unionByName(
-                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"),
+                        ),
+                        F.struct(
+                            F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst"),
+                        ),
+                    )
+                ).alias("__e")
             )
+            .select("__e.src", "__e.dst")
             .distinct(),
             eager=False,
         )

@@ -4652,11 +4652,18 @@ def graph_pagerank(spark, sf_dir):
         .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .distinct()
     )
+    # explode-symmetrize instead of a self-union: the union's second
+    # branch re-runs e2's post-exchange distinct aggregation over the
+    # full pair set (ReusedExchange covers only the exchange itself);
+    # the explode doubles rows in one pass over ONE e2 evaluation
     edges = e2.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(
-        e2.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
     return (
         pagerank(edges, iterations=8, damping=0.85, round_to=10)
         .select(F.col("node").alias("part"), "pagerank")
