@@ -763,16 +763,24 @@ def random_projection(
 
     m = achlioptas_matrix(out_dim=out_dim, dim=dim, seed=seed)
     scale = math.sqrt(3.0 / out_dim)
-    cols = [F.col(id_col)]
+    # One selectExpr with server-side-parsed strings: composing the
+    # ~out_dim * dim/3 terms from Column operators costs hundreds of
+    # py4j round-trips PER CALL (round-17 profiling: ~1.2s wall against
+    # 0.06s of actual job time). The SQL text states the identical
+    # left-associated chain, the same element_at/CAST ops, and the
+    # scale constant via repr() (shortest round-trip form of a double,
+    # parsed back bit-identically).
+    scale_sql = f"CAST('{scale!r}' AS DOUBLE)"
+    exprs = [id_col]
     for j in range(out_dim):
-        acc = F.lit(0.0)
+        acc = "CAST(0.0 AS DOUBLE)"
         for d in range(dim):
             if m[j][d] == 1:
-                acc = acc + F.element_at(F.col(vec_col), d + 1).cast("double")
+                acc = f"({acc} + CAST(element_at({vec_col}, {d + 1}) AS DOUBLE))"
             elif m[j][d] == -1:
-                acc = acc - F.element_at(F.col(vec_col), d + 1).cast("double")
-        cols.append(F.round(F.lit(scale) * acc, round_to).alias(f"y{j}"))
-    return embeddings.select(*cols)
+                acc = f"({acc} - CAST(element_at({vec_col}, {d + 1}) AS DOUBLE))"
+        exprs.append(f"round({scale_sql} * {acc}, {round_to}) AS y{j}")
+    return embeddings.selectExpr(*exprs)
 
 
 def diverse_topk(

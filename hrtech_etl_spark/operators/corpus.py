@@ -1068,6 +1068,9 @@ def dsir_select(
     from hrtech_etl_spark.functions.text import word_ngrams
     from hrtech_etl_spark.operators.ranking import with_global_ranks
 
+    # (round-17 A/B: a spread() here to widen the one-file local scan
+    # was a wash — the explode+hash is cheap enough that the extra
+    # round-robin exchange costs what it saves; left narrow)
     base = docs.select(
         F.col(id_col), target.alias("__t"), F.col(text_col).alias("__txt")
     )
