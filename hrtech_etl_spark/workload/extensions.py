@@ -4434,6 +4434,9 @@ def events_anomaly_mad(spark, sf_dir):
 
 @query(
     "agg_market_basket",
+    # The oracle keeps the relational statement (distinct + self-join
+    # on the order key); the Spark side generates the same pair set
+    # map-side from per-order item arrays — see _order_baskets.
     sql="""
     WITH op AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -4461,32 +4464,27 @@ def agg_market_basket(spark, sf_dir):
     """Market-basket pair co-occurrence over orders (the a-priori
     candidate-pair count): parts appearing in the same order, pair
     support + lift = support * n_orders / (freq_a * freq_b), top-20
-    total-ordered (support DESC, part_a, part_b). Scale shape: the
-    self-join is keyed on the order — pairs per order are C(lines, 2)
-    and lineitem baskets are bounded (max 13 lines here), so the
-    blow-up is basket-bounded exactly like the LSH bucket joins
-    (a basket-size cap is the valve for pathological feeds); pair
-    counts partial-aggregate map-side; the part-frequency joins ride
-    AQE broadcast; lift is all-integer until ONE division. Green at
-    sf0.001/0.01/0.1."""
+    total-ordered (support DESC, part_a, part_b). Scale shape
+    (round-17): ONE groupBy(order) builds sorted distinct item arrays
+    (map-side-partial collect_set), pairs explode map-side from the
+    array — C(lines, 2) per order, basket-bounded (max 13 lines here;
+    a basket-size cap is the valve for pathological feeds) — so the
+    round-16 distinct + self-join on the order key (two extra
+    exchanges plus join machinery for the same bounded expansion) is
+    gone; pair counts partial-aggregate map-side; the part-frequency
+    joins ride AQE broadcast; lift is all-integer until ONE division.
+    Green at sf0.001/0.01/0.1."""
     li = load_table(spark, "lineitem", sf_dir).where(
         F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
     )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n = op.agg(F.countDistinct("o").alias("n_orders"))
-    f = op.groupBy("p").agg(F.count(F.lit(1)).alias("fp"))
-    a = op.alias("a")
-    b = op.alias("b")
+    baskets = _order_baskets(li)
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    f = baskets.select(F.explode("items").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("fp")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .groupBy(
-            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
-        )
+        _basket_pairs(baskets)
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
     fa = f.select(F.col("p").alias("part_a"), F.col("fp").alias("fa"))
@@ -4508,6 +4506,54 @@ def agg_market_basket(spark, sf_dir):
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(20)
     )
+
+
+def _order_baskets(li):
+    """Per-order sorted distinct item arrays from lineitem — the shared
+    input of the basket-pair queries (market basket, triangle count).
+
+    One groupBy(o) with map-side-partial collect_set replaces the
+    round-16 shape ``distinct(o, p)`` + self-join on ``o``: the join
+    materialized C(n,2) rows per order THROUGH a join operator (two
+    exchange reads + join machinery), where n is basket-bounded
+    (≤ 13 lines here), so the identical pair set can be generated
+    map-side by :func:`_basket_pairs` from an array column instead
+    (guide §3: generate bounded expansions map-side, don't join for
+    them). The array table is lazily pinned — market basket reads it
+    three times (n_orders, part frequencies, pairs), triangle count
+    twice."""
+    return (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set(F.col("l_partkey"))).alias("items"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _basket_pairs(baskets):
+    """All (part_a < part_b) pairs per basket, exploded map-side from
+    the sorted distinct item array: element i pairs with every later
+    element, so the emitted set is exactly the self-join's
+    ``a.p < b.p`` pair multiset (arrays are sorted ascending and
+    distinct). ≤ C(13, 2) structs per row — bounded, no shuffle."""
+    return baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"),
+                            i + F.lit(2),
+                            F.size(F.col("items")) - i - F.lit(1),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select(F.col("pr.part_a"), F.col("pr.part_b"))
 
 
 # ---------------------------------------------------------------------------
@@ -6052,13 +6098,15 @@ def graph_triangle_count(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir).where(
         F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
     )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # Same map-side pair generation as agg_market_basket (the shared
+    # _order_baskets/_basket_pairs helpers) — the round-16 distinct +
+    # self-join on the order key spent two exchanges and a join to
+    # produce the identical basket-bounded pair multiset.
     e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        _basket_pairs(_order_baskets(li))
+        .groupBy(
+            F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
+        )
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("pa", "pb")
