@@ -428,7 +428,21 @@ def capstone_main() -> None:
 
 
 if __name__ == "__main__":
-    if "--capstone" in sys.argv[1:]:
+    # Strict argv: an unrecognized flag (e.g. --help) must NOT silently
+    # run the full ~10-minute bench and overwrite BENCH_out.json.
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Headline/extended query bench (sf from "
+        "$SPARK_GRAFT_SF_DIR, cores from $SPARK_GRAFT_CPUS); writes "
+        "BENCH_out.json and prints one JSON line."
+    )
+    parser.add_argument(
+        "--capstone",
+        action="store_true",
+        help="time the capstone compositions instead of the query bench",
+    )
+    if parser.parse_args().capstone:
         capstone_main()
     else:
         main()
