@@ -4519,13 +4519,13 @@ def _order_baskets(li):
     (≤ 13 lines here), so the identical pair set can be generated
     map-side by :func:`_basket_pairs` from an array column instead
     (guide §3: generate bounded expansions map-side, don't join for
-    them). The array table is lazily pinned — market basket reads it
-    three times (n_orders, part frequencies, pairs), triangle count
-    twice."""
-    return (
-        li.groupBy(F.col("l_orderkey").alias("o"))
-        .agg(F.sort_array(F.collect_set(F.col("l_partkey"))).alias("items"))
-        .localCheckpoint(eager=False)
+    them). No explicit pin: the table ends in the groupBy's exchange,
+    so its consumers (market basket reads it three times, triangle
+    count twice) share one evaluation via ReusedExchange — an A/B'd
+    lazy localCheckpoint here cost ~0.3s of materialization for zero
+    saved work."""
+    return li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set(F.col("l_partkey"))).alias("items")
     )
 
 
