@@ -4262,23 +4262,41 @@ def dedup_cdc_chunks(spark, sf_dir):
     chunks = dd.content_defined_chunks(
         d, "text", "doc_id", window=_CDC_W, divisor=_CDC_D
     )
-    counts = chunks.groupBy("chunk_md5").agg(
-        F.count(F.lit(1)).alias("__c")
+    # Round-17 shape: consume the heavy chunk cascade ONCE — compress
+    # per (chunk_md5, source) with map-side partials, derive the
+    # corpus-wide occurrence count as the per-md5 sum over that
+    # compressed table, and weight the per-source rollup by each
+    # group's instance count. The previous shape joined the raw chunk
+    # stream back to its own groupBy (cascade evaluated twice) and
+    # then to documents for source, which now rides the compression's
+    # broadcast join instead.
+    g = (
+        chunks.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("chunk_md5", "source")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("chunk_len").alias("__len"),
+        )
     )
-    joined = chunks.join(counts, "chunk_md5").join(
-        d.select("doc_id", "source"), "doc_id"
-    )
-    return joined.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.round(
-            F.sum("chunk_len").cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_len"),
-        F.sum(F.when(F.col("__c") >= 2, 1).otherwise(0)).alias("n_dup"),
-        F.round(
-            F.sum(F.when(F.col("__c") >= 2, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("dup_frac"),
+    tot = g.groupBy("chunk_md5").agg(F.sum("__n").alias("__c"))
+    return (
+        g.join(tot, "chunk_md5")
+        .groupBy("source")
+        .agg(
+            F.sum("__n").alias("n_chunks"),
+            F.round(F.sum("__len").cast("double") / F.sum("__n"), 4).alias(
+                "avg_len"
+            ),
+            F.sum(F.when(F.col("__c") >= 2, F.col("__n")).otherwise(0)).alias(
+                "n_dup"
+            ),
+            F.round(
+                F.sum(F.when(F.col("__c") >= 2, F.col("__n")).otherwise(0))
+                .cast("double")
+                / F.sum("__n"),
+                6,
+            ).alias("dup_frac"),
+        )
     )
 
 
@@ -7894,7 +7912,16 @@ def dedup_signature_merge(spark, sf_dir):
     when even hashed shingle sets are too heavy to move between
     clusters. The oracle replays the identical md5+affine hash
     family, banding, estimator arithmetic, and threshold. Green at
-    sf0.001/0.01/0.1."""
+    sf0.001/0.01/0.1.
+
+    Round-17 note: a sign-once variant (one spread fold over the full
+    corpus, lazily checkpointed, parity-filtered into the two shard
+    frames) was A/B'd at sf0.1 and REGRESSED (3.8s vs 2.6s min,
+    interleaved): the checkpoint materialization serializes the whole
+    sign chain before the band join can start, while the two per-shard
+    chains' scan+fold stages already run concurrently under AQE. Keep
+    the per-shard signing — it is also the shape the federated
+    narrative ships."""
     d = load_table(spark, "documents", sf_dir)
     even = d.where(F.col("doc_id") % 2 == 0)
     odd = d.where(F.col("doc_id") % 2 == 1)
