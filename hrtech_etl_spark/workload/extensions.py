@@ -4704,16 +4704,14 @@ def graph_pagerank(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir).where(
         F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
     )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # map-side basket pairs (the shared _order_baskets/_basket_pairs
+    # helpers — same rewrite as agg_market_basket/triangle count): the
+    # old distinct + self-join on the order key spent two exchanges
+    # and join machinery on a basket-bounded expansion; verified
+    # value-identical and A/B'd (min 7.97s vs 8.39s interleaved)
     e2 = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        _basket_pairs(_order_baskets(li))
+        .select(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
         .distinct()
     )
     # explode-symmetrize instead of a self-union: the union's second
