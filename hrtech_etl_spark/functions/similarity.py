@@ -771,14 +771,17 @@ def random_projection(
     # scale constant via repr() (shortest round-trip form of a double,
     # parsed back bit-identically).
     scale_sql = f"CAST('{scale!r}' AS DOUBLE)"
-    exprs = [id_col]
+    # Backtick-quote the interpolated names: F.col() took them as plain
+    # attribute names, so the SQL strings must too — unquoted, a name
+    # like "user-id" reparses as arithmetic.
+    exprs = [f"`{id_col}`"]
     for j in range(out_dim):
         acc = "CAST(0.0 AS DOUBLE)"
         for d in range(dim):
             if m[j][d] == 1:
-                acc = f"({acc} + CAST(element_at({vec_col}, {d + 1}) AS DOUBLE))"
+                acc = f"({acc} + CAST(element_at(`{vec_col}`, {d + 1}) AS DOUBLE))"
             elif m[j][d] == -1:
-                acc = f"({acc} - CAST(element_at({vec_col}, {d + 1}) AS DOUBLE))"
+                acc = f"({acc} - CAST(element_at(`{vec_col}`, {d + 1}) AS DOUBLE))"
         exprs.append(f"round({scale_sql} * {acc}, {round_to}) AS y{j}")
     return embeddings.selectExpr(*exprs)
 
@@ -1187,21 +1190,26 @@ def kmeans_lloyd(
     ).localCheckpoint(eager=False)
 
     # Seed init + validation in ONE bounded collect (m * ksub rows of
-    # model state — the pq_codebook_from_kmeans contract). BOTH counts,
-    # not just the total: duplicate seed ids offsetting a missing one
-    # would pass a row-count check yet leave the grid with a doubled
-    # cid and a hole — every later iteration preserves the duplicate
-    # and the output is silently wrong.
+    # model state — the pq_codebook_from_kmeans contract). The FULL
+    # grid is checked, not just counts: duplicate seed ids offsetting a
+    # missing one (or a negative id passing the `< ksub` filter) would
+    # pass a row-count check yet leave the grid with a doubled cid and
+    # a hole — every later iteration preserves the duplicate and the
+    # output is silently wrong, or assigned() dies with a bare
+    # KeyError instead of this diagnostic.
     seed_rows = pts.where(F.col("id") < ksub).collect()
     cents: dict[tuple[int, int], list[float]] = {}
     for r in seed_rows:
         cents[(int(r["s"]), int(r["id"]))] = [float(v) for v in r["x"]]
-    if len(seed_rows) != m * ksub or len(cents) != m * ksub:
+    want = {(s, c) for s in range(m) for c in range(ksub)}
+    if len(seed_rows) != m * ksub or set(cents) != want:
         raise ValueError(
-            f"kmeans_lloyd: init needs the {ksub} lowest ids present "
-            f"exactly once (< ksub): {len(seed_rows)} seed rows, "
-            f"{len(cents)} distinct — pass a frame with contiguous "
-            "unique low ids or lower ksub"
+            f"kmeans_lloyd: init needs the {ksub} lowest ids "
+            f"(0..{ksub - 1}) present exactly once: {len(seed_rows)} "
+            f"seed rows, missing grid keys "
+            f"{sorted(want - set(cents)) or 'none'}, unexpected "
+            f"{sorted(set(cents) - want) or 'none'} — pass a frame "
+            "with contiguous unique low ids or lower ksub"
         )
 
     def assigned() -> DataFrame:

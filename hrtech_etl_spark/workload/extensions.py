@@ -4269,7 +4269,10 @@ def dedup_cdc_chunks(spark, sf_dir):
     # group's instance count. The previous shape joined the raw chunk
     # stream back to its own groupBy (cascade evaluated twice) and
     # then to documents for source, which now rides the compression's
-    # broadcast join instead.
+    # broadcast join instead. Counting AFTER the source join is only
+    # equivalent because documents is one-row-per-doc_id (the identity
+    # contract the sinks document); a duplicated doc_id would inflate
+    # __n and push singleton chunks over the __c >= 2 threshold.
     g = (
         chunks.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("chunk_md5", "source")
@@ -8285,8 +8288,12 @@ def _drive_sliced_ingest(
     now = _time.time()
     for i in range(3):
         sdir = os.path.join(stage, f"slice_{i}.parquet")
-        # sign-following % (matches the DuckDB oracle's doc_id % 3);
-        # pmod would assign negative doc_ids to a different slice
+        # sign-following % (matches the DuckDB oracle's doc_id % 3).
+        # Both sides therefore EXCLUDE negative doc_ids whose remainder
+        # is negative (only i==0 catches negative multiples of 3) —
+        # consistently, so the gate stays exact; pmod would have staged
+        # rows the oracle's batch derivation never assigns. The
+        # documents fixture is non-negative at every SF.
         d.where((F.col("doc_id") % 3) == i).coalesce(
             1
         ).write.parquet(sdir)

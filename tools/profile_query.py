@@ -82,12 +82,16 @@ def main() -> None:
         if n not in REGISTRY:
             sys.exit(f"unknown query: {n}")
 
-    port = 4050
     spark = get_spark(
         app_name="hrtech-etl-spark-profile",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(port)},
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
     )
     sc = spark.sparkContext
+    # Read the BOUND port back: if 4050 is taken (a second profiler),
+    # Spark retries upward and REST calls against 4050 would silently
+    # profile the other process's jobs.
+    ui = sc.uiWebUrl or "http://localhost:4050"
+    port = int(ui.rsplit(":", 1)[1])
     record: dict[str, dict] = {}
 
     for name in names:
