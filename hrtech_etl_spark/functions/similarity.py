@@ -773,15 +773,25 @@ def random_projection(
     scale_sql = f"CAST('{scale!r}' AS DOUBLE)"
     # Backtick-quote the interpolated names: F.col() took them as plain
     # attribute names, so the SQL strings must too — unquoted, a name
-    # like "user-id" reparses as arithmetic.
-    exprs = [f"`{id_col}`"]
+    # like "user-id" reparses as arithmetic. Embedded backticks are
+    # escaped by doubling (the SQL-identifier rule), so a hostile or
+    # merely unlucky column name cannot terminate the quote early and
+    # change the expression. Behavior note vs the pre-selectExpr
+    # formulation: a DOTTED name like "a.b" is taken as the literal
+    # column `a.b` (backticks make it one identifier), whereas
+    # F.col("a.b") used to resolve a nested struct field — this
+    # engine's callers pass plain top-level names, and the quoted
+    # form is the one that cannot silently read the wrong data.
+    id_q = "`%s`" % id_col.replace("`", "``")
+    vec_q = "`%s`" % vec_col.replace("`", "``")
+    exprs = [id_q]
     for j in range(out_dim):
         acc = "CAST(0.0 AS DOUBLE)"
         for d in range(dim):
             if m[j][d] == 1:
-                acc = f"({acc} + CAST(element_at(`{vec_col}`, {d + 1}) AS DOUBLE))"
+                acc = f"({acc} + CAST(element_at({vec_q}, {d + 1}) AS DOUBLE))"
             elif m[j][d] == -1:
-                acc = f"({acc} - CAST(element_at(`{vec_col}`, {d + 1}) AS DOUBLE))"
+                acc = f"({acc} - CAST(element_at({vec_q}, {d + 1}) AS DOUBLE))"
         exprs.append(f"round({scale_sql} * {acc}, {round_to}) AS y{j}")
     return embeddings.selectExpr(*exprs)
 
@@ -1290,6 +1300,18 @@ def kmeans_lloyd(
         # EMPTY clusters keep their previous centroid: keys absent from
         # mm stay untouched in the driver-side dict (stated rule).
         for r in mm:
+            if r["__cnew"] is None or any(v is None for v in r["__cnew"]):
+                # a DECIMAL(18,6) sum overflow (or a NULL input
+                # component) yields a NULL mean component — name the
+                # (s, cid) group instead of dying later with a bare
+                # TypeError from float(None)
+                raise ValueError(
+                    f"kmeans_lloyd: NULL component in the round's mean "
+                    f"for (s={int(r['s'])}, cid={int(r['cid'])}) — "
+                    "decimal(18,6) sum overflow or a NULL input vector "
+                    "component; scale/clean the inputs (components must "
+                    "stay within ~1e12 summed per cluster)"
+                )
             cents[(int(r["s"]), int(r["cid"]))] = [
                 float(v) for v in r["__cnew"]
             ]

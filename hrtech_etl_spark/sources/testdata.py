@@ -19,14 +19,21 @@ from hrtech_etl_spark.core.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Inferred-schema cache keyed (path, mtime) — the role a catalog/
-#: metastore plays for managed tables. Schema inference re-reads
-#: parquet footers on EVERY ``spark.read.parquet`` call (measured
-#: ~100 ms per call at sf0.1, and a listing+footer pass over every
-#: file at cluster scale); the data path is untouched — only the
-#: footer-driven schema discovery is skipped on repeat loads, and the
-#: mtime key drops the cache if a file is ever rewritten.
-_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+#: Inferred-schema cache keyed by path with the mtime stored in the
+#: VALUE (replaced on mismatch) — the role a catalog/metastore plays
+#: for managed tables. Schema inference re-reads parquet footers on
+#: EVERY ``spark.read.parquet`` call (measured ~100 ms per call at
+#: sf0.1, and a listing+footer pass over every file at cluster scale);
+#: the data path is untouched — only the footer-driven schema
+#: discovery is skipped on repeat loads. Keying by path bounds the
+#: cache at one entry per table (the old (path, mtime) key leaked a
+#: stale entry per rewrite for the process lifetime). Staleness
+#: window, stated explicitly: the mtime is the single file's (or the
+#: directory's) — a part file rewritten IN PLACE inside a directory
+#: table does not bump the directory mtime and would serve the old
+#: schema; this engine's fixtures are single files and its writers
+#: replace whole directories, both of which do bump it.
+_SCHEMA_CACHE: dict[str, tuple[float, object]] = {}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -43,15 +50,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        key = (path, os.path.getmtime(path))
+        mtime = os.path.getmtime(path)
     except OSError:
-        key = None
-    if key is not None and key in _SCHEMA_CACHE:
-        df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+        mtime = None
+    hit = _SCHEMA_CACHE.get(path) if mtime is not None else None
+    if hit is not None and hit[0] == mtime:
+        df = spark.read.schema(hit[1]).parquet(path)
     else:
         df = spark.read.parquet(path)
-        if key is not None:
-            _SCHEMA_CACHE[key] = df.schema
+        if mtime is not None:
+            _SCHEMA_CACHE[path] = (mtime, df.schema)
     if name == "events":
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
