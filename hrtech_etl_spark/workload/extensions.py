@@ -1405,7 +1405,17 @@ def _lsh_cluster_labels(spark, sf_dir):
     pairs = dd.jaccard_verify(
         cand, d, "text", "doc_id", threshold=0.3, shingles=sh
     )
-    return dd.near_dup_clusters(pairs, d, "doc_id", accelerate=True)
+    # steps_per_round=2 (round 18): these two consumers are the
+    # chain-shaped ones — two propagation steps per materialized
+    # round halves the driver-synchronized probe rounds; the mid-step
+    # frame is persisted inside near_dup_clusters (see its docstring).
+    # Interleaved sf0.1 A/B (5 reps, one session): med 2.449 -> 2.225s,
+    # min 2.201 -> 2.114s, labels bit-identical. dedup_semantic_prune
+    # keeps the one-step cadence (its clique-like components converge
+    # in fewer steps; the r17 fusion A/B regressed it).
+    return dd.near_dup_clusters(
+        pairs, d, "doc_id", accelerate=True, steps_per_round=2
+    )
 
 
 @query(

@@ -177,6 +177,90 @@ def test_accelerated_matches_plain_on_documents(spark, sf_dir):
     assert plain == fast
 
 
+def test_fused_two_step_rounds_match_one_step(spark, monkeypatch):
+    """steps_per_round=2 (round 18): two propagation steps per
+    materialized round — identical labels, FEWER count jobs (one probe
+    per two steps), and the same raise boundary (both cadences execute
+    exactly max_iterations steps before declaring non-convergence)."""
+    DataFrame = type(spark.range(1))
+    counts = {"n": 0}
+    orig_count = DataFrame.count
+
+    def count_spy(self):
+        counts["n"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", count_spy)
+
+    n = 12  # path graph: 11 steps to converge, step 12 probes zero
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+
+    counts["n"] = 0
+    plain = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(
+            pairs, ids, "doc_id", max_iterations=20
+        ).collect()
+    }
+    plain_counts = counts["n"]
+
+    counts["n"] = 0
+    fused = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(
+            pairs, ids, "doc_id", max_iterations=20, steps_per_round=2
+        ).collect()
+    }
+    fused_counts = counts["n"]
+
+    assert fused == plain and set(fused.values()) == {1}
+    # 12 one-step rounds -> 6 fused rounds (each one count job)
+    assert fused_counts < plain_counts
+
+    # raise boundary unchanged: 2 steps cannot converge an 11-step
+    # chain under either cadence
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(
+            pairs, ids, "doc_id", max_iterations=2, steps_per_round=2
+        )
+    # odd max_iterations: the trailing short round runs ONE step, so
+    # exactly 3 steps execute — still short of convergence
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(
+            pairs, ids, "doc_id", max_iterations=3, steps_per_round=2
+        )
+    with pytest.raises(ValueError, match="steps_per_round"):
+        near_dup_clusters(pairs, ids, "doc_id", steps_per_round=3)
+
+
+def test_fused_accelerated_matches_on_documents(spark, sf_dir):
+    """The production combination (accelerate + fused rounds) on the
+    real fixture: labels identical to the one-step accelerated
+    cadence."""
+    from hrtech_etl_spark.sources.testdata import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    cand = minhash_lsh_pairs(d, "text", "doc_id")
+    verified = jaccard_verify(cand, d, "text", "doc_id", threshold=0.5)
+    one = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(
+            verified, d.select("doc_id"), "doc_id", accelerate=True
+        ).collect()
+    }
+    two = {
+        r["id"]: r["cluster"]
+        for r in near_dup_clusters(
+            verified, d.select("doc_id"), "doc_id", accelerate=True,
+            steps_per_round=2,
+        ).collect()
+    }
+    assert one == two
+
+
 def test_minhash_bucket_cap(spark):
     """max_bucket_size drops mega-buckets before the self-join: a
     boilerplate cluster of identical docs (one giant bucket per band)
