@@ -8656,7 +8656,7 @@ def sim_pq_serve_from_store(spark, sf_dir):
         spark, sf_dir, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, iters=_KM_ITERS
     )
     cb = sim.read_codebook_table(
-        spark, path, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM
+        spark, path, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, cache=True
     )
     e = load_table(spark, "embeddings", sf_dir)
     enc = sim.pq_encode(e, cb, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM)
@@ -8829,7 +8829,7 @@ def sim_ivf_serve_from_store(spark, sf_dir):
         spark, sf_dir, m=1, ksub=_IVF_KSUB, dim=_KM_DIM, iters=_KM_ITERS
     )
     cb = sim.read_codebook_table(
-        spark, path, m=1, ksub=_IVF_KSUB, dim=_KM_DIM
+        spark, path, m=1, ksub=_IVF_KSUB, dim=_KM_DIM, cache=True
     )
     # the stored m=1 grid IS the (__cid, __cvec) quantizer table —
     # a driver-side adapt of the few-KiB artifact, like the __cb build
@@ -8962,7 +8962,7 @@ def _trained_codes_path(spark, sf_dir: str) -> str:
     from hrtech_etl_spark.functions import similarity as sim
 
     cb = sim.read_codebook_table(
-        spark, cb_path, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM
+        spark, cb_path, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, cache=True
     )
     e = load_table(spark, "embeddings", sf_dir)
     # materialize the encode EAGERLY before re-taking the lock: the
@@ -9025,11 +9025,11 @@ def sim_pq_serve_codes_from_store(spark, sf_dir):
     )
     codes_path = _trained_codes_path(spark, sf_dir)
     cb = sim.read_codebook_table(
-        spark, cb_path, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM
+        spark, cb_path, m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, cache=True
     )
     codes = sim.read_code_table(
         spark, codes_path, id_col="vec_id",
-        m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM,
+        m=_KM_M, ksub=_KM_KSUB, dim=_KM_DIM, cache=True,
     )
     e = load_table(spark, "embeddings", sf_dir)
     q = e.where(F.col("vec_id") == 0)
