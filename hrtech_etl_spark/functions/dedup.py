@@ -147,8 +147,29 @@ def shingle_table(
     shingle_k: int = 2,
     hashed: bool = False,
     materialize: bool = True,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """(id, shingle-set) table behind a repartition barrier.
+
+    ``drop_empty=True`` drops rows whose text yields NO shingles — on
+    the CHEAP exact-equivalent predicate ``size(tokens) >= k`` (it is
+    literally the word_ngrams CASE condition; for k=1 every non-NULL
+    text keeps its historical [""] set, and NULL text is dropped on
+    both forms) — applied BELOW the exchange, and tags the ``sh``
+    column metadata so downstream signature builds skip their
+    ``size(sh) > 0`` re-filter. Why this exists (r18 profiling):
+    Catalyst pushes that downstream filter through the barrier
+    exchange, substituting the FULL tokenize+shingle construction into
+    the predicate — which then evaluates once per row inside the
+    single-task scan stage (~0.3s of the minhash gate's 1.1s job time
+    at sf0.1; guide §2.4/§7.2 — the round-13 pushed-predicate disease
+    at the exchange boundary instead of the projection). The cheap
+    predicate costs one split per row below the exchange, also prunes
+    shingle-less rows from the exchange itself, and candidate/verify
+    consumers are invariant to it: an empty set never bands, never
+    verifies, and never appears as a candidate id. Default False —
+    standalone :func:`jaccard_verify` keeps scoring arbitrary pairs
+    (an empty-set side is a kept row with jaccard 0.0 there).
 
     ``hashed=False`` (string shingles): ONE keyed exchange of the raw
     (id, text) rows with the shingle projection ABOVE it — measured
@@ -179,15 +200,24 @@ def shingle_table(
     wrong here where cost is per-row CPU, and it would serialize the
     heavy stages.
     """
+    from hrtech_etl_spark.functions.text import tokens as _tokens
+
     n = df.sparkSession.sparkContext.defaultParallelism
     raw = df.select(F.col(id_col), F.col(text_col))
+    if drop_empty:
+        # size(tokens) >= k is EXACTLY size(word_shingles(text,k)) > 0:
+        # word_ngrams' own CASE condition for k>=2; for k=1 every
+        # non-NULL text has size >= 1 ([""] included) and NULL text is
+        # dropped by both forms (size(NULL)=-1 vs NULL-valued filter)
+        raw = raw.where(F.size(_tokens(F.col(text_col))) >= shingle_k)
     if num_partitions(raw) < n:
         raw = raw.repartition(n, F.col(id_col))
     sh = word_shingles(F.col(text_col), k=shingle_k)
+    _md = {"shingles_nonempty": True} if drop_empty else None
     if not hashed:
-        return raw.select(F.col(id_col), sh.alias("sh"))
+        return raw.select(F.col(id_col), sh.alias("sh", metadata=_md))
     hashed_sh = hashed_shingles(sh)
-    projected = raw.select(F.col(id_col), hashed_sh.alias("sh"))
+    projected = raw.select(F.col(id_col), hashed_sh.alias("sh", metadata=_md))
     if not materialize:
         # The caller will stack MORE per-row projections (e.g. the
         # lsh_index signature fold) on top and place ONE barrier above
@@ -330,6 +360,20 @@ def _shingles_pre_hashed(shingles: DataFrame) -> bool:
     return isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.LongType)
 
 
+def _shingles_nonempty(shingles: DataFrame) -> bool:
+    """True when the frame is tagged shingle-set-nonempty
+    (:func:`shingle_table` ``drop_empty=True``) — signature builds can
+    then skip their ``size(sh) > 0`` re-filter, which Catalyst would
+    otherwise push through the barrier exchange with the FULL shingle
+    construction substituted into the predicate (evaluated per row in
+    the single-task scan stage; r18 profiling). Any rewrite of the
+    ``sh`` column (e.g. :func:`remove_stop_shingles`, which can
+    re-introduce empties) drops the column metadata and with it this
+    marker, so the filter correctly reappears."""
+    md = shingles.schema["sh"].metadata
+    return bool(md and md.get("shingles_nonempty", False))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -391,7 +435,9 @@ def minhash_lsh_pairs(
     mega-bucket's candidates anyway. Default None = exact behavior.
     """
     if shingles is None:
-        shingles = shingle_table(df, text_col, id_col, shingle_k=shingle_k)
+        shingles = shingle_table(
+            df, text_col, id_col, shingle_k=shingle_k, drop_empty=True
+        )
     # Empty/NULL shingle sets are dropped HERE, on the cheap
     # size(sh) > 0 predicate, which is exactly `sig IS NOT NULL`
     # (minhash_signature wraps the fold in when(size(sh) > 0, ...)).
@@ -402,7 +448,16 @@ def minhash_lsh_pairs(
     # nullness — ~60% of this operator's wall time at sf0.1 (1.25s of
     # 2.1s). SQL semantics are unchanged: empties would get a NULL
     # bucket that never joins; now they never reach the fold at all.
-    sig = shingles.where(F.size("sh") > 0).select(
+    # r18: even THIS filter gets pushed through the shingle exchange
+    # with the full tokenize+shingle construction substituted in
+    # (single-task scan-side eval) — a drop_empty-tagged shingle
+    # table (see _shingles_nonempty) already guarantees non-empty
+    # sets below the exchange, so the filter is skipped entirely.
+    if _shingles_nonempty(shingles):
+        sig_src = shingles
+    else:
+        sig_src = shingles.where(F.size("sh") > 0)
+    sig = sig_src.select(
         F.col(id_col),
         minhash_signature(
             F.col("sh"), num_hashes, pre_hashed=_shingles_pre_hashed(shingles)
@@ -779,7 +834,14 @@ def drop_near_duplicates(
     the clustering's lineage truncation reliable (survives executor
     loss) instead of executor-local (:func:`near_dup_clusters`).
     """
-    sh = shingle_table(df, text_col, id_col, shingle_k=shingle_k, hashed=True)
+    # drop_empty: shingle-less docs can never band, verify, or appear
+    # as a candidate id — pruned below the exchange on the cheap exact
+    # token-count predicate (r18; see shingle_table). A stop-shingle
+    # rewrite drops the marker, so the signature build re-filters.
+    sh = shingle_table(
+        df, text_col, id_col, shingle_k=shingle_k, hashed=True,
+        drop_empty=True,
+    )
     if stop_shingle_frac is not None:
         sh = remove_stop_shingles(sh, max_doc_frac=stop_shingle_frac)
     cand = minhash_lsh_pairs(
@@ -1057,9 +1119,13 @@ def minhash_signature_table(
     the incremental `lsh_index` covers for single-corpus ingest.
     """
     sh = shingle_table(
-        df, text_col, id_col, shingle_k=shingle_k, hashed=True, materialize=False
+        df, text_col, id_col, shingle_k=shingle_k, hashed=True,
+        materialize=False, drop_empty=True,
     )
-    sig = sh.where(F.size("sh") > 0).select(
+    # drop_empty guarantees non-empty sets below the exchange, so no
+    # size(sh) > 0 re-filter — which Catalyst would push back down
+    # with the full shingle construction substituted in (r18)
+    sig = sh.select(
         F.col(id_col),
         minhash_signature(F.col("sh"), num_hashes, pre_hashed=True).alias(
             "sig"

@@ -1398,7 +1398,9 @@ def _lsh_cluster_labels(spark, sf_dir):
     ctes on the oracle side): shingle once, banded MinHash candidates,
     exact-Jaccard verify at 0.3, min-label clusters."""
     d = load_table(spark, "documents", sf_dir)
-    sh = dd.shingle_table(d, "text", "doc_id")
+    # drop_empty (r18): see dedup_minhash_lsh — prunes shingle-less
+    # docs below the shared exchange; candidates/verify invariant
+    sh = dd.shingle_table(d, "text", "doc_id", drop_empty=True)
     cand = dd.minhash_lsh_pairs(
         d, "text", "doc_id", num_hashes=8, rows_per_band=2, shingles=sh
     )

@@ -431,7 +431,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     because these docs are small; `shingle_table(hashed=True)` remains
     the option for corpora where md5-per-shingle dominates."""
     d = load_table(spark, "documents", sf_dir)
-    sh = dd.shingle_table(d, "text", "doc_id")
+    # drop_empty (r18): prunes shingle-less docs below the shared
+    # exchange so the signature path needs no size(sh) > 0 filter —
+    # which Catalyst pushed through the exchange with the full shingle
+    # construction substituted, single-task scan-side. Candidates and
+    # verify are invariant (empty sets never band or verify).
+    sh = dd.shingle_table(d, "text", "doc_id", drop_empty=True)
     cand = dd.minhash_lsh_pairs(
         d, "text", "doc_id", num_hashes=_NUM_HASHES, rows_per_band=2, shingles=sh
     )

@@ -397,3 +397,66 @@ def test_reliable_checkpoint_dir(spark, tmp_path, monkeypatch):
     assert calls["local"] == 0 and calls["reliable"] >= 2
     # the reliable files really landed under the given directory
     assert any(tmp_path.rglob("*"))
+
+
+def test_drop_empty_shingle_prefilter_exact_and_not_scan_side(spark):
+    """r18: ``shingle_table(drop_empty=True)`` drops EXACTLY the rows
+    the old ``size(sh) > 0`` post-filter dropped (token-count predicate
+    is the word_ngrams CASE condition — NULL text, empty text,
+    one-token and tab-edge docs included), tags the column so
+    ``minhash_lsh_pairs`` skips its re-filter, and the full shingle
+    construction no longer evaluates below the exchange (the pushed-
+    predicate disease this round's profiling found). A stop-shingle
+    rewrite must drop the tag (empties can reappear)."""
+    from pyspark.sql import functions as F
+
+    from hrtech_etl_spark.functions.dedup import (
+        _shingles_nonempty,
+        shingle_table,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "solo"),
+            (2, "two words here"),
+            (3, ""),
+            (4, None),
+            (5, "\ta"),          # split-on-\s+ edge: ["", "a"] = 2 tokens
+            (6, "  spaced  x "),
+            (7, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    old = (
+        df.select("doc_id", word_shingles(F.col("text"), 2).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+    new = shingle_table(df, "text", "doc_id", drop_empty=True)
+    assert sorted((r[0], tuple(r[1])) for r in new.collect()) == sorted(
+        (r[0], tuple(r[1])) for r in old.collect()
+    )
+    assert _shingles_nonempty(new)
+    assert not _shingles_nonempty(shingle_table(df, "text", "doc_id"))
+    # hashed path carries the tag through its barrier too
+    hashed = shingle_table(df, "text", "doc_id", hashed=True, drop_empty=True)
+    assert _shingles_nonempty(hashed)
+    # a column rewrite (stop-shingle removal shape) loses the tag
+    assert not _shingles_nonempty(
+        hashed.withColumn("sh", F.slice("sh", 1, 100))
+    )
+    # the expensive construction must not sit below the exchange
+    # (coalesce(1) forces the narrow-scan widen path that fires it)
+    narrow = shingle_table(
+        df.coalesce(1), "text", "doc_id", drop_empty=True
+    )
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan, plan
+    below = plan.split("Exchange")[-1]
+    assert "zip_with" not in below, below
+    # candidate pairs identical with a drop_empty-shared frame
+    base = minhash_lsh_pairs(df, "text", "doc_id")
+    shared = minhash_lsh_pairs(df, "text", "doc_id", shingles=new)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shared.collect())
+    )
