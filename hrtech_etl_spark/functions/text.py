@@ -572,12 +572,16 @@ def bm25_topk(
     Scale shape — a short query term list is a BOUNDED artifact, so
     nothing per-(doc, term) ever shuffles:
 
-    - one corpus pass explodes tokens, filters to the query terms
-      BEFORE any exchange, and aggregates per-term tf's as
-      conditional counts in ONE groupBy(id) (map-side partials);
-    - N and avgdl come from a scalar aggregate over the full corpus
-      (second column-pruned scan), df per term from a 1-row aggregate
-      of the per-doc frame; both ride a broadcast cross join;
+    - ONE corpus tokenize pass emits (id, dl, query-term occurrences)
+      behind a lazy checkpoint (narrow: length + a bounded filtered
+      list per doc); the term rows explode from the filtered list —
+      already query-terms-only BEFORE any exchange — and aggregate
+      per-term tf's as conditional counts in ONE groupBy(id)
+      (map-side partials);
+    - N and avgdl come from a scalar aggregate over the same pinned
+      frame (no second corpus scan), df per term from a 1-row
+      aggregate of the per-doc frame; both ride a broadcast cross
+      join;
     - the score is an EXPLICIT fixed-order sum of per-term
       contributions (not a float aggregate over shuffled rows), so it
       is bit-deterministic and the DuckDB oracle reproduces it
@@ -591,20 +595,35 @@ def bm25_topk(
         raise ValueError("terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct")
+    # ONE tokenize per row (r18 — was two: the corpus-stats aggregate
+    # and the explode branch each re-tokenized the corpus because the
+    # shared token frame had no boundary and column pruning made the
+    # two subtrees canonically different). The per-row output is just
+    # (id, dl, query-term occurrences) — document length plus a
+    # bounded filtered list — so pinning it is a narrow corpus-width
+    # frame, NOT corpus text; both consumers read it back instead of
+    # re-running split over every document. Interleaved sf0.1 A/B:
+    # min 0.218 -> 0.144s, every rep improved; at scale this halves
+    # the corpus passes, the operator's dominant term.
     base = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("__dl"),
+        F.filter(
+            tokens(F.col(text_col)), lambda t: t.isin(*terms)
+        ).alias("__ft"),
     )
+    base = base.localCheckpoint(eager=False)
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),
         (
-            F.sum(F.size("__toks")).cast("double") / F.count(F.lit(1))
+            F.sum("__dl").cast("double") / F.count(F.lit(1))
         ).alias("__avgdl"),
     )
     exploded = base.select(
         id_col,
-        F.size("__toks").alias("__dl"),
-        F.explode("__toks").alias("__term"),
-    ).where(F.col("__term").isin(*terms))
+        "__dl",
+        F.explode("__ft").alias("__term"),
+    )
     per_doc = exploded.groupBy(id_col).agg(
         F.max("__dl").alias("__dl"),
         *[
