@@ -196,6 +196,29 @@ def _sf_of(sf_dir: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
+def _cpu_snap() -> tuple[int, int] | None:
+    """(total_jiffies, steal_jiffies) from /proc/stat — or None where
+    unavailable. Steal is the r18 contention witness: on this shared
+    microVM, loadavg counts OUR OWN executor threads once the bench is
+    running, while steal% counts only cycles the hypervisor gave to
+    co-tenants — the direct signature of the burst pattern rounds
+    16-18 kept re-adjudicating. Recorded per entry (additive fields;
+    no timing methodology changes)."""
+    try:
+        with open("/proc/stat") as fh:
+            v = [int(x) for x in fh.readline().split()[1:]]
+        return (sum(v), v[7] if len(v) > 7 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float | None:
+    if before is None or after is None:
+        return None
+    dt = after[0] - before[0]
+    return round(100.0 * (after[1] - before[1]) / dt, 2) if dt > 0 else None
+
+
 def _calibrate(spark, sf_dir: str) -> dict:
     """Warm the JVM + parquet footers, then time the fixed reference
     query 5x — host-noise calibration recorded IN every artifact (the
@@ -286,11 +309,16 @@ def main() -> None:
     # measurement — never the floor itself).
     reruns: dict[str, dict] = {}
     entry_loadavg: dict[str, float] = {}
+    entry_steal_pct: dict[str, float] = {}
 
     def timed(name: str, n: int) -> float:
+        snap0 = _cpu_snap()
         runs = _timed_runs(spark, sf_dir, name, n)
         best = runs[0]
         entry_loadavg[name] = round(os.getloadavg()[0], 2)
+        sp = _steal_pct(snap0, _cpu_snap())
+        if sp is not None:
+            entry_steal_pct[name] = sp
         floor = floors.get(name)
         if floor and best > 3 * floor:
             time.sleep(2.0)  # let a transient co-tenant burst pass
@@ -351,6 +379,7 @@ def main() -> None:
         "contended": contended,
         "reruns": reruns,
         "entry_loadavg": entry_loadavg,
+        "entry_steal_pct": entry_steal_pct,
         "sf": sf,
     }
     # Full record (incl. the 76-entry extended dict) goes to a file the
