@@ -207,7 +207,11 @@ def _cpu_snap() -> tuple[int, int] | None:
     try:
         with open("/proc/stat") as fh:
             v = [int(x) for x in fh.readline().split()[1:]]
-        return (sum(v), v[7] if len(v) > 7 else 0)
+        # denominator = user..steal only: the kernel already counts
+        # guest/guest_nice (fields 9-10) inside user/nice, so summing
+        # them would double-count and understate steal% on guest-
+        # running hosts
+        return (sum(v[:8]), v[7] if len(v) > 7 else 0)
     except (OSError, ValueError, IndexError):
         return None
 
@@ -322,14 +326,21 @@ def main() -> None:
         floor = floors.get(name)
         if floor and best > 3 * floor:
             time.sleep(2.0)  # let a transient co-tenant burst pass
+            rsnap0 = _cpu_snap()
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).count()
             again = time.perf_counter() - t0
+            rerun_steal = _steal_pct(rsnap0, _cpu_snap())
             reruns[name] = {
                 "first": round(best, 3),
                 "rerun": round(again, 3),
                 "floor": floor,
                 "loadavg": entry_loadavg[name],
+                # steal over the FIRST-runs window vs over the rerun —
+                # so the recorded best (min of the two) always has the
+                # steal witness of the window that produced it
+                "steal_pct_first": entry_steal_pct.get(name),
+                "steal_pct_rerun": rerun_steal,
             }
             best = min(best, again)
         runs[0] = best

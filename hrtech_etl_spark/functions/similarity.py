@@ -1507,9 +1507,17 @@ def read_codebook_table(
     dsub = dim // m
     app_id = spark.sparkContext.applicationId
     ckey = (path, m, ksub, dim)
+    mtime = None
     if cache:
         import os as _os
 
+        # stat BEFORE the read (the schema-cache discipline): if the
+        # table is rewritten between this stat and the scan below, the
+        # cache stores the PRE-rewrite mtime with whatever was read —
+        # stale at worst for one cycle, and self-healing because the
+        # next call's fresh stat mismatches and re-reads. Stamping a
+        # post-read mtime instead could pin an old grid under the new
+        # file's mtime forever.
         try:
             mtime = _os.path.getmtime(path)
         except OSError:
@@ -1576,15 +1584,9 @@ def read_codebook_table(
             f"the declared dim={dim}/m={m}"
         )
     cb = [[by[(s, j)] for j in range(ksub)] for s in range(m)]
-    if cache:
-        import os as _os
-
-        try:
-            mtime = _os.path.getmtime(path)
-        except OSError:
-            mtime = None
-        if mtime is not None:
-            _CB_READ_CACHE[ckey] = (app_id, mtime, cb)
+    if cache and mtime is not None:
+        # mtime from the pre-read stat above — see the comment there
+        _CB_READ_CACHE[ckey] = (app_id, mtime, cb)
     return F.broadcast(
         spark.createDataFrame([(cb,)], "`__cb` ARRAY<ARRAY<ARRAY<DOUBLE>>>")
     )
@@ -1836,5 +1838,12 @@ def read_code_table(
     if cache:
         if mtime is not None:
             out = out.localCheckpoint(eager=True)
+            # Replacing a superseded entry drops the dict's reference
+            # to the old checkpointed frame; its executor blocks are
+            # reclaimed by Spark's ContextCleaner once unreferenced
+            # (there is no public API to free localCheckpoint blocks
+            # eagerly). At most one stale frame per rewrite cycle is
+            # in flight — the same lifecycle as every per-call lazy
+            # checkpoint in this package.
             _CODES_READ_CACHE[ckey] = (app_id, mtime, out)
     return out

@@ -604,7 +604,11 @@ def bm25_topk(
     # frame, NOT corpus text; both consumers read it back instead of
     # re-running split over every document. Interleaved sf0.1 A/B:
     # min 0.218 -> 0.144s, every rep improved; at scale this halves
-    # the corpus passes, the operator's dominant term.
+    # the corpus passes, the operator's dominant term. Lifecycle: the
+    # pin is per-call and dropped with the returned plan's reference —
+    # ContextCleaner reclaims the blocks once the caller lets go, the
+    # same lifecycle as every lazy localCheckpoint in this package
+    # (Spark exposes no eager free for localCheckpoint blocks).
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.size(tokens(F.col(text_col))).alias("__dl"),

@@ -136,11 +136,14 @@ def main() -> int:
             split = ""
             if spark_sec is not None:
                 split = f" (spark {spark_sec:.1f}s"
-                split += (
-                    f" + oracle {oracle_sec:.1f}s)"
-                    if oracle_sec is not None
-                    else ")"
-                )
+                if oracle_sec is not None:
+                    # the residual (row sorting + value hashing on the
+                    # driver) is printed too, so a compare-phase-bound
+                    # entry cannot masquerade as a timing bug
+                    rest = max(dt - spark_sec - oracle_sec, 0.0)
+                    split += f" + oracle {oracle_sec:.1f}s + compare {rest:.1f}s)"
+                else:
+                    split += ")"
             print(
                 f"! SLOW {name}: {dt:.1f}s exceeds the "
                 f"{args.budget_sec:.0f}s per-entry budget{split}"
