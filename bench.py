@@ -183,7 +183,13 @@ def _load_floors() -> dict[str, float]:
     )
     try:
         with open(path) as fh:
-            return {k: float(v) for k, v in json.load(fh).items()}
+            return {
+                k: float(v)
+                for k, v in json.load(fh).items()
+                # "__provenance" (r18): host/date/steal metadata about
+                # the run that seeded the floors — not a floor entry
+                if not k.startswith("__")
+            }
     except (OSError, ValueError, AttributeError, TypeError):
         # fail OPEN on any malformed file (list top-level, nested
         # values, ...): a bad floors file must never abort the bench —
